@@ -1,0 +1,51 @@
+"""Testdata table loaders.
+
+The driver's deterministic synthetic tables (TESTDATA.md) play the role of the
+reference's NYC-taxi Iceberg table (``/root/reference/scripts/csv_to_ice.py:58``);
+one Parquet file per table per scale dir. Reading with ``spark.read.parquet``
+gives the same scan-side behavior the reference's engines observably rely on —
+column pruning and predicate pushdown into the Parquet reader
+(``/root/reference/README.md:162,177,202`` — Presto reads 6.55-54 MB of a 2 GB
+table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL entry point)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

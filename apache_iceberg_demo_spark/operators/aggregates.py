@@ -1,0 +1,307 @@
+"""Aggregation operators (SURVEY.md §2 A9-A14, B4).
+
+The reference's complete analytical suite — Q1/Q2/Q3 run identically on DuckDB
+and Presto (``/root/reference/README.md:88-203``) — transposed from the taxi
+table to the driver's ``lineitem`` fact table (mapping per SURVEY.md §7
+phase 2: ``passenger_count``→``l_linenumber``, ``total_amount``→
+``l_extendedprice``, ``trip_distance``→``l_quantity``), plus the full B4
+aggregation surface (multi-agg stats, count-distinct, HLL approx, rollup,
+cube, grouping sets, HAVING).
+
+Scale notes: every GROUP BY here is a hash aggregate with map-side partial
+aggregation (partial→final HashAggregate), which is exactly what Presto's
+81-splits→10-groups execution demonstrates in the reference
+(``README.md:186-201``). Group-by keys are low-cardinality (flags, line
+numbers), so the shuffle moves only #groups × #partitions pre-aggregated rows
+— this plan shape is 100 TB-safe as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+def round6(c, alias):  # shared float discipline (SURVEY.md §5.3)
+    return F.round(c, 6).alias(alias)
+
+
+# --- The reference's own 3-query suite + count sanity check (A9-A14) ------------
+
+
+@register(
+    "a09_count_all",
+    oracle="SELECT count(*) AS all_records FROM lineitem",
+)
+def a09_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: global COUNT(*) — reference ``README.md:52-58`` (12,748,986 check)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("all_records"))
+
+
+@register(
+    "a10_q1_filter_count",
+    oracle="""
+        SELECT count(*) AS trip_count
+        FROM lineitem
+        WHERE l_linenumber = 3
+    """,
+)
+def a10_q1_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 / reference Q1: equality filter + count (``README.md:91-101``).
+
+    The filter is pushed into the parquet scan (PushedFilters), mirroring
+    Presto's 6.55 MB-of-2 GB read at ``README.md:162``.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 3)
+        .agg(F.count("*").alias("trip_count"))
+    )
+
+
+@register(
+    "a11_q2_filter_avg",
+    oracle="""
+        SELECT round(avg(l_extendedprice), 6) AS avg_fare_amount
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_quantity < 5
+    """,
+)
+def a11_q2_filter_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 / reference Q2: conjunctive predicate + AVG (``README.md:107-115``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_quantity") < 5)).agg(
+        round6(F.avg("l_extendedprice"), "avg_fare_amount")
+    )
+
+
+@register(
+    "a12_q3_group_agg_sort",
+    oracle="""
+        SELECT l_linenumber,
+               count(*) AS trip_count,
+               round(avg(l_extendedprice), 6) AS avg_fare_amount
+        FROM lineitem
+        GROUP BY l_linenumber
+        ORDER BY l_linenumber ASC
+    """,
+)
+def a12_q3_group_agg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A13 / reference Q3: hash aggregate + ORDER BY (``README.md:120-143``)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linenumber")
+        .agg(
+            F.count("*").alias("trip_count"),
+            round6(F.avg("l_extendedprice"), "avg_fare_amount"),
+        )
+        .orderBy(F.asc("l_linenumber"))
+    )
+
+
+# --- Flagship: TPC-H-Q1-shaped pricing summary (entry() target) -----------------
+
+
+@register(
+    "flagship_pricing_summary",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               round(sum(l_quantity), 6)                              AS sum_qty,
+               round(sum(l_extendedprice), 6)                         AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6)      AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                                                                      AS sum_charge,
+               round(avg(l_quantity), 6)                              AS avg_qty,
+               round(avg(l_extendedprice), 6)                         AS avg_price,
+               round(avg(l_discount), 6)                              AS avg_disc,
+               count(*)                                               AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference Q3 shape widened to a TPC-H-Q1 pricing summary.
+
+    A7+A10+A12+A13+A14 in one query (scan → pushed filter → partial+final hash
+    aggregate over 2 low-cardinality keys → tiny sort). At 100 TB the shuffle
+    carries only #groups(≈6) × #map-partitions pre-aggregated rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round6(F.sum("l_quantity"), "sum_qty"),
+            round6(F.sum("l_extendedprice"), "sum_base_price"),
+            round6(F.sum(disc_price), "sum_disc_price"),
+            round6(F.sum(disc_price * (1 + F.col("l_tax"))), "sum_charge"),
+            round6(F.avg("l_quantity"), "avg_qty"),
+            round6(F.avg("l_extendedprice"), "avg_price"),
+            round6(F.avg("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- B4: wider aggregation surface ----------------------------------------------
+
+
+@register(
+    "b4_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 6)          AS sum_price,
+               round(min(l_extendedprice), 6)          AS min_price,
+               round(max(l_extendedprice), 6)          AS max_price,
+               round(stddev_samp(l_extendedprice), 6)  AS sd_price,
+               round(var_samp(l_extendedprice), 6)     AS var_price,
+               CAST(sum(l_linenumber) AS BIGINT)       AS sum_line
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: count/sum/min/max/stddev/variance in one hash aggregate."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            round6(F.sum("l_extendedprice"), "sum_price"),
+            round6(F.min("l_extendedprice"), "min_price"),
+            round6(F.max("l_extendedprice"), "max_price"),
+            round6(F.stddev("l_extendedprice"), "sd_price"),
+            round6(F.variance("l_extendedprice"), "var_price"),
+            F.sum("l_linenumber").cast("bigint").alias("sum_line"),
+        )
+    )
+
+
+@register(
+    "b4_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)  AS n_customers,
+               count(*)                   AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def b4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: COUNT(DISTINCT) — expands to a two-phase distinct aggregate.
+
+    Spark plans this as partial-distinct then final (no naive global
+    de-duplication), so it scales with #distinct per group, not row count.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register("b4_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+def b4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: HyperLogLog++ approximate distinct — the 100 TB path for distincts.
+
+    No oracle: HLL sketches differ across engines (the driver records a
+    rows-only check). Accuracy asserted in tests vs exact count (rsd 5%%).
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+    )
+
+
+@register(
+    "b4_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 6) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: ROLLUP — hierarchical subtotals in one pass (Expand + HashAggregate)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), round6(F.sum("l_quantity"), "qty"))
+    )
+
+
+@register(
+    "b4_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(avg(l_extendedprice), 6) AS avg_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def b4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: CUBE — all grouping-set combinations in one shuffle."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), round6(F.avg("l_extendedprice"), "avg_price"))
+    )
+
+
+@register(
+    "b4_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def b4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: explicit GROUPING SETS via the SQL entry point (same Catalyst plan)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "b4_having",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+    """,
+)
+def b4_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: HAVING — post-aggregate filter (stays in the aggregate stage)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round6(F.sum("o_totalprice"), "spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Mirrors the reference's driver bootstrap (``scripts/csv_to_ice.py:4-14`` — session
+conf is the only "engine configuration" the reference performs) but tuned for the
+local[32] test harness while staying valid for a real cluster:
+
+- AQE on (runtime re-plan: post-shuffle coalescing, skew-join splitting) — at
+  100 TB this is what keeps a static ``shuffle.partitions`` choice from being fatal.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster you'd set
+  this ~2-3x total cores, and AQE coalesces the rest.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "apache_iceberg_demo_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

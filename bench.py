@@ -1,0 +1,70 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], one warm SparkSession (per BASELINE.md: the
+binding constraint at this scale is fixed per-query overhead, so the harness
+warms the JIT with one throwaway pass, then times each query end-to-end
+including the action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "a10_q1_filter_count",       # reference Q1: filter + count
+    "a11_q2_filter_avg",         # reference Q2: 2-pred filter + avg
+    "a12_q3_group_agg_sort",     # reference Q3: group agg + sort
+    "flagship_pricing_summary",  # TPC-H-Q1 shape
+]
+# widened per milestone as operators land
+EXTRA = [
+    "b3_join_star_revenue",
+    "b5_window_topk_per_group",
+    "c1_dedup_exact_docs",
+    "c3_cosine_topk",
+]
+
+
+def main() -> None:
+    from apache_iceberg_demo_spark import registry
+    from apache_iceberg_demo_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE + EXTRA if n in registry.QUERIES]
+
+    # Warm-up: run each once (JIT, codegen, parquet footer caches)
+    for n in names:
+        registry.QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
