@@ -1,1 +1,253 @@
-"""Placeholder — filled in a later milestone."""
+"""Scalar-function surface (SURVEY.md §2 B8, reference A2/A3).
+
+The reference's only scalar functions are casts (``csv_to_ice.py:19-22``) and
+``date_format`` (``csv_to_ice.py:25``); this module provides the full
+string / date-time / math / conditional / array / map / JSON gallery the task
+spec requires. Everything stays JVM-side (built-in ``pyspark.sql.functions``
+inside WholeStageCodegen) — no Python in these hot paths.
+
+Oracle-mapping notes (Spark ↔ DuckDB divergences handled here):
+- ``F.log`` is natural log → DuckDB ``ln`` (DuckDB ``log`` is log10)
+- ``F.split(s, p)[0]`` is 0-indexed → DuckDB ``string_split(...)[1]``
+- ``date_format(ts,'yyyy-MM-dd')`` → DuckDB ``strftime(ts, '%Y-%m-%d')``
+- Spark ``dayofweek`` is 1=Sunday → DuckDB ``dayofweek`` is 0=Sunday (+1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b8_string_funcs",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name)                                   AS name_upper,
+               lower(c_mktsegment)                             AS seg_lower,
+               length(c_name)                                  AS name_len,
+               substr(c_name, 1, 8)                            AS name_prefix,
+               concat(c_name, ':', c_mktsegment)               AS name_seg,
+               regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+               regexp_replace(c_name, '[0-9]', '#', 'g')       AS name_masked,
+               string_split(c_name, '#')[1]                    AS name_head,
+               reverse(c_mktsegment)                           AS seg_rev,
+               trim(concat(' ', c_mktsegment, ' '))            AS seg_trim
+        FROM customer
+    """,
+)
+def b8_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: string functions — upper/lower/length/substr/concat/regex/split."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@register(
+    "b8_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d')                        AS order_day,
+               CAST(extract(year FROM o_orderdate) AS INT)              AS yr,
+               CAST(extract(month FROM o_orderdate) AS INT)             AS mo,
+               CAST(extract(day FROM o_orderdate) AS INT)               AS dom,
+               CAST(dayofweek(o_orderdate) + 1 AS INT)                  AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)      AS month_start,
+               CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)         AS due_ts,
+               datediff('day', o_orderdate,
+                        TIMESTAMP '1998-12-01 00:00:00')                AS days_to_eoy,
+               CAST(epoch(o_orderdate) AS BIGINT)                       AS epoch_s
+        FROM orders
+    """,
+)
+def b8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: date/time — format, extract, trunc, interval add, diff, epoch (A3+)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(
+            F.lit("1998-12-01").cast("timestamp"), F.col("o_orderdate")
+        ).cast("bigint").alias("days_to_eoy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "b8_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_extendedprice - 30000), 6)      AS dist_from_30k,
+               round(sqrt(l_extendedprice), 6)             AS root_price,
+               round(ln(l_extendedprice + 1), 6)           AS log_price,
+               round(pow(l_discount, 2), 6)                AS disc_sq,
+               ceil(l_quantity)                            AS qty_ceil,
+               floor(l_quantity)                           AS qty_floor,
+               CAST(l_linenumber % 3 AS INT)               AS line_mod,
+               CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign
+        FROM lineitem
+        WHERE l_linenumber <= 2
+    """,
+)
+def b8_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: math — abs/sqrt/ln/pow/ceil/floor/mod/sign."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 6).alias("dist_from_30k"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("root_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("price_sign"),
+    )
+
+
+@register(
+    "b8_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END                            AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open')   AS status_label,
+               greatest(o_totalprice, 150000.0)               AS floor_price,
+               least(o_totalprice, 150000.0)                  AS capped_price,
+               CASE WHEN o_orderpriority LIKE '1%'
+                    OR o_orderpriority LIKE '2%' THEN true
+                    ELSE false END                            AS urgent
+        FROM orders
+    """,
+)
+def b8_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: CASE WHEN / coalesce / nullif / greatest / least."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
+        (
+            F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%")
+        ).alias("urgent"),
+    )
+
+
+@register(
+    "b8_array_funcs",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                   AS dim,
+               round(embedding[1], 6)                           AS first_component,
+               round(list_aggregate(embedding, 'sum'), 6)       AS comp_sum,
+               round(list_aggregate(embedding, 'max'), 6)       AS comp_max,
+               round(list_aggregate(
+                   list_transform(embedding, x -> x * x), 'sum'), 6) AS sq_norm,
+               len(list_filter(embedding, x -> x > 0))          AS n_positive
+        FROM embeddings
+    """,
+)
+def b8_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: array functions on `array<float>` — size/element_at/aggregate/
+    transform/filter. These are the JVM-side primitives the similarity
+    operators (C3) build on; no Python UDF in the path."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias(
+            "first_component"
+        ),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("comp_sum"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("comp_max"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
+            "n_positive"
+        ),
+    )
+
+
+@register(
+    "b8_json_funcs",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k')               AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT)  AS k_int
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def b8_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: JSON extraction from the `events.props` JSON-string column
+    (`get_json_object` + typed `from_json`)."""
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            parsed.getField("k").alias("k_int"),
+        )
+        .filter(F.col("k_str").isNotNull())
+    )
+
+
+@register(
+    "b8_cast_coercion",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(l_quantity AS INT)                   AS qty_int,
+               CAST(l_linenumber AS DOUBLE)              AS line_dbl,
+               CAST(l_orderkey AS VARCHAR)               AS key_str,
+               CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ship_day,
+               CAST(l_shipdate AS DATE)                  AS ship_date
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+)
+def b8_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/B8: the reference's cast surface (``csv_to_ice.py:19-22``) —
+    int/double/string/timestamp↔date round-trips."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").cast("date").alias("ship_day"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )

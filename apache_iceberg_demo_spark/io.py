@@ -39,9 +39,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) (TESTDATA.md), which
+    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
+    nanos as int64 (`nanosAsLong`, runtime-settable) and rebuild a proper
+    microsecond TimestampType column — semantically the ns→µs cast FIXTURES.md
+    prescribes, with no Python in the path.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

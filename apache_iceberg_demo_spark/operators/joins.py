@@ -1,1 +1,253 @@
-"""Placeholder — filled in a later milestone."""
+"""Join operators (SURVEY.md §2 B3) — absent from the reference, required surface.
+
+The reference is single-table (verified in SURVEY.md Part B), so every join
+here is designed from Spark-first principles for the 100 TB case:
+
+- **Dimension joins broadcast.** region/nation/supplier/part stay small at any
+  scale factor (TPC-H dims grow sublinearly or are fixed); `F.broadcast` pins
+  the hash-join build side so the fact table never shuffles for them.
+- **Fact-fact joins shuffle on the join key** (sort-merge); AQE converts to
+  broadcast at runtime when a filtered side turns out small, and splits skewed
+  partitions (`spark.sql.adaptive.skewJoin`).
+- **Semi/anti instead of IN/EXISTS subqueries** — no duplicate blowup, and the
+  probe side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b3_join_inner_broadcast",
+    oracle="""
+        SELECT n.n_name AS nation, count(*) AS n_customers,
+               round(avg(c.c_acctbal), 6) AS avg_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def b3_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: inner equi-join, broadcast build side (25-row dim never shuffles)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "b3_join_star_revenue",
+    oracle="""
+        SELECT r.r_name AS region,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY r.r_name
+    """,
+)
+def b3_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: 5-table star join (TPC-H Q5 shape) — revenue per region.
+
+    Plan shape for 100 TB: lineitem⋈orders is the only shuffle (both fact
+    tables, sort-merge on orderkey); customer⋈nation⋈region collapse into
+    broadcast hash joins layered on the probe stream. Filter on orders is
+    pushed below the join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "b3_join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 6) AS spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def b3_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left outer join — customers kept even with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias("spend"),
+        )
+    )
+
+
+@register(
+    "b3_join_full_outer",
+    oracle="""
+        WITH big_spenders AS (
+            SELECT o_custkey, round(sum(o_totalprice), 6) AS spend
+            FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000
+        ),
+        rich AS (
+            SELECT c_custkey, round(c_acctbal, 6) AS balance
+            FROM customer WHERE c_acctbal > 7000
+        )
+        SELECT coalesce(b.o_custkey, r.c_custkey) AS custkey, b.spend, r.balance
+        FROM big_spenders b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+)
+def b3_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: full outer join between two partially-overlapping derived sets."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("raw_spend"))
+        .filter(F.col("raw_spend") > 300000)
+        .select("o_custkey", F.round("raw_spend", 6).alias("spend"))
+    )
+    rich = c.filter(F.col("c_acctbal") > 7000).select(
+        "c_custkey", F.round("c_acctbal", 6).alias("balance")
+    )
+    return big.join(rich, big.o_custkey == rich.c_custkey, "full").select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"), "spend", "balance"
+    )
+
+
+@register(
+    "b3_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def b3_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left semi join (EXISTS) — probe side streams, no duplicate blowup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "b3_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def b3_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left anti join (NOT EXISTS) — customers who never ordered."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "b3_join_cross",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def b3_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: cross join (tiny×tiny only — broadcast nested loop)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    )
+
+
+@register(
+    "b3_join_multikey",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, s.l_extendedprice
+        FROM lineitem l
+        JOIN lineitem s ON l.l_orderkey = s.l_orderkey
+                       AND l.l_linenumber = s.l_linenumber
+        WHERE l.l_returnflag = 'R' AND l.l_linenumber <= 2
+    """,
+)
+def b3_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: multi-key equi self-join on the composite (orderkey, linenumber) PK."""
+    li = load(spark, sf_dir, "lineitem")
+    left = li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") <= 2)).alias("l")
+    right = li.alias("s")
+    return left.join(
+        right,
+        (F.col("l.l_orderkey") == F.col("s.l_orderkey"))
+        & (F.col("l.l_linenumber") == F.col("s.l_linenumber")),
+    ).select(
+        F.col("l.l_orderkey").alias("l_orderkey"),
+        F.col("l.l_linenumber").alias("l_linenumber"),
+        F.col("l.l_quantity").alias("l_quantity"),
+        F.col("s.l_extendedprice").alias("l_extendedprice"),
+    )
+
+
+@register(
+    "b3_join_nonequi_range",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     AND l.l_shipdate >= o.o_orderdate
+                     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        WHERE l.l_returnflag = 'A'
+    """,
+)
+def b3_join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: equi key + range residual (theta) join — ship within 30 days of order.
+
+    The equi component keeps it a hash/sort-merge join (the range is a cheap
+    residual filter), so this stays shuffle-bounded at 100 TB — never a
+    nested-loop.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return li.join(o, cond).select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — filled in a later milestone."""
+"""Window-function operators (SURVEY.md §2 B5) — absent from the reference.
+
+All window specs partition on a natural key (customer, user, brand) so state
+per partition is bounded; nothing here requires a global window (the one
+100 TB anti-pattern for window functions — a single unpartitioned ORDER BY
+funnels the table through one task).
+
+Determinism discipline: every ORDER BY inside a window spec ends with a
+unique tie-breaker column so row_number/lag/lead results are stable across
+engines (DuckDB parity would otherwise flap on ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b5_row_number_topk",
+    oracle="""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS price, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def b5_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: top-K per group via row_number (the scalable per-group top-k)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "b5_rank_dense_ntile",
+    oracle="""
+        SELECT p_brand, p_partkey,
+               rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+               ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile
+        FROM part
+    """,
+)
+def b5_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: rank / dense_rank / ntile over one partitioning (single shuffle)."""
+    p = load(spark, sf_dir, "part")
+    w_price = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    w_size = W.partitionBy("p_brand").orderBy("p_size")
+    w_tile = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w_price).alias("rnk"),
+        F.dense_rank().over(w_size).alias("drnk"),
+        F.ntile(4).over(w_tile).alias("quartile"),
+    )
+
+
+@register(
+    "b5_lag_lead",
+    oracle="""
+        SELECT user_id, event_id, event_type,
+               lag(event_type)  OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               round(value - lag(value) OVER w, 6) AS value_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b5_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: lag/lead over per-user event streams (ts + event_id tiebreak)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@register(
+    "b5_running_agg",
+    oracle="""
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3,
+               count(*) OVER (PARTITION BY user_id) AS user_events
+        FROM events
+    """,
+)
+def b5_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: running sum + 3-row moving average + whole-partition count."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 6).alias(
+            "running_sum"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg_3"),
+        F.count("*").over(W.partitionBy("user_id")).alias("user_events"),
+    )
+
+
+@register(
+    "b5_range_frame",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey, round(o_totalprice, 6) AS price,
+               count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS peers_within_10k
+        FROM orders
+    """,
+)
+def b5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: value-based RANGE frame (tie-insensitive, deterministic by design)."""
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.count("*").over(w).alias("peers_within_10k"),
+    )

@@ -1,1 +1,497 @@
-"""Placeholder — filled in a later milestone."""
+"""Snapshot-versioned Parquet warehouse — the engine's table format (C6).
+
+The reference stores its table as Apache Iceberg on a **file-based (hadoop)
+catalog** — metadata JSON + manifests as plain files next to the data, no
+metastore service (``/root/reference/scripts/csv_to_ice.py:11-13``,
+``presto/etc/catalog/iceberg.properties:2-3``). The Iceberg Spark-runtime jar
+is not available in this offline environment, so this module implements the
+same *semantics* natively on Parquet, following Iceberg's public design
+(snapshot log + per-snapshot manifest of data files with stats):
+
+- ``create_or_replace`` / ``append``  — atomic snapshot commits
+  (mirrors ``writeTo(...).createOrReplace()``, ``csv_to_ice.py:58``)
+- ``read(..., snapshot_id= / as_of=)`` — time travel (VERSION AS OF)
+- ``snapshots() / files() / history()`` — Iceberg-style metadata tables
+  (reference queries its engines' metadata tables at ``README.md:204-207``)
+- ``expire_snapshots`` — metadata + orphan-data GC
+- ``rewrite_data_files`` — bin-packing compaction (north star: "read/write/
+  compaction")
+
+Manifests carry per-file row counts and per-column min/max stats (read from
+Parquet footers), which is what enables Iceberg-style **file skipping**:
+``read(..., where=...)`` prunes whole files on min/max before Spark ever
+opens them — the effect the reference observes as Presto scanning 6.55 MB of
+a 2 GB table (``README.md:162``).
+
+Scale notes: metadata operations are O(#files) driver-side JSON — the same
+asymptotic shape as Iceberg's manifest lists. Data-plane operations
+(write/compact) are distributed Spark jobs. On a real cluster the metadata
+dir lives on the object store; locally it's a directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- paths ----------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "metadata.json")
+
+    def _load_meta(self, name: str) -> dict:
+        with open(self._meta_path(name)) as f:
+            return json.load(f)
+
+    def _store_meta(self, name: str, meta: dict) -> None:
+        # atomic rename commit — the hadoop-catalog pattern the reference's
+        # Iceberg setup relies on (file-based catalog, csv_to_ice.py:12)
+        tmp = self._meta_path(name) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(name))
+
+    # ---------- manifest construction ----------
+
+    def _manifest_for_dir(self, data_dir: str) -> list[dict]:
+        """Walk a snapshot's data dir; record per-file stats from footers."""
+        import pyarrow.parquet as pq
+
+        entries = []
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(path).metadata
+                # column min/max across row groups (Iceberg manifest stats)
+                stats: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        cname = col.path_in_schema
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                continue
+                        if not isinstance(mn, (int, float, str, bool)):
+                            mn, mx = str(mn), str(mx)
+                        if cname in stats:
+                            stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
+                        else:
+                            stats[cname] = [mn, mx]
+                # hive-style partition values from the path
+                part_vals = {}
+                rel = os.path.relpath(path, data_dir)
+                for seg in rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        part_vals[k] = v
+                entries.append(
+                    {
+                        "path": path,
+                        "size_bytes": os.path.getsize(path),
+                        "row_count": md.num_rows,
+                        "partition": part_vals,
+                        "stats": stats,
+                    }
+                )
+        return sorted(entries, key=lambda e: e["path"])
+
+    def _commit(
+        self,
+        name: str,
+        operation: str,
+        files: list[dict],
+        schema_ddl: str,
+        partition_by: Optional[str],
+        parent: Optional[int],
+        meta: Optional[dict],
+    ) -> dict:
+        snap_id = (parent or 0) + 1
+        snapshot = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "timestamp_ms": _now_ms(),
+            "operation": operation,
+            "manifest": files,
+            "summary": {
+                "added-files": len(files),
+                "total-records": sum(f["row_count"] for f in files),
+            },
+        }
+        if meta is None:
+            meta = {
+                "table": name,
+                "format_version": 1,
+                "schema": schema_ddl,
+                "partition_by": partition_by,
+                "current_snapshot_id": snap_id,
+                "snapshots": [],
+            }
+        meta["schema"] = schema_ddl  # schema-wins-on-replace (SURVEY.md §1.3)
+        meta["current_snapshot_id"] = snap_id
+        meta["snapshots"].append(snapshot)
+        self._store_meta(name, meta)
+        return snapshot
+
+    # ---------- write paths ----------
+
+    def _write_data(self, name: str, df: DataFrame, snap_tag: str, partition_by: Optional[str]) -> str:
+        data_dir = os.path.join(self._table_dir(name), "data", snap_tag)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir)
+        return data_dir
+
+    def create_or_replace(self, name: str, df: DataFrame, partition_by: Optional[str] = None) -> dict:
+        """A5/A6: ``writeTo(t).partitionedBy(c).createOrReplace()`` semantics.
+
+        The committed schema is the DataFrame's schema (the reference's
+        replace-wins behavior, SURVEY.md §1.3), made explicit here.
+        """
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        exists = os.path.exists(self._meta_path(name))
+        meta = self._load_meta(name) if exists else None
+        parent = meta["current_snapshot_id"] if meta else None
+        tag = f"snap-{(parent or 0) + 1:05d}"
+        data_dir = self._write_data(name, df, tag, partition_by)
+        files = self._manifest_for_dir(data_dir)
+        if meta is not None:
+            meta["partition_by"] = partition_by
+        snap = self._commit(
+            name, "replace", files, df.schema.json(), partition_by, parent, meta
+        )
+        return snap
+
+    def append(self, name: str, df: DataFrame) -> dict:
+        """Snapshot-append: new files + previous snapshot's files stay live."""
+        meta = self._load_meta(name)
+        parent = meta["current_snapshot_id"]
+        prev = self._snapshot(meta, parent)
+        tag = f"snap-{parent + 1:05d}"
+        data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
+        files = self._manifest_for_dir(data_dir)
+        all_files = prev["manifest"] + files
+        snap = self._commit(
+            name, "append", all_files, meta["schema"], meta.get("partition_by"), parent, meta
+        )
+        return snap
+
+    # ---------- read paths ----------
+
+    def _snapshot(self, meta: dict, snapshot_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+
+    def read(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        as_of_ms: Optional[int] = None,
+        where: Optional[str] = None,
+    ) -> DataFrame:
+        """A7 scan with time travel + manifest-stats file skipping.
+
+        ``snapshot_id`` / ``as_of_ms`` select the snapshot (VERSION AS OF /
+        TIMESTAMP AS OF). ``where`` is applied both as a manifest-level file
+        pruner (min/max skip, Iceberg-style) and as a normal pushed filter.
+        """
+        meta = self._load_meta(name)
+        if snapshot_id is None:
+            if as_of_ms is not None:
+                live = [s for s in meta["snapshots"] if s["timestamp_ms"] <= as_of_ms]
+                if not live:
+                    raise KeyError(f"no snapshot at or before {as_of_ms}")
+                snapshot_id = live[-1]["snapshot_id"]
+            else:
+                snapshot_id = meta["current_snapshot_id"]
+        snap = self._snapshot(meta, snapshot_id)
+        files = snap["manifest"]
+        if where is not None:
+            files = [f for f in files if not self._can_skip(f, where)]
+        if not files:
+            # empty relation with the table's schema
+            schema = self.spark.read.parquet(snap["manifest"][0]["path"]).schema if snap["manifest"] else None
+            return self.spark.createDataFrame([], schema=schema)
+        # Partition discovery needs basePath directly above the `col=value`
+        # dirs, so group the manifest by snapshot data dir and union the
+        # per-snapshot scans (plan-level concat, no shuffle).
+        data_root = os.path.join(self._table_dir(name), "data")
+        by_snap: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f["path"], data_root)
+            tag = rel.split(os.sep)[0]
+            by_snap.setdefault(os.path.join(data_root, tag), []).append(f["path"])
+        df = None
+        for base, paths in sorted(by_snap.items()):
+            part = self.spark.read.option("basePath", base).parquet(*paths)
+            df = part if df is None else df.unionByName(part)
+        # Partition-dir type inference must not override the declared schema
+        # (Iceberg semantics: the table schema is authoritative; a yyyy-MM-dd
+        # string partition column stays a string — SURVEY.md §1.3).
+        declared = self._declared_schema(meta)
+        if declared is not None:
+            for field in declared.fields:
+                got = dict(df.dtypes).get(field.name)
+                if got is not None and got != field.dataType.simpleString():
+                    df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        if where is not None:
+            df = df.filter(where)
+        return df
+
+    @staticmethod
+    def _declared_schema(meta: dict):
+        from pyspark.sql.types import StructType
+
+        try:
+            return StructType.fromJson(json.loads(meta["schema"]))
+        except (ValueError, KeyError, TypeError):
+            return None  # legacy simpleString metadata — best effort
+
+    @staticmethod
+    def _can_skip(file_entry: dict, where: str) -> bool:
+        """Conservative min/max file skipping for simple `col op literal`
+        predicates (the Iceberg manifest-filter fast path). Anything not
+        recognized → never skip (correctness first)."""
+        import re
+
+        m = re.fullmatch(
+            r"\s*(\w+)\s*(<=|>=|<|>|=|==)\s*('([^']*)'|[-0-9.]+)\s*", where
+        )
+        if not m:
+            return False
+        col, op, raw, s_lit = m.group(1), m.group(2), m.group(3), m.group(4)
+        lit: object = s_lit if s_lit is not None else float(raw)
+        # partition-value pruning first (exact)
+        if col in file_entry["partition"]:
+            pv: object = file_entry["partition"][col]
+            if s_lit is None:
+                pv = float(pv)
+            return not _cmp_holds(pv, op, lit, pv, pv)
+        st = file_entry["stats"].get(col)
+        if not st:
+            return False
+        mn, mx = st
+        if s_lit is None and isinstance(mn, (int, float)):
+            return not _cmp_holds(None, op, lit, float(mn), float(mx))
+        if s_lit is not None and isinstance(mn, str):
+            return not _cmp_holds(None, op, lit, mn, mx)
+        return False
+
+    # ---------- metadata tables (C6) ----------
+
+    def snapshots(self, name: str) -> DataFrame:
+        """Iceberg's ``<table>.snapshots`` metadata table."""
+        meta = self._load_meta(name)
+        rows = [
+            (
+                s["snapshot_id"],
+                s["parent_id"],
+                s["timestamp_ms"],
+                s["operation"],
+                s["summary"]["total-records"],
+                len(s["manifest"]),
+            )
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_id bigint, timestamp_ms bigint, "
+            "operation string, total_records bigint, n_files bigint",
+        )
+
+    def files(self, name: str, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Iceberg's ``<table>.files`` metadata table (current snapshot)."""
+        meta = self._load_meta(name)
+        snap = self._snapshot(meta, snapshot_id or meta["current_snapshot_id"])
+        rows = [
+            (f["path"], f["size_bytes"], f["row_count"], json.dumps(f["partition"]))
+            for f in snap["manifest"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, size_bytes bigint, row_count bigint, partition string"
+        )
+
+    def history(self, name: str) -> DataFrame:
+        """Iceberg's ``<table>.history`` — snapshot lineage."""
+        meta = self._load_meta(name)
+        cur = meta["current_snapshot_id"]
+        rows = [
+            (s["timestamp_ms"], s["snapshot_id"], s["parent_id"], s["snapshot_id"] == cur)
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id bigint, parent_id bigint, "
+            "is_current boolean",
+        )
+
+    # ---------- maintenance (C6) ----------
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Drop all but the last ``keep_last`` snapshots; GC unreferenced files."""
+        meta = self._load_meta(name)
+        keep = meta["snapshots"][-keep_last:]
+        expired = meta["snapshots"][:-keep_last]
+        live_paths = {f["path"] for s in keep for f in s["manifest"]}
+        removed = 0
+        for s in expired:
+            for f in s["manifest"]:
+                if f["path"] not in live_paths and os.path.exists(f["path"]):
+                    os.remove(f["path"])
+                    removed += 1
+        meta["snapshots"] = keep
+        self._store_meta(name, meta)
+        # drop now-empty snapshot dirs
+        data_root = os.path.join(self._table_dir(name), "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not any(
+                    fn.endswith(".parquet") for _, _, fs in os.walk(full) for fn in fs
+                ):
+                    shutil.rmtree(full)
+        return removed
+
+    def rewrite_data_files(self, name: str, target_file_mb: int = 128) -> dict:
+        """Bin-packing compaction (Iceberg ``rewrite_data_files``): coalesce
+        the current snapshot's files toward ``target_file_mb`` and commit a
+        new replace snapshot with identical data."""
+        meta = self._load_meta(name)
+        snap = self._snapshot(meta, meta["current_snapshot_id"])
+        total_bytes = sum(f["size_bytes"] for f in snap["manifest"])
+        n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = self.read(name)
+        part_by = meta.get("partition_by")
+        if part_by:
+            # keep partition layout; repartition by the partition column so
+            # each output partition dir gets ~1 file
+            df = df.repartition(n_out, part_by)
+        else:
+            df = df.repartition(n_out)
+        return self.create_or_replace(name, df, partition_by=part_by)
+
+
+def _cmp_holds(_v, op: str, lit, mn, mx) -> bool:
+    """Can any value in [mn, mx] satisfy `value op lit`?"""
+    if op in ("=", "=="):
+        return mn <= lit <= mx
+    if op == "<":
+        return mn < lit
+    if op == "<=":
+        return mn <= lit
+    if op == ">":
+        return mx > lit
+    if op == ">=":
+        return mx >= lit
+    return True
+
+
+# ---------- registered metadata-operation queries (rows-only checks) ----------
+
+from apache_iceberg_demo_spark.registry import register  # noqa: E402
+
+
+def _demo_warehouse(spark: SparkSession, sf_dir: str) -> tuple["Warehouse", str]:
+    """Build a throwaway warehouse with 2 snapshots of lineitem (replace+append)."""
+    import tempfile
+
+    from apache_iceberg_demo_spark.io import load
+
+    tmp = tempfile.mkdtemp(prefix="wh_q_")
+    wh = Warehouse(spark, tmp)
+    li = load(spark, sf_dir, "lineitem").limit(3000)
+    base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
+    wh.create_or_replace("lineitem_v", base.filter(F.col("l_linenumber") <= 4), "ship_day")
+    wh.append("lineitem_v", base.filter(F.col("l_linenumber") > 4))
+    return wh, "lineitem_v"
+
+
+@register("c6_metadata_snapshots")  # rows-only: engine-specific metadata
+def c6_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the ``snapshots`` metadata table after a replace + an append
+    (Iceberg metadata-table surface; reference's system-table query is
+    ``README.md:204-207``)."""
+    wh, t = _demo_warehouse(spark, sf_dir)
+    return wh.snapshots(t).select("snapshot_id", "parent_id", "operation", "total_records")
+
+
+@register("c6_time_travel")  # rows-only
+def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: VERSION-AS-OF time travel — row counts at snapshot 1 vs current."""
+    wh, t = _demo_warehouse(spark, sf_dir)
+    v1 = wh.read(t, snapshot_id=1).count()
+    cur = wh.read(t).count()
+    return spark.createDataFrame(
+        [(1, v1), (2, cur)], "snapshot_id bigint, n_rows bigint"
+    )
+
+
+@register("c6_compaction_rewrite")  # rows-only
+def c6_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: rewrite_data_files compaction + expire_snapshots GC — data
+    identical before/after, file count reduced, expired files removed."""
+    wh, t = _demo_warehouse(spark, sf_dir)
+    before_files = wh.files(t).count()
+    before_rows = wh.read(t).count()
+    wh.rewrite_data_files(t, target_file_mb=128)
+    expired = wh.expire_snapshots(t, keep_last=1)
+    after_files = wh.files(t).count()
+    after_rows = wh.read(t).count()
+    return spark.createDataFrame(
+        [(before_files, after_files, before_rows, after_rows, expired, after_rows == before_rows)],
+        "files_before bigint, files_after bigint, rows_before bigint, "
+        "rows_after bigint, files_expired bigint, data_identical boolean",
+    )
+
+
+@register("c6_file_skipping")  # rows-only
+def c6_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: manifest min/max file skipping — a selective predicate scans fewer
+    files than the full manifest (the Presto 6.55 MB-of-2 GB effect,
+    reference ``README.md:162``)."""
+    wh, t = _demo_warehouse(spark, sf_dir)
+    meta = wh._load_meta(t)
+    snap = wh._snapshot(meta, meta["current_snapshot_id"])
+    total = len(snap["manifest"])
+    first_month = snap["manifest"][0]["partition"]["ship_day"]
+    pred = f"ship_day = '{first_month}'"
+    kept = [f for f in snap["manifest"] if not wh._can_skip(f, pred)]
+    pruned_rows = wh.read(t, where=pred).count()
+    full_rows = wh.read(t).filter(pred).count()
+    return spark.createDataFrame(
+        [(total, len(kept), pruned_rows, full_rows, pruned_rows == full_rows)],
+        "manifest_files bigint, files_after_skip bigint, rows_pruned_read bigint, "
+        "rows_full_read bigint, results_match boolean",
+    )

@@ -1,0 +1,97 @@
+"""Warehouse semantics: snapshots, time travel, compaction, expiry, skipping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _lineitem(spark):
+    return (
+        load(spark, SF, "lineitem")
+        .limit(1000)
+        .withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
+    )
+
+
+def test_replace_then_append_time_travel(spark, wh):
+    li = _lineitem(spark)
+    first = li.filter(F.col("l_linenumber") == 1)
+    rest = li.filter(F.col("l_linenumber") != 1)
+
+    s1 = wh.create_or_replace("t", first, partition_by="ship_day")
+    assert s1["snapshot_id"] == 1
+    n1 = wh.read("t").count()
+    assert n1 == first.count()
+
+    s2 = wh.append("t", rest)
+    assert s2["parent_id"] == 1
+    assert wh.read("t").count() == li.count()
+    # time travel back to v1
+    assert wh.read("t", snapshot_id=1).count() == n1
+    # as-of timestamp travel
+    assert wh.read("t", as_of_ms=s1["timestamp_ms"]).count() == n1
+
+
+def test_schema_wins_on_replace(spark, wh):
+    """The reference's replace-wins quirk (SURVEY.md §1.3) made explicit."""
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li.select("l_orderkey", "ship_day"), partition_by="ship_day")
+    wh.create_or_replace("t", li.select("l_orderkey", "l_quantity"))  # new schema
+    got = wh.read("t")
+    assert set(got.columns) == {"l_orderkey", "l_quantity"}
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, wh):
+    li = _lineitem(spark).repartition(8)
+    wh.create_or_replace("t", li)
+    before = wh.files("t").count()
+    total_before = wh.read("t").agg(F.sum("l_orderkey")).collect()[0][0]
+    wh.rewrite_data_files("t", target_file_mb=512)
+    after = wh.files("t").count()
+    total_after = wh.read("t").agg(F.sum("l_orderkey")).collect()[0][0]
+    assert total_after == total_before
+    assert after <= before
+
+
+def test_expire_snapshots_gc(spark, wh):
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li.limit(100))
+    wh.create_or_replace("t", li.limit(200))
+    old_files = [f["path"] for f in wh._snapshot(wh._load_meta("t"), 1)["manifest"]]
+    removed = wh.expire_snapshots("t", keep_last=1)
+    assert removed == len([p for p in old_files])
+    assert all(not os.path.exists(p) for p in old_files)
+    assert wh.read("t").count() == 200
+    with pytest.raises(KeyError):
+        wh.read("t", snapshot_id=1)
+
+
+def test_file_skipping_correctness(spark, wh):
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li, partition_by="ship_day")
+    meta = wh._load_meta("t")
+    month = meta["snapshots"][-1]["manifest"][0]["partition"]["ship_day"]
+    pred = f"ship_day = '{month}'"
+    pruned = wh.read("t", where=pred)
+    full = wh.read("t").filter(pred)
+    assert pruned.count() == full.count() > 0
+    # stats-based skipping on a data column min/max
+    kept = [
+        f
+        for f in meta["snapshots"][-1]["manifest"]
+        if not wh._can_skip(f, "l_orderkey < -1")
+    ]
+    assert kept == []  # impossible predicate skips every file
