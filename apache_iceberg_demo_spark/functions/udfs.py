@@ -1,0 +1,178 @@
+"""UDF surface (SURVEY.md §2 B10) — the Python escape hatch, used correctly.
+
+Demonstrates every UDF tier with its cost model stated, oracle-paired where
+the semantics are SQL-expressible so even the Python paths get value-hash
+verification:
+
+- scalar `@pandas_udf` (Arrow-vectorized Series→Series) — the default
+  Python path, ~10-100× faster than row-at-a-time
+- grouped-agg `@pandas_udf` (Series→scalar) — vectorized custom aggregates
+- `applyInPandas` (grouped map) — per-group pandas frames, for logic that
+  genuinely needs the whole group
+- `mapInPandas` (partition batch iterator) — custom scans/decoders
+- row-at-a-time `F.udf` — included deliberately as the anti-pattern tier,
+  pinned to a 25-row dimension table
+
+At 100 TB: the pandas tiers stream Arrow batches per partition (never
+driver-side); `applyInPandas` requires the whole group in memory — callers
+must bound group size (documented per operator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    return ext * (1.0 - disc) * (1.0 + tax)
+
+
+@register(
+    "b10_pandas_udf_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net
+        FROM lineitem
+        WHERE l_linenumber = 2
+    """,
+)
+def b10_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: scalar pandas UDF (Arrow batches; float64 math matches SQL)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_net_price("l_extendedprice", "l_discount", "l_tax"), 6).alias("net"),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _median(v: pd.Series) -> float:
+    return float(v.median())
+
+
+@register(
+    "b10_grouped_agg_median",
+    oracle="""
+        SELECT lang, round(median(n_chars), 6) AS median_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def b10_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: grouped-aggregate pandas UDF — exact median per group (pandas
+    linear interpolation == DuckDB median for even counts)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(_median("n_chars"), 6).alias("median_chars")
+    )
+
+
+@register(
+    "b10_apply_in_pandas_zscore",
+    oracle="""
+        SELECT doc_id, lang,
+               round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                     / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+        FROM documents
+    """,
+)
+def b10_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: grouped-map `applyInPandas` — per-lang z-score normalization.
+
+    Group = one language (bounded cardinality ⇒ bounded group memory). The
+    same result is SQL-expressible (window funcs), which is exactly why it's
+    chosen: the Python path gets full oracle verification.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": ((pdf["n_chars"] - mu) / sd).round(6),
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(zscore, schema="doc_id bigint, lang string, z double")
+
+
+@register(
+    "b10_map_in_pandas_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+    """,
+)
+def b10_map_in_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: `mapInPandas` partition-batch iterator — vectorized tokenize."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                    "n_chars_actual": pdf["text"].str.len().astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        count_tokens, schema="doc_id bigint, n_tokens bigint, n_chars_actual bigint"
+    )
+
+
+@register(
+    "b10_python_udf_rowwise",
+    oracle="""
+        SELECT n_nationkey, n_name,
+               concat(upper(substr(n_name, 1, 1)), lower(substr(n_name, 2))) AS title_name
+        FROM nation
+    """,
+)
+def b10_python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: row-at-a-time Python UDF — THE ANTI-PATTERN TIER (per-row serde,
+    no vectorization, ~100× slower than built-ins). Deliberately confined to
+    the 25-row nation dim; at scale this same logic is `F.initcap`."""
+
+    @F.udf(T.StringType())
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:].lower() if s else s
+
+    n = load(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name", title_case("n_name").alias("title_name"))
+
+
+@register("b10_udtf_explode_bigrams")  # rows-only: UDTF-style 1→N expansion
+def b10_udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: table-function surface — 1 row → N rows via mapInPandas yielding
+    expanded frames (word bigrams per document)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+
+    def bigrams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_bgs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                for i in range(len(words) - 1):
+                    out_ids.append(doc_id)
+                    out_bgs.append(f"{words[i]} {words[i + 1]}")
+            yield pd.DataFrame({"doc_id": out_ids, "bigram": out_bgs})
+
+    return d.mapInPandas(bigrams, schema="doc_id bigint, bigram string")

@@ -1,1 +1,145 @@
-"""Placeholder — filled in a later milestone."""
+"""As-of join + gap sessionization (SURVEY.md §2 custom-operator surface).
+
+Spark has no native AS-OF join; the scalable composition here is the
+**union-and-carry** pattern: tag both sides, union, sort within the
+partition key by (ts, side-priority), and carry the last quote value forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding window. One
+shuffle on the partition key, no per-group Python, no nested-loop — this is
+the 100 TB form (the `pd.merge_asof`-per-group alternative ships whole
+groups through Arrow and dies on a hot key).
+
+Sessionization is the lag-gap-cumsum composition: flag gaps > threshold,
+running-sum the flags → session ids. Same single-shuffle shape.
+
+Both are oracle-paired: DuckDB has a native ASOF JOIN, and the session SQL
+is plain window functions — so these non-trivial compositions get full
+value-hash verification, not just rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key. Union-and-carry
+    implementation (one shuffle on ``on``)."""
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rhs = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    for c in set(lhs.columns) - set(rhs.columns):
+        if c not in ("_side", "_ts"):
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in set(rhs.columns) - set(lhs.columns):
+        lhs = lhs.withColumn(c, F.lit(None))
+    merged = lhs.unionByName(rhs.select(*lhs.columns))
+    # quotes (side 0) sort before trades (side 1) at equal ts ⇒ `<=` semantics
+    w = (
+        W.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols]
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side", "_ts", *value_cols)
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+        WITH quotes AS (
+            SELECT user_id, ts, max_by(value, event_id) AS quote_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ),
+        trades AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT t.event_id, t.user_id,
+               round(t.value, 6) AS trade_value,
+               round(q.quote_value, 6) AS last_view_value
+        FROM trades t ASOF LEFT JOIN quotes q
+          ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF: each purchase joined to the user's most recent view at-or-before
+    it (the trades/quotes shape). Views are first uniqued per (user, ts) so
+    the as-of match is well-defined on both engines."""
+    ev = load(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("quote_value"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts", value_cols=["quote_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("trade_value"),
+        F.round("asof_quote_value", 6).alias("last_view_value"),
+    )
+
+
+@register(
+    "sessionize_gap30m",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               round(sum(value), 6) AS session_value,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + running sum
+    (one shuffle on user_id; both window passes share the partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer-microsecond gap math — events carry sub-second precision,
+    # so second-truncating casts would mis-place session boundaries
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) <= 1800 * 1_000_000, 0).otherwise(1),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+    )

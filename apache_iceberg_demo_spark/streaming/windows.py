@@ -1,1 +1,174 @@
-"""Placeholder — filled in a later milestone."""
+"""Streaming operators (SURVEY.md §2 B9) — Structured Streaming over `events`.
+
+The reference has no streams; the driver's `events` table is the replay
+fixture. Key Spark property exploited for verification: `F.window` /
+`F.session_window` produce *identical results in batch and streaming* (same
+expression, same semantics), so each operator registers its batch form for
+DuckDB-oracle parity while `tests/test_streaming.py` executes the *same
+transformations* through `readStream` → memory sink and asserts equality
+with the batch result. Watermarking, late-data drop, streaming dedup, and
+stateful `applyInPandasWithState` run in the tests (they require an actual
+streaming query).
+
+Scale notes: tumbling/sliding window aggs are partial-aggregated per
+micro-batch with keyed state (window, key) — state size is bounded by
+watermark horizon × key cardinality, not stream length. `session_window`
+merges per-key sessions in the state store; the 30-minute gap bounds state
+retention the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b9_tumbling_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def b9_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: 1-day tumbling window counts per event type (batch form of the
+    streaming agg; epoch-aligned on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "b9_sliding_window",
+    oracle="""
+        WITH slid AS (
+            SELECT unnest([time_bucket(INTERVAL 1 DAY, ts),
+                           time_bucket(INTERVAL 1 DAY, ts) - INTERVAL 1 DAY]) AS ws,
+                   ts, value
+            FROM events
+        )
+        SELECT ws AS window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM slid
+        WHERE ts >= ws AND ts < ws + INTERVAL 2 DAY
+        GROUP BY ws
+    """,
+)
+def b9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: 2-day window sliding by 1 day — each event lands in 2 windows
+    (Spark expands rows exactly like the oracle's unnest-then-filter)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "b9_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+)
+def b9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: `F.session_window(ts, '30 minutes')` — native session windows.
+    Session end = last event + gap (Spark's definition; oracle mirrors it).
+    Ties at identical (user, ts) merge into one session on both engines."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def event_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay streaming source over `events` (explicit schema; the file
+    source requires a directory, so the parquet file is linked into one)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "10 minutes"):
+    """The genuine streaming pipeline used by tests: file-replay source →
+    watermark → tumbling agg. Returns (query, sink_table_name)."""
+    import tempfile
+    import uuid
+
+    src = event_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", gap)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    return q, name

@@ -25,9 +25,11 @@ HEADLINE = [
 # widened per milestone as operators land
 EXTRA = [
     "b3_join_star_revenue",
-    "b5_window_topk_per_group",
+    "b5_row_number_topk",
+    "sessionize_gap30m",
     "c1_dedup_exact_docs",
     "c3_cosine_topk",
+    "c5_token_frequencies",
 ]
 
 

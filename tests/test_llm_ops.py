@@ -1,0 +1,93 @@
+"""Property tests for the LLM-pipeline operators (SURVEY.md §5: dedup output
+≤ input, exact-dup recall = 1.0, cosine top-1 of a vector is itself)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.operators.dedup import (
+    band_keys,
+    minhash_signature,
+    shingles,
+)
+from apache_iceberg_demo_spark.operators.similarity import cosine
+from apache_iceberg_demo_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_recall_on_planted_dups(spark):
+    """Planting exact copies: every copy collapses onto its original."""
+    d = load(spark, SF, "documents").select("doc_id", "text").limit(100)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    dd = doubled.groupBy(F.md5("text").alias("k")).agg(F.count("*").alias("n"))
+    rows = dd.collect()
+    assert len(rows) == 100  # one group per original
+    assert all(r.n == 2 for r in rows)  # recall 1.0: every copy found
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    d = load(spark, SF, "documents").limit(50)
+    sig = d.select(
+        "doc_id", band_keys(minhash_signature(shingles(F.col("text")))).alias("bands")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    # identical text ⇒ identical signature ⇒ identical band keys
+    same = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .select((F.col("a.bands") == F.col("b.bands")).alias("eq"))
+        .collect()
+    )
+    assert all(r.eq for r in same)
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    out = registry.QUERIES["c2_minhash_lsh_neardup"](spark, SF)
+    pairs = out.filter(
+        (F.col("doc_b") - F.col("doc_a")) == 1_000_000_000
+    ).count()
+    total_planted = load(spark, SF, "documents").count()
+    # banded LSH at (32 hashes, 16 bands) should recover the vast majority
+    # of 10%-deletion mutants (shingle-jaccard ≈ 0.6-0.75)
+    assert pairs / total_planted >= 0.8
+
+
+def test_cosine_top1_is_self(spark):
+    e = load(spark, SF, "embeddings")
+    qv = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    top = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top.vec_id == e.agg(F.min("vec_id")).collect()[0][0]
+    assert abs(top.sim - 1.0) < 1e-6
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = {
+        r.vec_id for r in registry.QUERIES["c3_cosine_topk"](spark, SF).collect()
+    }
+    approx = {
+        r.vec_id for r in registry.QUERIES["c3_ann_lsh_topk"](spark, SF).collect()
+    }
+    # query vector itself always survives banding; demand meaningful overlap
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall too low: {recall}"
+
+
+def test_dedup_output_not_larger_than_input(spark):
+    d = load(spark, SF, "documents")
+    out = registry.QUERIES["c1_dedup_exact_docs"](spark, SF)
+    assert out.count() <= d.count()
+
+
+def test_quality_score_bounded(spark):
+    rows = registry.QUERIES["c5_quality_score"](spark, SF).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)

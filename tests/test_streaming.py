@@ -1,0 +1,157 @@
+"""B9: genuine Structured Streaming runs — batch-equivalence, watermark,
+streaming dedup, stateful processing (SURVEY.md §7 phase 5)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_iceberg_demo_spark import registry
+from apache_iceberg_demo_spark.streaming.windows import streaming_tumbling_counts
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _event_stream(spark, sf_dir=SF):
+    from apache_iceberg_demo_spark.streaming.windows import event_stream_source
+
+    return event_stream_source(spark, sf_dir)
+
+
+def _run_to_memory(df, mode="append"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    q, name = streaming_tumbling_counts(spark, SF)
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in registry.QUERIES["b9_tumbling_window"](spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_streaming_dedup_with_watermark(spark):
+    src = _event_stream(spark)
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    name = _run_to_memory(deduped)
+    n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert n == total  # event_id is unique ⇒ dedup keeps everything
+
+
+def test_streaming_session_window(spark):
+    src = _event_stream(spark)
+    sess = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("s.start").alias("session_start"), "n_events")
+    )
+    name = _run_to_memory(sess, mode="complete")
+    stream_n = spark.sql(f"SELECT sum(n_events) AS t FROM {name}").collect()[0].t
+    assert stream_n == spark.read.parquet(f"{SF}/events.parquet").count()
+    batch_n = registry.QUERIES["b9_session_window"](spark, SF).count()
+    stream_sessions = spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0].c
+    assert stream_sessions == batch_n
+
+
+def test_stateful_apply_in_pandas_with_state(spark):
+    """Custom stateful operator: running per-user event counter."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _event_stream(spark).select("user_id", "event_id")
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id bigint, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(counted, mode="update")
+    got = {
+        (r.user_id, r.n) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.user_id, r.n)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # final state per user matches the batch count
+    final = {}
+    for uid, n in sorted(got):
+        final[uid] = max(n, final.get(uid, 0))
+    assert {(u, n) for u, n in final.items()} == expected
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Feed two micro-batches; rows older than the watermark horizon are
+    dropped from the append-mode windowed aggregate."""
+    d1 = str(tmp_path / "in")
+    schema = "ts timestamp, v double"
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 12:00:00", 1.0)], ["ts_s", "v"]
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v").write.mode(
+        "overwrite"
+    ).parquet(d1)
+
+    src = spark.readStream.schema(schema).parquet(d1)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one in-time row (13:00) and one very late row (09:00, behind
+    # the 12:00-10min watermark) — the late row must not resurrect its window
+    spark.createDataFrame(
+        [("2024-01-01 13:00:00", 1.0), ("2024-01-01 09:00:00", 99.0)], ["ts_s", "v"]
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v").write.mode(
+        "append"
+    ).parquet(d1)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    emitted_windows = {r.w.start.hour for r in rows}
+    assert 9 not in emitted_windows  # late row dropped
