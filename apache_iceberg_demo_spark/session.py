@@ -23,13 +23,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "apache_iceberg_demo_spark") -> SparkSession:
+def sized_shuffle_partitions(input_bytes: int, cpus: int) -> int:
+    """Size shuffle partitions to the workload: ~64 MB of input per shuffle
+    partition, floored at 8 and never below the core count for large inputs.
+    At 100 TB this yields ~1.6M initial partitions, which AQE coalesces after
+    the map stage — the documented sizing rule (spill-aware, §spec)."""
+    per_64mb = input_bytes // (64 * 1024 * 1024)
+    if per_64mb >= cpus:
+        return min(per_64mb, 200_000)
+    return max(8, min(per_64mb, cpus))
+
+
+def get_spark(
+    app_name: str = "apache_iceberg_demo_spark", shuffle_partitions: int | None = None
+) -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

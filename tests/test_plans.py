@@ -1,0 +1,61 @@
+"""Plan-shape assertions (SURVEY.md §4): the optimizations the reference
+observes in its engines must be visible in our Catalyst plans too."""
+
+from __future__ import annotations
+
+from apache_iceberg_demo_spark import registry
+from apache_iceberg_demo_spark.plans.explain import (
+    count_exchanges,
+    has_pushed_filter,
+    join_strategies,
+    pushed_filters,
+    read_schema_columns,
+)
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_reaches_scan(spark):
+    """Reference Q1's effect (6.55 MB of 2 GB, README.md:162) = pushdown."""
+    df = registry.QUERIES["a10_q1_filter_count"](spark, SF)
+    assert has_pushed_filter(df, "EqualTo(l_linenumber,3)"), pushed_filters(df)
+
+
+def test_flagship_prunes_columns(spark):
+    """Only the 7 referenced columns reach the scan (11-column table)."""
+    df = registry.QUERIES["flagship_pricing_summary"](spark, SF)
+    (cols,) = read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """customer/nation/region must hash-join as broadcasts — the fact table
+    never shuffles for dimensions."""
+    df = registry.QUERIES["b3_join_star_revenue"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_flagship_single_agg_shuffle(spark):
+    """Partial→final hash aggregate: exactly one shuffle for the aggregate
+    plus one for the tiny ordered result."""
+    df = registry.QUERIES["flagship_pricing_summary"](spark, SF)
+    assert count_exchanges(df) <= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort."""
+    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+
+    df = registry.QUERIES["b6_topk_limit"](spark, SF)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_semi_join_no_duplicate_blowup(spark):
+    df = registry.QUERIES["b3_join_semi"](spark, SF)
+    plan_joins = join_strategies(df)
+    assert len(plan_joins) == 1  # a single semi join, no extra distinct pass
