@@ -111,10 +111,12 @@ def a12_q3_group_agg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                l_linestatus,
                round(sum(l_quantity), 6)                              AS sum_qty,
-               round(sum(l_extendedprice), 6)                         AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 6)      AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-                                                                      AS sum_charge,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                                                                      AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_charge,
                round(avg(l_quantity), 6)                              AS avg_qty,
                round(avg(l_extendedprice), 6)                         AS avg_price,
                round(avg(l_discount), 6)                              AS avg_disc,
@@ -134,14 +136,20 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums accumulate in exact DECIMAL: float64 addition is
+    # non-associative, and at ~1e9 magnitudes partial-agg merge order would
+    # otherwise flap the 6th decimal across engines/runs (SURVEY.md §5.3)
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = disc_price.cast("decimal(28,10)")
+    charge_dec = (disc_price * (1 + F.col("l_tax"))).cast("decimal(28,10)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round6(F.sum("l_quantity"), "sum_qty"),
-            round6(F.sum("l_extendedprice"), "sum_base_price"),
-            round6(F.sum(disc_price), "sum_disc_price"),
-            round6(F.sum(disc_price * (1 + F.col("l_tax"))), "sum_charge"),
+            round6(F.sum(price_dec).cast("double"), "sum_base_price"),
+            round6(F.sum(disc_dec).cast("double"), "sum_disc_price"),
+            round6(F.sum(charge_dec).cast("double"), "sum_charge"),
             round6(F.avg("l_quantity"), "avg_qty"),
             round6(F.avg("l_extendedprice"), "avg_price"),
             round6(F.avg("l_discount"), "avg_disc"),
@@ -158,7 +166,8 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b4_agg_stats",
     oracle="""
         SELECT l_returnflag,
-               round(sum(l_extendedprice), 6)          AS sum_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                                                       AS sum_price,
                round(min(l_extendedprice), 6)          AS min_price,
                round(max(l_extendedprice), 6)          AS max_price,
                round(stddev_samp(l_extendedprice), 6)  AS sd_price,
@@ -174,7 +183,7 @@ def b4_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            round6(F.sum("l_extendedprice"), "sum_price"),
+            round6(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), "sum_price"),
             round6(F.min("l_extendedprice"), "min_price"),
             round6(F.max("l_extendedprice"), "max_price"),
             round6(F.stddev("l_extendedprice"), "sd_price"),
@@ -304,4 +313,82 @@ def b4_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.sum("o_totalprice"), "spend"),
         )
         .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "b4_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The exact form needs the values per group; the 100 TB
+    form is `b4_percentile_approx` (bounded-memory sketch)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            round6(F.percentile("l_extendedprice", 0.5), "p50"),
+            round6(F.percentile("l_extendedprice", 0.9), "p90"),
+            round6(F.percentile("l_extendedprice", 0.99), "p99"),
+        )
+    )
+
+
+@register("b4_percentile_approx")  # rows-only: sketch internals are engine-specific
+def b4_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: approximate percentiles (KLL-style sketch, constant memory) — the
+    scale path for quantiles; accuracy vs exact asserted in tests."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        )
+    )
+
+
+@register(
+    "b4_salted_skew_agg",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: two-phase salted aggregation for skewed keys — identical result
+    to the plain GROUP BY (the oracle), different shuffle shape.
+
+    Phase 1 groups on (key, salt∈[0,16)) so a hot key spreads over 16
+    reducers; phase 2 merges the 16 partials per key. At 100 TB this is the
+    standard defense when one group holds half the table; on non-skewed data
+    it costs one extra (tiny) shuffle. Salt is derived from the row's PK —
+    deterministic, no RNG.
+
+    Money sums run in DECIMAL(18,2): float64 addition is non-associative, so
+    the salted re-grouping would otherwise drift from the plain GROUP BY in
+    the last ulps; decimal is exact and order-independent (this is also the
+    correct type for money at 100 TB).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    salted = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count("*").alias("pn"), F.sum(price_dec).alias("pt"))
+    )
+    return (
+        salted.groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total"))
     )

@@ -49,7 +49,8 @@ def b3_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b3_join_star_revenue",
     oracle="""
         SELECT r.r_name AS region,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -80,9 +81,16 @@ def b3_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
-                "revenue"
-            ),
+            # exact decimal accumulation — join-shuffle arrival order must not
+            # perturb a ~1e9-magnitude float sum (see flagship note)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -1,0 +1,111 @@
+"""Subquery surface (SURVEY.md §2 B2 extension) — scalar, IN, correlated
+EXISTS, and correlated scalar subqueries through the SQL entry point.
+
+Catalyst de-correlates these into joins (RewriteCorrelatedScalarSubquery /
+RewritePredicateSubquery), so the 100 TB behavior is exactly the join
+section's: semi/anti joins for predicates, aggregated-then-joined scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_iceberg_demo_spark.io import register_views
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b2_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 6) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def b2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: uncorrelated scalar subquery (planned as a broadcast of 1 value)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 6) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+@register(
+    "b2_in_subquery",
+    oracle="""
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%'
+        ) AND l_linenumber <= 2
+    """,
+)
+def b2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: IN subquery — Catalyst rewrites to a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%'
+        ) AND l_linenumber <= 2
+        """
+    )
+
+
+@register(
+    "b2_correlated_exists",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+)
+def b2_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: correlated EXISTS — de-correlated into a semi join on custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "b2_correlated_scalar",
+    oracle="""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT max(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+)
+def b2_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: correlated scalar subquery (max order per customer) — rewritten
+    into an aggregate + join; equivalent to the window top-1 pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT max(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

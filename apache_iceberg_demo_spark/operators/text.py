@@ -247,3 +247,56 @@ def c5_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_hash"
         ),
     )
+
+
+@register(
+    "c5_tfidf_top_terms",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf_counts AS (
+            SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.token,
+                   round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+            FROM tf_counts t JOIN df d ON t.token = d.token CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token) AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def c5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: TF-IDF top-3 terms per document, composed from hash aggregates +
+    one broadcast join (the document-frequency table is tiny relative to the
+    corpus — vocabulary-sized) + a per-doc window top-k.
+
+    Ranking uses the *rounded* score so float last-ulp differences between
+    engines can't flip the top-k cut.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # corpus size: one cheap metadata-ish job, reused as a literal
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )

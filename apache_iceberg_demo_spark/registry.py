@@ -52,13 +52,15 @@ def load_all() -> None:
         filters,
         joins,
         multimodal,
+        reshape,
         setops,
         similarity,
         sorts,
+        subqueries,
         text,
         windows,
     )
     from apache_iceberg_demo_spark import ingest  # noqa: F401
     from apache_iceberg_demo_spark.functions import scalars, udfs  # noqa: F401
-    from apache_iceberg_demo_spark.sources import warehouse  # noqa: F401
+    from apache_iceberg_demo_spark.sources import formats, warehouse  # noqa: F401
     from apache_iceberg_demo_spark.streaming import windows as swindows  # noqa: F401

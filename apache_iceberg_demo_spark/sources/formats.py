@@ -1,0 +1,58 @@
+"""Source-format surface (SURVEY.md §2 B1) beyond the testdata parquet.
+
+The reference's only ingest format is CSV (``csv_to_ice.py:17`` — covered by
+``ingest.py``); a complete engine also reads/writes JSON-lines and
+partitioned parquet. These roundtrips run through temp dirs: write with one
+layout decision, read back, verify by aggregate checksum.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register("b1_json_roundtrip")  # rows-only: the oracle has no view of the temp JSON
+def b1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: JSON-lines sink + schema-declared source (no inference job —
+    explicit schema is the 100 TB rule; inference is a full extra scan)."""
+    tmp = tempfile.mkdtemp(prefix="json_rt_")
+    ev = load(spark, sf_dir, "events").limit(2000)
+    ev.write.mode("overwrite").json(tmp)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total")
+    )
+
+
+@register("b1_partitioned_parquet_roundtrip")  # rows-only
+def b1_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: hive-partitioned parquet write + partition-pruned read — the scan
+    reads only the selected partition directory (partition pruning at the
+    file-listing level, before any footer is opened)."""
+    tmp = tempfile.mkdtemp(prefix="pq_rt_")
+    li = load(spark, sf_dir, "lineitem").limit(5000)
+    li.withColumn("rf", F.col("l_returnflag")).write.mode("overwrite").partitionBy(
+        "rf"
+    ).parquet(tmp)
+    pruned = spark.read.parquet(tmp).filter(F.col("rf") == "A")
+    return pruned.groupBy("rf").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("total")
+    )
