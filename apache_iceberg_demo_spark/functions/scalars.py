@@ -251,3 +251,13 @@ def b8_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM-dd").cast("date").alias("ship_day"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
     )
+
+
+@register(
+    "a15_smoke_literal",
+    oracle="SELECT 'engine is ready!' AS msg, 1 AS one",
+)
+def a15_smoke_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: constant select smoke test — the reference's DuckDB readiness
+    check (``duckdb_check.py:2``, run at ``cli-steps.txt:12``)."""
+    return spark.sql("SELECT 'engine is ready!' AS msg, 1 AS one")

@@ -201,3 +201,56 @@ def c3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "c3_cosine_topk_batch",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[{DIM}]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[{DIM}]), q.qv), 6) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def c3_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: batched top-k — k neighbors for MANY query vectors in one job
+    (the production serving shape: query batch broadcast against the corpus
+    scan, per-query top-k via window rank over the rounded score).
+
+    Plan: corpus scan × broadcast(queries) → score (JVM fold) → per-query
+    window top-k. One shuffle (on query_id for the rank); the corpus is
+    never shuffled. Self-matches are excluded.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "sim", "rk")
+    )

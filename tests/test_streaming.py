@@ -155,3 +155,33 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     emitted_windows = {r.w.start.hour for r in rows}
     assert 9 not in emitted_windows  # late row dropped
+
+
+def test_foreach_batch_sink_to_warehouse(spark, tmp_path):
+    """B9: exactly-once-style sink — each micro-batch appends a snapshot to
+    the versioned warehouse table via foreachBatch (the Iceberg-sink shape)."""
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _event_stream(spark).select("event_id", "user_id", "event_type", "value")
+
+    state = {"first": True}
+
+    def sink(batch_df, epoch_id):
+        if state["first"]:
+            wh.create_or_replace("events_sink", batch_df)
+            state["first"] = False
+        else:
+            wh.append("events_sink", batch_df)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert wh.read("events_sink").count() == total
+    assert wh.snapshots("events_sink").count() >= 1

@@ -95,3 +95,31 @@ def test_file_skipping_correctness(spark, wh):
         if not wh._can_skip(f, "l_orderkey < -1")
     ]
     assert kept == []  # impossible predicate skips every file
+
+
+def test_merge_into_semantics(spark, wh):
+    """MERGE INTO: updates replace, inserts append, untouched rows survive,
+    and the pre-merge snapshot remains time-travelable."""
+    li = _lineitem(spark)
+    base = li.filter(F.col("l_linenumber") <= 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    wh.create_or_replace("t", base)
+    n_base = base.count()
+
+    changes = (
+        li.filter(F.col("l_linenumber").isin(3, 4))
+        .select("l_orderkey", "l_linenumber")
+        .withColumn("l_quantity", F.lit(-1.0))
+    )
+    wh.merge_into("t", changes, on=["l_orderkey", "l_linenumber"])
+
+    merged = wh.read("t")
+    n3 = li.filter(F.col("l_linenumber") == 3).count()
+    n4 = li.filter(F.col("l_linenumber") == 4).count()
+    assert merged.count() == n_base + n4  # inserts added, updates in place
+    assert merged.filter(F.col("l_quantity") == -1.0).count() == n3 + n4
+    # untouched rows unchanged
+    assert merged.filter((F.col("l_linenumber") <= 2) & (F.col("l_quantity") == -1.0)).count() == 0
+    # pre-merge state still reachable
+    assert wh.read("t", snapshot_id=1).filter(F.col("l_quantity") == -1.0).count() == 0
