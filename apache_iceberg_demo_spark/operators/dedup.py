@@ -63,19 +63,22 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column) -> Column:
-    """k minhashes over the shingle set: min_i((a*h32(s)+b) mod P)."""
+def hashed_shingles(shingle_col: Column) -> Column:
+    """Hash each shingle string ONCE to a 32-bit value; the k minhash
+    functions then run on integers (32 string-hash passes would dominate)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(2**32)))
 
-    def h32(s: Column) -> Column:
-        return F.pmod(F.xxhash64(s), F.lit(2**32))
+
+def minhash_signature(hashed_col: Column) -> Column:
+    """k minhashes over pre-hashed shingles: min_i((a*h + b) mod P)."""
 
     def hasher(a: int, b: int):
         # closure factory: a 1-arg lambda (PySpark counts default args as
         # lambda-variable slots, so `lambda s, a=a: ...` would fail analysis)
-        return lambda s: (F.lit(a) * h32(s) + F.lit(b)) % _P
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
 
     return F.array(
-        *[F.array_min(F.transform(shingle_col, hasher(a, b))) for a, b in _FAMILY]
+        *[F.array_min(F.transform(hashed_col, hasher(a, b))) for a, b in _FAMILY]
     )
 
 
@@ -165,35 +168,40 @@ def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified against planted near-dups (10% word deletion ⇒ jaccard ≈ 0.7).
     """
     docs = _with_planted_neardups(load(spark, sf_dir, "documents"))
-    sig = (
-        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh")))
-        .withColumn("bands", band_keys(F.col("sig")))
+    # hashed shingle sets, computed ONCE and cached: reused by the two sides
+    # of the band join and the verification joins (without the cache, Spark
+    # re-derives the whole shingle+hash pipeline for every self-join branch)
+    hs = (
+        docs.select("doc_id", hashed_shingles(shingles(F.col("text"))).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .cache()
     )
-    exploded = sig.select(
-        "doc_id", "sh", F.posexplode("bands").alias("band_idx", "bucket")
+    bands = hs.select(
+        "doc_id",
+        F.posexplode(band_keys(minhash_signature(F.col("hs")))).alias(
+            "band_idx", "bucket"
+        ),
     )
-    left = exploded.alias("a")
-    right = exploded.alias("b")
-    candidates = (
-        left.join(
-            right,
+    # candidate ids only — the shingle arrays never enter the band shuffle
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_ids = (
+        a.join(
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # exact-Jaccard verification: join shingle sets back for candidates only
+    pairs = (
+        cand_ids.join(hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+    )
+    jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(F.array_union("hs_a", "hs_b"))
     return (
-        candidates.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -191,7 +191,9 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(chars, (i + 1).cast("int")), F.element_at(chars, (i + 2).cast("int"))
         ),
     )
-    db = d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    # cached: the exploded bigrams feed BOTH the profile pass and the
+    # classify pass — without the cache the explode pipeline runs twice
+    db = d.select("doc_id", "lang", F.explode(bigrams).alias("bg")).cache()
     profile = (
         db.groupBy("lang", "bg")
         .agg(F.count("*").alias("freq"))

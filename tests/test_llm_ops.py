@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from apache_iceberg_demo_spark.io import load
 from apache_iceberg_demo_spark.operators.dedup import (
     band_keys,
+    hashed_shingles,
     minhash_signature,
     shingles,
 )
@@ -32,7 +33,10 @@ def test_exact_dedup_recall_on_planted_dups(spark):
 def test_minhash_identical_docs_share_all_bands(spark):
     d = load(spark, SF, "documents").limit(50)
     sig = d.select(
-        "doc_id", band_keys(minhash_signature(shingles(F.col("text")))).alias("bands")
+        "doc_id",
+        band_keys(minhash_signature(hashed_shingles(shingles(F.col("text"))))).alias(
+            "bands"
+        ),
     )
     a = sig.alias("a")
     b = sig.alias("b")
