@@ -259,3 +259,58 @@ def b3_join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(o, cond).select(
         "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
     )
+
+
+@register(
+    "b3_join_bucketed_colocated",
+    oracle="""
+        SELECT l.l_orderkey, count(*) AS n_lines,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS order_value,
+               max(o.o_orderstatus) AS status
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber <= 4
+        GROUP BY l.l_orderkey
+    """,
+)
+def b3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: bucketed co-located fact-fact join — both tables bucketed on the
+    join key at write time, so the join (and the follow-on groupBy on the
+    same key) runs with ZERO shuffle exchanges on the fact data.
+
+    This is THE technique for repeated 100 TB fact-fact joins: pay the
+    bucketing shuffle once at ingest, never again per query. The oracle is
+    the plain join (bucketing must not change results). Bucket tables are
+    (re)materialized in a session-scoped warehouse dir.
+    """
+    import tempfile
+
+    db_tag = "bucketed_demo"
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    o = load(spark, sf_dir, "orders")
+    li_t, o_t = f"{db_tag}_lineitem", f"{db_tag}_orders"
+    wh_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
+    for name, df, key in ((li_t, li, "l_orderkey"), (o_t, o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{wh_dir}/{name}")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    lb = spark.table(li_t)
+    ob = spark.table(o_t)
+    # pin sort-merge: at toy scale Catalyst would pick broadcast and hide the
+    # point — with matching bucket specs, SMJ needs NO exchange on either side
+    return (
+        lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("order_value"),
+            F.max("o_orderstatus").alias("status"),
+        )
+    )

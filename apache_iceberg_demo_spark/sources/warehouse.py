@@ -172,12 +172,51 @@ class Warehouse:
         writer.parquet(data_dir)
         return data_dir
 
+    #: Iceberg-style hidden partition transforms (public Iceberg spec names):
+    #: the table tracks `(transform, source_col)`; writers derive the partition
+    #: value automatically and readers prune on it without the user ever
+    #: selecting or maintaining the derived column (SURVEY.md §1.5 "hidden
+    #: partitioning days(ts) preferred").
+    TRANSFORMS = {
+        "identity": lambda c: F.col(c),
+        "days": lambda c: F.date_format(F.col(c), "yyyy-MM-dd"),
+        "months": lambda c: F.date_format(F.col(c), "yyyy-MM"),
+        "years": lambda c: F.date_format(F.col(c), "yyyy"),
+        "hours": lambda c: F.date_format(F.col(c), "yyyy-MM-dd-HH"),
+    }
+
+    @classmethod
+    def _apply_transform(cls, df: DataFrame, spec: str) -> tuple[DataFrame, str]:
+        """Resolve 'days(ts)' / 'bucket(16, id)' / plain column specs to a
+        materialized partition column; returns (df, partition_col_name)."""
+        spec = spec.strip()
+        if "(" not in spec:
+            return df, spec
+        fn, arg = spec.split("(", 1)
+        arg = arg.rstrip(")").strip()
+        fn = fn.strip()
+        if fn == "bucket":
+            n, col = [a.strip() for a in arg.split(",")]
+            pcol = f"{col}_bucket"
+            return df.withColumn(pcol, F.pmod(F.xxhash64(col), F.lit(int(n)))), pcol
+        if fn in cls.TRANSFORMS:
+            pcol = f"{arg}_{fn}"
+            return df.withColumn(pcol, cls.TRANSFORMS[fn](arg)), pcol
+        raise ValueError(f"unknown partition transform {spec!r}")
+
     def create_or_replace(self, name: str, df: DataFrame, partition_by: Optional[str] = None) -> dict:
         """A5/A6: ``writeTo(t).partitionedBy(c).createOrReplace()`` semantics.
+
+        ``partition_by`` accepts a plain column or an Iceberg-style hidden
+        transform — ``days(ts)``, ``months(ts)``, ``years(ts)``, ``hours(ts)``,
+        ``bucket(16, key)`` — derived at write time and recorded in metadata.
 
         The committed schema is the DataFrame's schema (the reference's
         replace-wins behavior, SURVEY.md §1.3), made explicit here.
         """
+        spec = partition_by
+        if partition_by is not None:
+            df, partition_by = self._apply_transform(df, partition_by)
         os.makedirs(self._table_dir(name), exist_ok=True)
         exists = os.path.exists(self._meta_path(name))
         meta = self._load_meta(name) if exists else None
@@ -190,11 +229,19 @@ class Warehouse:
         snap = self._commit(
             name, "replace", files, df.schema.json(), partition_by, parent, meta
         )
+        meta = self._load_meta(name)
+        meta["partition_spec"] = spec
+        self._store_meta(name, meta)
         return snap
 
     def append(self, name: str, df: DataFrame) -> dict:
-        """Snapshot-append: new files + previous snapshot's files stay live."""
+        """Snapshot-append: new files + previous snapshot's files stay live.
+        Hidden-partition transforms recorded at create time are re-applied to
+        the incoming batch (the writer, not the user, owns the derivation)."""
         meta = self._load_meta(name)
+        spec = meta.get("partition_spec")
+        if spec and meta.get("partition_by") not in df.columns:
+            df, _ = self._apply_transform(df, spec)
         parent = meta["current_snapshot_id"]
         prev = self._snapshot(meta, parent)
         tag = f"snap-{parent + 1:05d}"

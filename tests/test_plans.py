@@ -59,3 +59,11 @@ def test_semi_join_no_duplicate_blowup(spark):
     df = registry.QUERIES["b3_join_semi"](spark, SF)
     plan_joins = join_strategies(df)
     assert len(plan_joins) == 1  # a single semi join, no extra distinct pass
+
+
+def test_bucketed_join_zero_exchanges(spark):
+    """Bucketed co-located fact-fact join: SMJ with no shuffle exchanges —
+    pay the bucketing shuffle at write time, never per query."""
+    df = registry.QUERIES["b3_join_bucketed_colocated"](spark, SF)
+    assert set(join_strategies(df)) == {"SortMergeJoin"}
+    assert count_exchanges(df) == 0

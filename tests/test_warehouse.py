@@ -123,3 +123,26 @@ def test_merge_into_semantics(spark, wh):
     assert merged.filter((F.col("l_linenumber") <= 2) & (F.col("l_quantity") == -1.0)).count() == 0
     # pre-merge state still reachable
     assert wh.read("t", snapshot_id=1).filter(F.col("l_quantity") == -1.0).count() == 0
+
+
+def test_hidden_partitioning_transforms(spark, wh):
+    """Iceberg-style hidden partitioning: days(ts)/months(ts)/bucket(n,col)
+    derived by the writer, pruned on read, re-derived on append."""
+    li = load(spark, SF, "lineitem").limit(800)
+    wh.create_or_replace("t", li.limit(400), partition_by="months(l_shipdate)")
+    # writer derived the partition column; user never supplied it
+    assert "l_shipdate_months" in wh.read("t").columns
+    # append a batch WITHOUT the derived column — writer re-derives
+    wh.append("t", li.offset(400) if hasattr(li, "offset") else li.subtract(li.limit(400)))
+    assert wh.read("t").count() == 800
+    # partition pruning on the hidden column
+    meta = wh._load_meta("t")
+    month = meta["snapshots"][-1]["manifest"][0]["partition"]["l_shipdate_months"]
+    pred = f"l_shipdate_months = '{month}'"
+    assert wh.read("t", where=pred).count() == wh.read("t").filter(pred).count() > 0
+
+    # bucket transform
+    wh.create_or_replace("tb", li, partition_by="bucket(8, l_orderkey)")
+    parts = {f["partition"]["l_orderkey_bucket"]
+             for f in wh._load_meta("tb")["snapshots"][-1]["manifest"]}
+    assert len(parts) <= 8 and len(parts) > 1
