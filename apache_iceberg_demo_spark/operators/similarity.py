@@ -254,3 +254,70 @@ def c3_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "vec_id", "sim", "rk")
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@register("c3_ann_ivf_topk")  # rows-only: centroid assignment isn't ANSI SQL
+def c3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: IVF (inverted-file) ANN — partition the corpus into K centroid
+    cells, probe only the closest P cells at query time, exact re-rank inside.
+
+    Spark-first IVF without a training job: centroids are K deterministic
+    corpus vectors (every (n/K)-th by vec_id — reproducible, no k-means RNG);
+    assignment is one broadcast-join pass (corpus never shuffles); the cell
+    index is then a *partitioned* table in production, so a query touches
+    P/K of the data (partition pruning on `cell`). Recall vs the exact top-k
+    is asserted in tests; raise N_PROBE to trade cost for recall.
+    """
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    step = max(1, n // N_CENTROIDS)
+    centroids = (
+        e.withColumn(
+            "rn", F.row_number().over(W.orderBy("vec_id"))
+        )
+        .filter((F.col("rn") - 1) % step == 0)
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("rn").alias("cell"), F.col("embedding").alias("cv")
+        )
+    )
+    # assign every vector to its nearest centroid (one broadcast pass)
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine(F.col("embedding"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+    # query = min-vec_id vector; probe its N_PROBE closest cells
+    qv = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(qv))
+        .withColumn("d", cosine(F.col("cv"), F.col("qv")))
+        .orderBy(F.desc("d"), F.asc("cell"))
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cands = assigned.join(F.broadcast(probe_cells), "cell")
+    return (
+        cands.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )

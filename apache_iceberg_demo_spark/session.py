@@ -28,10 +28,9 @@ def sized_shuffle_partitions(input_bytes: int, cpus: int) -> int:
     partition, floored at 8 and never below the core count for large inputs.
     At 100 TB this yields ~1.6M initial partitions, which AQE coalesces after
     the map stage — the documented sizing rule (spill-aware, §spec)."""
+    del cpus  # parallelism floor is the 8-partition minimum, not core count
     per_64mb = input_bytes // (64 * 1024 * 1024)
-    if per_64mb >= cpus:
-        return min(per_64mb, 200_000)
-    return max(8, min(per_64mb, cpus))
+    return max(8, min(per_64mb, 200_000))
 
 
 def get_spark(

@@ -95,3 +95,11 @@ def test_dedup_output_not_larger_than_input(spark):
 def test_quality_score_bounded(spark):
     rows = registry.QUERIES["c5_quality_score"](spark, SF).collect()
     assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = {r.vec_id for r in registry.QUERIES["c3_cosine_topk"](spark, SF).collect()}
+    ivf = {r.vec_id for r in registry.QUERIES["c3_ann_ivf_topk"](spark, SF).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert min(ivf, key=lambda v: v) is not None

@@ -1,0 +1,98 @@
+"""Hypothesis property tests for the pure-Python engine components
+(SURVEY.md §5: property tests alongside the oracle harness).
+
+These run without a SparkSession, so hypothesis can afford hundreds of
+examples: manifest pruning soundness (a skipped file can never contain a
+matching row) and canonicalization stability for the oracle comparator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from apache_iceberg_demo_spark.sources.warehouse import Warehouse, _cmp_holds
+from apache_iceberg_demo_spark.session import sized_shuffle_partitions
+from tests.oracle_utils import _norm_cell, canonical
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@given(
+    mn=finite,
+    width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    value=finite,
+    lit=finite,
+    op=st.sampled_from(["<", "<=", ">", ">=", "=", "=="]),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_skip_is_sound(mn, width, value, lit, op):
+    """If a value inside [mn, mx] satisfies the predicate, the file must NOT
+    be skippable — pruning may only drop files that cannot match."""
+    mx = mn + width
+    value = min(max(value, mn), mx)  # clamp into the file's range
+    holds = {
+        "<": value < lit,
+        "<=": value <= lit,
+        ">": value > lit,
+        ">=": value >= lit,
+        "=": value == lit,
+        "==": value == lit,
+    }[op]
+    entry = {"partition": {}, "stats": {"c": [mn, mx]}}
+    if holds:
+        assert not Warehouse._can_skip(entry, f"c {op} {lit}")
+
+
+@given(
+    mn=finite,
+    width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    lit=finite,
+    op=st.sampled_from(["<", "<=", ">", ">=", "=", "=="]),
+)
+@settings(max_examples=300, deadline=None)
+def test_cmp_holds_agrees_with_exhaustive_endpoints(mn, width, lit, op):
+    """_cmp_holds must be true whenever either endpoint satisfies the op."""
+    mx = mn + width
+    for v in (mn, mx):
+        sat = {"<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+               "=": v == lit, "==": v == lit}[op]
+        if sat:
+            assert _cmp_holds(None, op, lit, mn, mx)
+            return
+
+
+@given(st.floats(allow_nan=True, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_norm_cell_floats_stable(x):
+    """Normalization is deterministic and NaN maps to the null token."""
+    a, b = _norm_cell(x), _norm_cell(x)
+    assert a == b
+    if isinstance(x, float) and math.isnan(x):
+        assert a == "<NULL>"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_canonical_is_order_insensitive(rows):
+    cols = ["b", "a"]
+    rev = list(reversed(rows))
+    assert canonical(rows, cols) == canonical(rev, cols)
+
+
+@given(st.integers(min_value=0, max_value=2**50), st.integers(min_value=1, max_value=512))
+@settings(max_examples=200, deadline=None)
+def test_shuffle_sizing_monotone_and_bounded(nbytes, cpus):
+    p = sized_shuffle_partitions(nbytes, cpus)
+    assert 8 <= p <= 200_000
+    # more data never means fewer partitions
+    assert sized_shuffle_partitions(nbytes * 2, cpus) >= p
