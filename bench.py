@@ -26,10 +26,14 @@ HEADLINE = [
 EXTRA = [
     "b3_join_star_revenue",
     "b5_row_number_topk",
+    "b9_tumbling_window",
+    "asof_join_events",
     "sessionize_gap30m",
     "c1_dedup_exact_docs",
     "c3_cosine_topk",
+    "c3_cosine_topk_batch",
     "c5_token_frequencies",
+    "c5_tfidf_top_terms",
 ]
 
 

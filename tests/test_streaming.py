@@ -185,3 +185,51 @@ def test_foreach_batch_sink_to_warehouse(spark, tmp_path):
     total = spark.read.parquet(f"{SF}/events.parquet").count()
     assert wh.read("events_sink").count() == total
     assert wh.snapshots("events_sink").count() >= 1
+
+
+def test_incremental_microbatches_with_watermark(spark, tmp_path):
+    """Genuine incremental processing: maxFilesPerTrigger=1 forces one
+    micro-batch per input file; the windowed aggregate accumulates across
+    batches and matches the batch-mode result at the end."""
+    from apache_iceberg_demo_spark.io import load
+
+    src_dir = str(tmp_path / "in")
+    ev = load(spark, SF, "events")  # handles the TIMESTAMP(NANOS) parquet
+    # split events into 4 files -> 4 micro-batches (ts already µs here)
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 4  # one per file (plus possible empty batches)
+
+    got = {
+        (r.ws, r.event_type, r.n) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.ws, r.event_type, r.n)
+        for r in registry.QUERIES["b9_tumbling_window"](spark, SF)
+        .withColumnRenamed("window_start", "ws")
+        .select("ws", "event_type", "n")
+        .collect()
+    }
+    assert got == expected
