@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: a selective dimension filter
+        # builds a bloom filter that prunes the fact scan — the big lever
+        # for star joins at 100 TB. (Do NOT also set
+        # runtimeFilter.semiJoinReduction — it hangs session startup on
+        # pyspark 4.1.2.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

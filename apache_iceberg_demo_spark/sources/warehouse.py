@@ -204,7 +204,13 @@ class Warehouse:
             return df.withColumn(pcol, cls.TRANSFORMS[fn](arg)), pcol
         raise ValueError(f"unknown partition transform {spec!r}")
 
-    def create_or_replace(self, name: str, df: DataFrame, partition_by: Optional[str] = None) -> dict:
+    def create_or_replace(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Optional[str] = None,
+        cluster_by: Optional[list[str]] = None,
+    ) -> dict:
         """A5/A6: ``writeTo(t).partitionedBy(c).createOrReplace()`` semantics.
 
         ``partition_by`` accepts a plain column or an Iceberg-style hidden
@@ -217,6 +223,12 @@ class Warehouse:
         spec = partition_by
         if partition_by is not None:
             df, partition_by = self._apply_transform(df, partition_by)
+        if cluster_by:
+            # Iceberg sort-order equivalent (the reference's pre-write sort,
+            # csv_to_ice.py:27): range-partition + sort within partitions so
+            # each data file covers a tight key range — manifest min/max
+            # stats then prune aggressively (tested: file-skip selectivity)
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         os.makedirs(self._table_dir(name), exist_ok=True)
         exists = os.path.exists(self._meta_path(name))
         meta = self._load_meta(name) if exists else None
@@ -602,6 +614,54 @@ def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_before bigint, change_rows bigint, rows_after bigint, "
         "updated_rows bigint, updated_rows_at_v1 bigint",
+    )
+
+
+@register("c6_system_queries")  # rows-only: engine-specific system table
+def c6_system_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16/C6: system metadata table — the engine's registered query surface
+    (the analog of the reference's ``system.runtime.queries`` inspection,
+    ``/root/reference/README.md:204-207``)."""
+    from apache_iceberg_demo_spark import registry as reg
+
+    rows = [
+        (name, name.split("_")[0], name in reg.ORACLES)
+        for name in sorted(reg.QUERIES)
+    ]
+    return spark.createDataFrame(
+        rows, "query_name string, inventory_row string, oracle_paired boolean"
+    )
+
+
+@register("c6_sort_order_clustering")  # rows-only
+def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/A4: sort-order clustering — the same data written unclustered vs
+    clustered on the filter key; clustering tightens per-file min/max so the
+    manifest pruner skips far more files for a point predicate."""
+    import tempfile
+
+    from apache_iceberg_demo_spark.io import load
+
+    tmp = tempfile.mkdtemp(prefix="wh_cluster_")
+    wh = Warehouse(spark, tmp)
+    li = load(spark, sf_dir, "lineitem").limit(20000).repartition(8)
+    wh.create_or_replace("unclustered", li)
+    wh.create_or_replace("clustered", li, cluster_by=["l_orderkey"])
+
+    def kept(table: str, pred: str) -> int:
+        meta = wh._load_meta(table)
+        snap = wh._snapshot(meta, meta["current_snapshot_id"])
+        return sum(0 if wh._can_skip(f, pred) else 1 for f in snap["manifest"])
+
+    pred = "l_orderkey = 42"
+    rows_match = (
+        wh.read("clustered", where=pred).count()
+        == wh.read("unclustered").filter(pred).count()
+    )
+    return spark.createDataFrame(
+        [(kept("unclustered", pred), kept("clustered", pred), rows_match)],
+        "files_scanned_unclustered bigint, files_scanned_clustered bigint, "
+        "results_match boolean",
     )
 
 
