@@ -143,3 +143,42 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("session_value"),
         (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
     )
+
+
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(first_signup) AS n_signed_up,
+               count(CASE WHEN first_purchase >= first_signup
+                          THEN 1 END) AS n_converted,
+               CAST(sum(n_purchases) AS BIGINT) AS total_purchases
+        FROM firsts
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → purchase conversion in one conditional
+    aggregation pass (no joins, no self-union — the FILTER-clause form keeps
+    it a single hash aggregate, the cheapest possible funnel at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") >= F.col("first_signup"), 1)
+        ).alias("n_converted"),
+        F.sum("n_purchases").cast("bigint").alias("total_purchases"),
+    )

@@ -307,3 +307,57 @@ def c5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@register(
+    "pipeline_llm_corpus_clean",
+    oracle="""
+        WITH keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(text)
+        ),
+        kept AS (
+            SELECT d.*
+            FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        ),
+        quality AS (
+            SELECT *,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS distinct_ratio
+            FROM kept
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(distinct_ratio), 6) AS avg_diversity
+        FROM quality
+        WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+        GROUP BY lang
+    """,
+)
+def pipeline_llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Showcase: the full LLM training-corpus cleaning pipeline as ONE
+    declarative plan — exact dedup (C1) → quality gate (C5) → dataset-card
+    aggregation — that Catalyst executes end-to-end with no materialization
+    between stages. At 100 TB the dedup shuffle carries (hash, id) pairs and
+    the quality gate is a scan-level filter; the only data-sized cost is one
+    pass over the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("k")).agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(keepers.select("doc_id"), "doc_id")
+    toks = F.split("text", " ")
+    quality = kept.withColumn("n_tokens", F.size(toks)).withColumn(
+        "distinct_ratio", F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+    return (
+        quality.filter((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.3))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("distinct_ratio"), 6).alias("avg_diversity"),
+        )
+    )

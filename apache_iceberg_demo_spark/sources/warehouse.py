@@ -485,6 +485,45 @@ class Warehouse:
         meta = self._load_meta(name)
         return self.create_or_replace(name, result, partition_by=meta.get("partition_by"))
 
+    def apply_scd2(
+        self, name: str, changes: DataFrame, key: list[str], effective_ts_col: str
+    ) -> dict:
+        """Slowly-changing-dimension type 2 over the snapshot format: history
+        is kept as validity intervals, not overwritten.
+
+        The table carries ``valid_from`` / ``valid_to`` (NULL = current).
+        For each change row: the key's current version is *closed*
+        (``valid_to`` = the change's effective timestamp) and a new current
+        version is inserted. Non-changed keys pass through untouched.
+
+        One plan: current-rows ⋈ change-keys (to close) + untouched rows +
+        new versions, unioned into a replace commit — the standard lakehouse
+        SCD2 emulation (no MERGE engine needed; Spark 100 TB form is the
+        same with the rewrite restricted to touched partitions).
+        """
+        target = self.read(name)
+        eff = F.col(effective_ts_col)
+        new_versions = changes.withColumn("valid_from", eff).withColumn(
+            "valid_to", F.lit(None).cast("timestamp")
+        ).drop(effective_ts_col)
+        change_keys = changes.select(*key, eff.alias("_eff")).dropDuplicates(key)
+
+        current = target.filter(F.col("valid_to").isNull())
+        history = target.filter(F.col("valid_to").isNotNull())
+        closed = (
+            current.join(change_keys, on=key, how="inner")
+            .withColumn("valid_to", F.col("_eff"))
+            .drop("_eff")
+        )
+        untouched_current = current.join(change_keys.select(*key), on=key, how="left_anti")
+        result = history.unionByName(untouched_current).unionByName(closed).unionByName(
+            new_versions.select(*history.columns)
+        )
+        meta = self._load_meta(name)
+        return self.create_or_replace(
+            name, result, partition_by=meta.get("partition_spec")
+        )
+
     def rewrite_data_files(self, name: str, target_file_mb: int = 128) -> dict:
         """Bin-packing compaction (Iceberg ``rewrite_data_files``): coalesce
         the current snapshot's files toward ``target_file_mb`` and commit a

@@ -146,3 +146,34 @@ def test_hidden_partitioning_transforms(spark, wh):
     parts = {f["partition"]["l_orderkey_bucket"]
              for f in wh._load_meta("tb")["snapshots"][-1]["manifest"]}
     assert len(parts) <= 8 and len(parts) > 1
+
+
+def test_scd2_history_tracking(spark, wh):
+    """SCD2: changed keys get closed-out history rows + a new current row;
+    unchanged keys stay current; full history preserved."""
+    c = load(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = (
+        c.withColumn("valid_from", F.lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    wh.create_or_replace("dim", base)
+    n = c.count()
+
+    changes = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_mktsegment", F.lit("CHANGED"))
+        .withColumn("eff", F.lit("2021-06-01").cast("timestamp"))
+    )
+    n_changed = changes.count()
+    wh.apply_scd2("dim", changes, key=["c_custkey"], effective_ts_col="eff")
+
+    out = wh.read("dim")
+    assert out.count() == n + n_changed  # history row per change
+    cur = out.filter(F.col("valid_to").isNull())
+    assert cur.count() == n  # exactly one current row per key
+    assert cur.filter(F.col("c_mktsegment") == "CHANGED").count() == n_changed
+    closed = out.filter(F.col("valid_to").isNotNull())
+    assert closed.count() == n_changed
+    assert closed.filter(F.col("c_mktsegment") == "CHANGED").count() == 0
