@@ -310,3 +310,77 @@ def c2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.9)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative label propagation (small-star style):
+    every node repeatedly adopts the minimum component id among itself and
+    its neighbors until a fixed point. Returns (node, component).
+
+    Spark-first iteration: each round is two hash joins + an aggregate on the
+    edge list; convergence in O(log n) rounds for typical dedup graphs (long
+    chains are rare — near-dup clusters are dense). Each round's result is
+    cached and the loop exits early when no label changes, so the cost is
+    rounds × one shuffle over the edge list — at 100 TB this is the standard
+    replacement for a driver-side union-find, which cannot hold the nodes.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("comp", F.col("node")).cache()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).cache()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("c2_dedup_clusters")  # rows-only: iterative algorithm, not ANSI SQL
+def c2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: near-dup pairs → connected components → one keeper per cluster.
+
+    The full dedup decision pipeline: LSH candidate pairs (c2_minhash) feed a
+    distributed connected-components pass; each component keeps its minimum
+    doc_id and drops the rest — transitive duplicates (A≈B≈C with A̸≈C)
+    collapse into ONE cluster, which pairwise dedup alone cannot do.
+    """
+    pairs = c2_minhash_lsh_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.min("node").alias("keeper_id"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select("keeper_id", "cluster_size")
+    )

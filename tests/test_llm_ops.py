@@ -103,3 +103,27 @@ def test_ivf_recall_vs_bruteforce(spark):
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
     assert min(ivf, key=lambda v: v) is not None
+
+
+def test_connected_components_transitive(spark):
+    """A≈B, B≈C (but no A-C edge) must land in ONE cluster; disjoint pairs
+    stay separate."""
+    from apache_iceberg_demo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src bigint, dst bigint",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+    assert comps[1] != comps[10] != comps[20]
+
+
+def test_dedup_clusters_keep_one_per_component(spark):
+    out = registry.QUERIES["c2_dedup_clusters"](spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.cluster_size >= 2 for r in out)
+    keepers = [r.keeper_id for r in out]
+    assert len(keepers) == len(set(keepers))
