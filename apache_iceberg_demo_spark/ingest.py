@@ -96,25 +96,41 @@ def lineitem_pipeline() -> CsvIngestPipeline:
     )
 
 
-@register("a01_a06_csv_ingest_roundtrip")  # rows-only: no CSV visible to the oracle
+@register(
+    "a01_a06_csv_ingest_roundtrip",
+    oracle="""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_day,
+               count(*) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS value
+        FROM lineitem
+        WHERE l_orderkey % 31 = 0
+        GROUP BY strftime(l_shipdate, '%Y-%m')
+    """,
+)
 def a01_a06_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-A6 end-to-end: export sf lineitem sample to CSV, ingest through the
-    full pipeline (infer→cast→derive→sort→partitioned replace-write), re-read,
-    and aggregate per partition. Rows-only check (oracle has no CSV view);
-    exactness is asserted by ``tests/test_ingest.py``."""
+    """A1-A6 end-to-end, oracle-verified: export a deterministic lineitem
+    subset to CSV, ingest through the full pipeline (infer → cast → derive →
+    sort → partitioned replace-write into the snapshot warehouse), re-read,
+    aggregate per partition. The oracle computes the same aggregate straight
+    from the parquet — so every stage of the CSV roundtrip (type inference,
+    coercion, timestamp serialization, partition derivation, write/read) is
+    value-hash-verified, not just row-counted."""
     import tempfile
 
     from apache_iceberg_demo_spark.io import load
 
     tmp = tempfile.mkdtemp(prefix="ingest_q_")
     csv_dir = f"{tmp}/csv"
-    src = load(spark, sf_dir, "lineitem").limit(2000)
+    src = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0)
     src.write.mode("overwrite").option("header", True).csv(csv_dir)
 
     pipeline = lineitem_pipeline()
     pipeline.partition_format = "yyyy-MM"  # bound partition count at demo volume
     out = pipeline.run(spark, csv_dir, f"{tmp}/wh", "lineitem_ingested")
-    return (
-        out.groupBy("ship_day")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("value"))
+    return out.groupBy("ship_day").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("value"),
     )
