@@ -1,0 +1,121 @@
+"""Reproducible sampling, mixture weighting, and split assignment (C-surface
+extension) — the dataset-curation stage of an LLM training pipeline.
+
+Everything here is **hash-deterministic**, never RNG-seeded: a row's sample /
+split membership is a pure function of its key, so membership is stable
+across runs, engines, cluster sizes, and re-partitioning — the property that
+matters when a 100 TB corpus is re-materialized and the holdout set must not
+drift. MD5 produces identical hex on Spark and DuckDB, which also makes every
+operator oracle-pairable (seeded `df.sample()` would not be).
+
+Scale notes: each operator is a scan + filter (no shuffle); the mixture
+report is one hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of the
+    key, mod n. Identical on any engine that speaks MD5."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % n_buckets
+
+
+def _duck_bucket(expr: str, n: int = 100) -> str:
+    """DuckDB spelling of the same bucket function."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
+    )
+
+
+@register(
+    "s1_hash_sample_10pct",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_duck_bucket('doc_id')} < 10
+    """,
+)
+def s1_hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: reproducible 10% sample by content-key hash — membership is a pure
+    function of doc_id (survives re-runs, re-shards, engine changes)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("doc_id")) < 10).select("doc_id", "lang")
+
+
+@register(
+    "s1_train_val_test_split",
+    oracle=f"""
+        SELECT CASE WHEN {_duck_bucket('doc_id')} < 80 THEN 'train'
+                    WHEN {_duck_bucket('doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def s1_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: 80/10/10 train/val/test assignment by key hash — the same document
+    lands in the same split forever; no seed to lose, no shuffle to leak."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return d.groupBy(split).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "s1_mixture_weighted",
+    oracle=f"""
+        WITH weighted AS (
+            SELECT *,
+                   CASE WHEN lang = 'en' THEN 80 ELSE 30 END AS keep_pct
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_kept
+        FROM weighted
+        WHERE {_duck_bucket('doc_id')} < keep_pct
+        GROUP BY lang
+    """,
+)
+def s1_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: mixture re-weighting — per-stratum keep rates (80% en, 30% rest)
+    applied via the same hash buckets. This is dataset-mixing (upweight a
+    language/source) as one scan-level filter; at 100 TB the weights table
+    would broadcast-join instead of inlining as a CASE."""
+    d = load(spark, sf_dir, "documents")
+    keep_pct = F.when(F.col("lang") == "en", 80).otherwise(30)
+    return (
+        d.withColumn("keep_pct", keep_pct)
+        .filter(hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@register("s1_stratified_sample_by")  # rows-only: sampleBy is seeded-RNG based
+def s1_stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: Spark's native stratified `sampleBy` (per-stratum fractions,
+    seeded Bernoulli) — included for API surface; the hash-bucket variants
+    above are preferred at scale precisely because THIS one's membership
+    depends on seed + partitioning."""
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.8, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.3}
+    return (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )

@@ -361,3 +361,47 @@ def pipeline_llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("distinct_ratio"), 6).alias("avg_diversity"),
         )
     )
+
+
+@register(
+    "c5_sequence_packing",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT *,
+                   CAST(floor(
+                       (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 512) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT lang, pack_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed
+        GROUP BY lang, pack_id
+    """,
+)
+def c5_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: sequence packing — assign documents to ~512-token context-window
+    packs per language via a running token count (pack = floor(prefix-sum /
+    budget)). One window pass + one aggregate; deterministic doc order
+    (doc_id) means stable packs across runs. At 100 TB the partition key
+    (lang/shard) bounds window state; the greedy-bin-packing refinement runs
+    per pack, not per corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )

@@ -53,6 +53,7 @@ def load_all() -> None:
         joins,
         multimodal,
         reshape,
+        sampling,
         setops,
         similarity,
         sorts,
