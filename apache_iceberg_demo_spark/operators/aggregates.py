@@ -394,3 +394,71 @@ def b4_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted.groupBy("l_returnflag")
         .agg(F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total"))
     )
+
+
+@register(
+    "b4_corr_regression",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+               round(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS base_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: bivariate statistics — correlation, covariance, least-squares
+    slope/intercept — in one hash aggregate (all streaming-mergeable moments,
+    so partial+final works and 100 TB costs one shuffle of 5 doubles/group).
+    Covariance/intercept round coarser: like variance, their ~1e4-1e5
+    magnitudes put engine-algorithm divergence near fine rounding boundaries.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("base_price"),
+    )
+
+
+@register(
+    "b4_histogram_width_bucket",
+    oracle="""
+        -- DuckDB 1.0 has no width_bucket; spell out its semantics
+        -- (bucket 0 below lo, n+1 above hi, else floor((x-lo)/w)+1)
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 500000 THEN 21
+                         ELSE floor(o_totalprice / 25000) + 1 END AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 6) AS lo,
+               round(max(o_totalprice), 6) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def b4_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: equi-width histogram via width_bucket + hash aggregate — the
+    distributed histogram (each bucket's count merges associatively)."""
+    o = load(spark, sf_dir, "orders")
+    b = F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+    return o.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+@register("b4_freq_items")  # rows-only: freqItems sketch is engine-specific
+def b4_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: approximate frequent items (Karp et al. streaming heavy-hitters) —
+    constant memory per column, single pass; the 100 TB alternative to an
+    exact top-k over an unbounded-cardinality column."""
+    li = load(spark, sf_dir, "lineitem")
+    fi = li.freqItems(["l_returnflag", "l_linenumber"], support=0.2)
+    return fi.select(
+        F.size("l_returnflag_freqItems").alias("n_frequent_flags"),
+        F.size("l_linenumber_freqItems").alias("n_frequent_lines"),
+    )
