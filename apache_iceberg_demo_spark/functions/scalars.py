@@ -261,3 +261,66 @@ def a15_smoke_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: constant select smoke test — the reference's DuckDB readiness
     check (``duckdb_check.py:2``, run at ``cli-steps.txt:12``)."""
     return spark.sql("SELECT 'engine is ready!' AS msg, 1 AS one")
+
+
+@register(
+    "b8_string_distance",
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+    """,
+)
+def b8_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/C2: Levenshtein edit distance on blocked prefix pairs — the exact
+    string-similarity primitive (O(len²) per pair, so always behind a
+    blocking key and a prefix cap at scale)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.substring("text", 1, 30).alias("pre_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.substring("text", 1, 30).alias("pre_b"),
+    )
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pre_a", "pre_b").cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "b8_array_ops_extended",
+    oracle="""
+        SELECT vec_id,
+               round(list_sort(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)))[1], 3)
+                   AS smallest,
+               round(list_reverse_sort(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)))[1], 3)
+                   AS largest,
+               len(list_slice(embedding, 1, 8)) AS head_len,
+               CAST(list_contains(list_transform(embedding, x -> x > 0.5),
+                    true) AS BOOLEAN) AS has_big_component
+        FROM embeddings
+    """,
+)
+def b8_array_ops_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: sort_array / slice / exists over array columns (rounded before
+    sorting so float ordering is engine-stable)."""
+    e = load(spark, sf_dir, "embeddings")
+    rounded = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 3))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(F.array_sort(rounded), 1), 3).alias("smallest"),
+        F.round(F.element_at(F.sort_array(rounded, asc=False), 1), 3).alias("largest"),
+        F.size(F.slice(F.col("embedding"), 1, 8)).cast("bigint").alias("head_len"),
+        F.exists(F.col("embedding"), lambda x: x > 0.5).alias("has_big_component"),
+    )

@@ -145,3 +145,33 @@ def b5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 6).alias("price"),
         F.count("*").over(w).alias("peers_within_10k"),
     )
+
+
+@register(
+    "b5_value_functions",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS cheapest_order,
+               last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS priciest_order,
+               nth_value(o_orderkey, 2) OVER w AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def b5_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: first_value / last_value / nth_value — frame-boundary pickers.
+    last_value gets the full-partition frame (the default running frame is
+    the classic wrong-answer trap, identical in both engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+    )
