@@ -177,3 +177,23 @@ def test_scd2_history_tracking(spark, wh):
     closed = out.filter(F.col("valid_to").isNotNull())
     assert closed.count() == n_changed
     assert closed.filter(F.col("c_mktsegment") == "CHANGED").count() == 0
+
+
+def test_iceberg_fallback_chain(spark, tmp_path):
+    """The engineered Iceberg fallback: runtime jar absent here, so the
+    write lands in the snapshot warehouse with identical results."""
+    from apache_iceberg_demo_spark.sources.iceberg_catalog import (
+        iceberg_available,
+        iceberg_write_or_fallback,
+    )
+
+    assert iceberg_available(spark) is False  # offline environment
+    li = load(spark, SF, "lineitem").limit(100)
+    backend = iceberg_write_or_fallback(
+        spark, li, "cat.db.li_fallback", str(tmp_path / "wh")
+    )
+    assert backend == "warehouse"
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.read("li_fallback").count() == 100
