@@ -292,14 +292,20 @@ def c5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines can't flip the top-k cut.
     """
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # corpus size: one cheap metadata-ish job, reused as a literal
+    # corpus size joins in as a broadcast 1-row aggregate — a driver-side
+    # .count() here would be a whole extra job on every invocation
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
