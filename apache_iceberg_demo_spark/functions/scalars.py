@@ -101,8 +101,8 @@ def b8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sqrt(l_extendedprice), 6)             AS root_price,
                round(ln(l_extendedprice + 1), 6)           AS log_price,
                round(pow(l_discount, 2), 6)                AS disc_sq,
-               ceil(l_quantity)                            AS qty_ceil,
-               floor(l_quantity)                           AS qty_floor,
+               CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
                CAST(l_linenumber % 3 AS INT)               AS line_mod,
                CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign
         FROM lineitem
@@ -167,9 +167,9 @@ def b8_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                len(embedding)                                   AS dim,
-               round(embedding[1], 6)                           AS first_component,
+               round(CAST(embedding[1] AS DOUBLE), 6)           AS first_component,
                round(list_aggregate(embedding, 'sum'), 6)       AS comp_sum,
-               round(list_aggregate(embedding, 'max'), 6)       AS comp_max,
+               round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS comp_max,
                round(list_aggregate(
                    list_transform(embedding, x -> x * x), 'sum'), 6) AS sq_norm,
                len(list_filter(embedding, x -> x > 0))          AS n_positive

@@ -110,9 +110,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
-            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,

@@ -250,7 +250,7 @@ def c3_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
         .select("query_id", "vec_id", "sim", "rk")
     )

@@ -37,7 +37,7 @@ def b5_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         load(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select(
             "o_custkey",
@@ -67,9 +67,9 @@ def b5_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_brand",
         "p_partkey",
-        F.rank().over(w_price).alias("rnk"),
-        F.dense_rank().over(w_size).alias("drnk"),
-        F.ntile(4).over(w_tile).alias("quartile"),
+        F.rank().over(w_price).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_size).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w_tile).cast("bigint").alias("quartile"),
     )
 
 
