@@ -314,3 +314,52 @@ def b3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderstatus").alias("status"),
         )
     )
+
+
+@register(
+    "b3_join_salted_skew",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+)
+def b3_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: manually salted skew join — identical result to the plain join
+    (the oracle), different shuffle shape.
+
+    Technique: the probe side gets a deterministic salt in [0,8); the build
+    side is replicated 8x (one copy per salt) via an explode; the join key
+    becomes (key, salt), so one hot orderkey spreads over 8 reducers instead
+    of melting one. This is the pre-AQE-era defense, still needed when skew
+    survives AQE (e.g. a single key larger than a partition split). Salt is
+    hash-derived — no RNG, reproducible. Cost: build side ×8 (broadcast-
+    sized sides only) — at 100 TB you salt the few detected hot keys, not
+    the whole table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n_salt = 8
+    salted_probe = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    replicated_build = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        salted_probe.join(
+            replicated_build,
+            (salted_probe.l_orderkey == replicated_build.o_orderkey)
+            & (salted_probe.salt == replicated_build.salt),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total"),
+        )
+    )
