@@ -114,9 +114,9 @@ def a12_q3_group_agg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
                                                                       AS sum_base_price,
                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_disc_price,
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_charge,
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
                round(avg(l_quantity), 6)                              AS avg_qty,
                round(avg(l_extendedprice), 6)                         AS avg_price,
                round(avg(l_discount), 6)                              AS avg_disc,
@@ -139,9 +139,12 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # money sums accumulate in exact DECIMAL: float64 addition is
     # non-associative, and at ~1e9 magnitudes partial-agg merge order would
     # otherwise flap the 6th decimal across engines/runs (SURVEY.md §5.3)
+    # prices/discounts/taxes are exact 2dp, so the products are exact 4/6dp:
+    # DECIMAL(18,6) recovers them exactly AND keeps the long-backed decimal
+    # fast path (measured 0.24s faster than DECIMAL(28,10) at sf0.1)
     price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = disc_price.cast("decimal(28,10)")
-    charge_dec = (disc_price * (1 + F.col("l_tax"))).cast("decimal(28,10)")
+    disc_dec = disc_price.cast("decimal(18,6)")
+    charge_dec = (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -50,7 +50,7 @@ def b3_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r.r_name AS region,
                round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue,
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -86,7 +86,7 @@ def b3_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(28,10)"
+                        "decimal(18,6)"
                     )
                 ).cast("double"),
                 6,
