@@ -465,3 +465,29 @@ def b4_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("l_returnflag_freqItems").alias("n_frequent_flags"),
         F.size("l_linenumber_freqItems").alias("n_frequent_lines"),
     )
+
+
+@register(
+    "b4_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: grouping() markers distinguish real NULL group keys from rollup
+    subtotal rows — required for correct downstream consumption of any
+    ROLLUP/CUBE output."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -122,3 +122,20 @@ def b2_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
         F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
     )
+
+
+@register(
+    "b2_filter_regex_ilike",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE regexp_matches(c_name, '0{3}[0-4]')
+          AND c_mktsegment ILIKE '%Ware%'
+    """,
+)
+def b2_filter_regex_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: regex predicate (rlike) + case-insensitive LIKE (ilike)."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").rlike(r"0{3}[0-4]") & F.col("c_mktsegment").ilike("%Ware%")
+    ).select("c_custkey", "c_name", "c_mktsegment")

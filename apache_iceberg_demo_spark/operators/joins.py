@@ -363,3 +363,35 @@ def b3_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total"),
         )
     )
+
+
+@register(
+    "b3_join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders
+            WHERE o_orderkey % 7 = 0
+        ),
+        b AS (
+            SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders
+            WHERE o_orderkey % 5 = 0
+        )
+        SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.k AS status_key
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+                     AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def b3_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL keys
+    match each other instead of silently dropping (a plain equi-join loses
+    every NULL-keyed row; the null-safe form still plans as a hash join)."""
+    o = load(spark, sf_dir, "orders")
+    mk = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    a = o.filter(F.col("o_orderkey") % 7 == 0).select(F.col("o_orderkey").alias("key_a"), mk)
+    b = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("key_b"), mk.alias("kb")
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb) & (a.key_a < b.key_b))
+        .select("key_a", "key_b", F.col("k").alias("status_key"))
+    )
