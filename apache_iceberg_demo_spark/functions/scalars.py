@@ -324,3 +324,22 @@ def b8_array_ops_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.slice(F.col("embedding"), 1, 8)).cast("bigint").alias("head_len"),
         F.exists(F.col("embedding"), lambda x: x > 0.5).alias("has_big_component"),
     )
+
+
+@register(
+    "b8_posexplode_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE doc_id % 20 = 0
+    """,
+)
+def b8_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/B10: positional explode (UDTF-style 1→N row expansion with the
+    element index preserved) — the lateral-view surface."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -161,8 +161,9 @@ def _with_planted_neardups(docs: DataFrame) -> DataFrame:
 def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: MinHash banded-LSH near-duplicate pairs, Jaccard-verified.
 
-    Pipeline: shingle(3-gram) → 32 minhashes → 8 bands → explode bands →
-    self-join on (band_idx, bucket) → exact Jaccard on candidates → ≥0.5.
+    Pipeline: shingle(3-gram) → 32 minhashes → 16 bands of 2 → explode
+    bands → self-join on (band_idx, bucket) → exact Jaccard on candidates
+    → keep pairs ≥ 0.5.
     The banded join is the 100 TB path: candidate generation is linear in
     bucket occupancy; the quadratic all-pairs comparison never happens.
     Verified against planted near-dups (10% word deletion ⇒ jaccard ≈ 0.7).
