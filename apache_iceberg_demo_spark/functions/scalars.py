@@ -343,3 +343,71 @@ def b8_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@register(
+    "b8_bitwise_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255                          AS key_and,
+               o_orderkey | 16                           AS key_or,
+               xor(o_orderkey, 255)                      AS key_xor,
+               (o_orderkey % 1024) << 2                  AS key_shl,
+               o_orderkey >> 3                           AS key_shr,
+               CAST(bit_count(o_orderkey) AS BIGINT)     AS key_bits
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+)
+def b8_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: bitwise operators — AND/OR/XOR, shifts, popcount.
+
+    The workhorses behind hash partitioning, bitmap indexes, and bloom-filter
+    membership at scale; all stay inside whole-stage codegen (pure JVM
+    expressions, no UDF).
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    key = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        key.bitwiseAND(F.lit(255)).alias("key_and"),
+        key.bitwiseOR(F.lit(16)).alias("key_or"),
+        key.bitwiseXOR(F.lit(255)).alias("key_xor"),
+        F.shiftleft(key % 1024, 2).cast("bigint").alias("key_shl"),
+        F.shiftright(key, 3).alias("key_shr"),
+        F.bit_count(key).cast("bigint").alias("key_bits"),
+    )
+
+
+@register(
+    "b8_trig_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(sin(l_discount), 6)                      AS sin_d,
+               round(cos(l_discount), 6)                      AS cos_d,
+               round(atan2(l_discount, l_tax + 0.01), 6)      AS angle,
+               round(degrees(l_discount), 6)                  AS deg_d,
+               round(radians(l_quantity), 6)                  AS rad_q,
+               round(sqrt(l_discount*l_discount + l_tax*l_tax), 6) AS hyp
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+)
+def b8_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: trigonometric battery — sin/cos/atan2/degrees/radians + hypotenuse.
+
+    Geo-distance and embedding-angle math stays JVM-side (codegen'd) instead
+    of detouring through numpy; round-6 on every output per float discipline.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    d, t, q = F.col("l_discount"), F.col("l_tax"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("sin_d"),
+        F.round(F.cos(d), 6).alias("cos_d"),
+        F.round(F.atan2(d, t + F.lit(0.01)), 6).alias("angle"),
+        F.round(F.degrees(d), 6).alias("deg_d"),
+        F.round(F.radians(q), 6).alias("rad_q"),
+        F.round(F.sqrt(d * d + t * t), 6).alias("hyp"),
+    )

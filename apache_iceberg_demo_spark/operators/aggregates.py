@@ -468,6 +468,77 @@ def b4_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b4_collect_sorted_lists",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name)                    AS nations_csv,
+               array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',')
+                                                                          AS key_mod_set,
+               count(*)                                                   AS n
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def b4_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: collection aggregates — collect_list / collect_set materialized as
+    deterministically-sorted CSV strings (collection order is engine- and
+    partition-dependent, so raw arrays can never hash-match across engines;
+    sorting before serializing is the portable discipline).
+
+    Scale note: collect_* is bounded by group width — safe here (≤25 nations
+    per region), an anti-pattern on unbounded groups; the cap belongs in the
+    query (slice/filter) not the engine.
+    """
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set(F.col("n_nationkey") % 5)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("key_mod_set"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "b4_median_bool",
+    oracle="""
+        SELECT l_returnflag,
+               round(median(l_quantity), 6)           AS median_qty,
+               round(median(l_extendedprice), 6)      AS median_price,
+               bool_and(l_quantity <= 50)             AS all_qty_in_range,
+               bool_or(l_extendedprice > 90000)       AS any_big_ticket,
+               count(*)                               AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_median_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: exact median + boolean aggregates (bool_and/bool_or).
+
+    Exact median requires a per-group sort (unlike approx_percentile's
+    constant-memory sketch, ``b4_percentile_approx``) — at 100 TB use the
+    sketch; the exact form stays for low-group-count audits like this one.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round6(F.median("l_quantity"), "median_qty"),
+        round6(F.median("l_extendedprice"), "median_price"),
+        F.bool_and(F.col("l_quantity") <= 50).alias("all_qty_in_range"),
+        F.bool_or(F.col("l_extendedprice") > 90000).alias("any_big_ticket"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "b4_grouping_id",
     oracle="""
         SELECT l_returnflag, l_linestatus,

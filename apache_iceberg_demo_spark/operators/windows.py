@@ -175,3 +175,31 @@ def b5_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("priciest_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
     )
+
+
+@register(
+    "b5_percent_rank_cume_dist",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6)    AS cum_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def b5_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: relative-position window functions — percent_rank / cume_dist.
+
+    The unique (o_totalprice, o_orderkey) tie-breaker makes both functions
+    deterministic across engines (module-docstring discipline). Partitioning
+    on o_custkey keeps per-partition state tiny and cardinality high — the
+    scale-safe shape (vs a single global ORDER BY window).
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
