@@ -411,3 +411,41 @@ def b8_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.radians(q), 6).alias("rad_q"),
         F.round(F.sqrt(d * d + t * t), 6).alias("hyp"),
     )
+
+
+@register(
+    "b8_struct_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               round(struct_pack(amount := o_totalprice,
+                                 status := o_orderstatus).amount, 6)   AS amount,
+               struct_pack(amount := o_totalprice,
+                           status := o_orderstatus).status             AS status,
+               struct_pack(outer_key := o_custkey,
+                           inner := struct_pack(pri := o_orderpriority))
+                   .inner.pri                                          AS priority
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+)
+def b8_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: struct construction + (nested) field access — the typed-metadata
+    backbone for multimodal columns (``c4_multimodal_metadata`` carries a
+    struct payload). Field access is a zero-cost projection in both engines;
+    outputs are flattened to scalars because raw struct cells are not
+    hash-comparable across engines.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    s = F.struct(
+        F.col("o_totalprice").alias("amount"), F.col("o_orderstatus").alias("status")
+    )
+    nested = F.struct(
+        F.col("o_custkey").alias("outer_key"),
+        F.struct(F.col("o_orderpriority").alias("pri")).alias("inner"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(s.getField("amount"), 6).alias("amount"),
+        s.getField("status").alias("status"),
+        nested.getField("inner").getField("pri").alias("priority"),
+    )

@@ -562,3 +562,43 @@ def b4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "b4_filtered_aggs",
+    oracle="""
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 150000)                        AS n_big,
+               round(coalesce(sum(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'F'), 0), 6)       AS finished_spend,
+               round(avg(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'O'), 6)           AS open_avg,
+               count(*)                                               AS n
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def b4_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: conditionally-filtered aggregates (SQL FILTER clause / count_if).
+
+    One pass over the data computes every conditional aggregate at once — the
+    scale-safe alternative to self-joining k filtered subqueries (k scans →
+    1 scan). Spark expresses FILTER as agg-over-when(cond, x) with nulls
+    ignored, which compiles to the same conditional accumulation.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        round6(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            "finished_spend",
+        ),
+        round6(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+            "open_avg",
+        ),
+        F.count("*").alias("n"),
+    )

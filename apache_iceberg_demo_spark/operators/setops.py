@@ -143,3 +143,39 @@ def b7_drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderstatus")
     )
+
+
+@register(
+    "b7_intersect_all",
+    oracle="""
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT ALL
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def b7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: INTERSECT ALL — bag semantics (keeps min-multiplicity duplicates,
+    unlike ``b7_intersect``'s set semantics). Implemented as a hash-partitioned
+    count-compare on the key, so the shuffle carries one row per distinct
+    value, not per duplicate."""
+    c = load(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    right = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return left.intersectAll(right)
+
+
+@register(
+    "b7_except_all",
+    oracle="""
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def b7_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: EXCEPT ALL — bag difference (multiplicity-aware), the dedup-style
+    primitive behind "remove one occurrence per match" retractions."""
+    c = load(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    right = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return left.exceptAll(right)
