@@ -395,3 +395,54 @@ def b3_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.k.eqNullSafe(b.kb) & (a.key_a < b.key_b))
         .select("key_a", "key_b", F.col("k").alias("status_key"))
     )
+
+
+@register(
+    "b3_join_dpp_partitioned",
+    oracle="""
+        SELECT f.o_orderpriority,
+               count(*) AS n,
+               round(CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                                AS spend
+        FROM orders f
+        JOIN (SELECT DISTINCT o_orderpriority FROM orders
+              WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') d
+          ON f.o_orderpriority = d.o_orderpriority
+        GROUP BY f.o_orderpriority
+    """,
+)
+def b3_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: dynamic partition pruning — the fact side is a hive-partitioned
+    table and the partition filter only exists at RUNTIME (it comes from the
+    broadcast dimension's rows, not a literal), so Catalyst injects a
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters and
+    whole partition directories are skipped before any footer is read.
+
+    This is the scan-side pattern that makes star joins viable at 100 TB:
+    a date-dim filter prunes a ship-date-partitioned fact to days of data,
+    with zero literal date in the query.
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dpp_fact_")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        o.filter(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        )
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("spend"),
+        )
+    )

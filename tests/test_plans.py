@@ -67,3 +67,13 @@ def test_bucketed_join_zero_exchanges(spark):
     df = registry.QUERIES["b3_join_bucketed_colocated"](spark, SF)
     assert set(join_strategies(df)) == {"SortMergeJoin"}
     assert count_exchanges(df) == 0
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """Partitioned fact ⋈ filtered dim must inject a dynamicpruningexpression
+    into the fact scan's PartitionFilters — whole partition dirs skipped at
+    runtime from the broadcast side's rows (the 100 TB star-join pattern)."""
+    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+
+    df = registry.QUERIES["b3_join_dpp_partitioned"](spark, SF)
+    assert "dynamicpruning" in formatted_plan(df).lower()
