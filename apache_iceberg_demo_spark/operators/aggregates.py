@@ -569,8 +569,8 @@ def b4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count_if(o_totalprice > 150000)                        AS n_big,
-               round(coalesce(sum(o_totalprice)
-                     FILTER (WHERE o_orderstatus = 'F'), 0), 6)       AS finished_spend,
+               round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0), 6) AS finished_spend,
                round(avg(o_totalprice)
                      FILTER (WHERE o_orderstatus = 'O'), 6)           AS open_avg,
                count(*)                                               AS n
@@ -591,7 +591,15 @@ def b4_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
         round6(
             F.coalesce(
-                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+                # exact DECIMAL accumulation: per-group magnitude exceeds 1e8 at
+                # sf0.01, where float64 summation-order error straddles round-6
+                # (float discipline, CLAUDE.md) — r01 hash flake root cause
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ).cast("double"),
                 F.lit(0.0),
             ),
             "finished_spend",

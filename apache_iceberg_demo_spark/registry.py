@@ -43,8 +43,63 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
+# Queries the round-1 driver run already verified green (CORRECTNESS_r01.json
+# reached exactly the first 50 registrations). The driver evaluates queries in
+# registration order and may truncate, so load_all() re-orders the registry to
+# put not-yet-driver-verified queries FIRST each round. Names never change —
+# only dict insertion order does.
+_DRIVER_VERIFIED: set[str] = {
+    "a09_count_all", "a10_q1_filter_count", "a11_q2_filter_avg",
+    "a12_q3_group_agg_sort", "flagship_pricing_summary", "b4_agg_stats",
+    "b4_count_distinct", "b4_approx_count_distinct", "b4_rollup", "b4_cube",
+    "b4_grouping_sets", "b4_having", "b4_percentiles", "b4_percentile_approx",
+    "b4_salted_skew_agg", "b4_corr_regression", "b4_histogram_width_bucket",
+    "b4_freq_items", "b4_collect_sorted_lists", "b4_median_bool",
+    "b4_grouping_id", "asof_join_events", "sessionize_gap30m",
+    "funnel_signup_to_purchase", "c1_dedup_exact_docs", "c1_dedup_content_hash",
+    "c2_minhash_lsh_neardup", "c2_simhash_neardup", "c2_ngram_jaccard_pairs",
+    "c2_dedup_clusters", "b2_filter_between", "b2_filter_in", "b2_filter_like",
+    "b2_filter_null_bool", "b2_project_computed", "b2_filter_regex_ilike",
+    "b3_join_inner_broadcast", "b3_join_star_revenue", "b3_join_left_outer",
+    "b3_join_full_outer", "b3_join_semi", "b3_join_anti", "b3_join_cross",
+    "b3_join_multikey", "b3_join_nonequi_range", "b3_join_bucketed_colocated",
+    "b3_join_salted_skew", "b3_join_null_safe", "b3_join_dpp_partitioned",
+    # NOT in this set although driver-seen: b4_filtered_aggs (r01 FAIL, fixed
+    # this round — must re-verify, so it registers first of all).
+}
+
+# Names that must lead the registry regardless of verification history
+# (regression re-checks of previously-failed rows).
+_HEAD: list[str] = ["b4_filtered_aggs"]
+
+
+def _reorder() -> None:
+    """Rebuild QUERIES/ORACLES insertion order: head fixes, then driver-
+    unverified (stable registration order), then already-verified."""
+
+    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = item
+        if name in _HEAD:
+            return (0, 0, _HEAD.index(name))
+        if name not in _DRIVER_VERIFIED:
+            # oracle-paired before rows-only: full value-hash rows are the
+            # stronger evidence, and the slowest queries (ingest/warehouse/
+            # streaming roundtrips) are rows-only by design
+            return (1, 0 if name in ORACLES else 1, idx)
+        return (2, 0, idx)
+
+    ordered = sorted(((i, n) for i, n in enumerate(QUERIES)), key=rank)
+    new_q = {n: QUERIES[n] for _, n in ordered}
+    new_o = {n: ORACLES[n] for _, n in ordered if n in ORACLES}
+    QUERIES.clear()
+    QUERIES.update(new_q)
+    ORACLES.clear()
+    ORACLES.update(new_o)
+
+
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then order
+    the registry so driver-unverified queries come first (see _reorder)."""
     from apache_iceberg_demo_spark.operators import (  # noqa: F401
         aggregates,
         asof,
@@ -65,3 +120,5 @@ def load_all() -> None:
     from apache_iceberg_demo_spark.functions import scalars, udfs  # noqa: F401
     from apache_iceberg_demo_spark.sources import formats, warehouse  # noqa: F401
     from apache_iceberg_demo_spark.streaming import windows as swindows  # noqa: F401
+
+    _reorder()
