@@ -116,11 +116,9 @@ def a01_a06_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the parquet — so every stage of the CSV roundtrip (type inference,
     coercion, timestamp serialization, partition derivation, write/read) is
     value-hash-verified, not just row-counted."""
-    import tempfile
+    from apache_iceberg_demo_spark.io import load, scratch_dir
 
-    from apache_iceberg_demo_spark.io import load
-
-    tmp = tempfile.mkdtemp(prefix="ingest_q_")
+    tmp = scratch_dir("ingest_q_")
     csv_dir = f"{tmp}/csv"
     src = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0)
     src.write.mode("overwrite").option("header", True).csv(csv_dir)

@@ -11,7 +11,11 @@ table).
 
 from __future__ import annotations
 
+import atexit
+import contextlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +42,57 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --- scratch-dir management -------------------------------------------------------
+# Operators that demo write-side behavior (partitioned rewrites, bucketed
+# tables, warehouse snapshots, stream checkpoints) need on-disk scratch space.
+# mkdtemp-per-invocation leaks disk across repeated bench/driver runs
+# (ADVICE r01), so: one dir per prefix, reused within the process (writers use
+# overwrite semantics), all removed at interpreter exit.
+
+_SCRATCH: dict[str, str] = {}
+_SCRATCH_UNIQUE: list[str] = []
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in list(_SCRATCH.values()) + _SCRATCH_UNIQUE:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(prefix: str, unique: bool = False) -> str:
+    """Temp dir for operator-internal writes, removed at process exit.
+
+    Reused per prefix by default so a re-invoked operator overwrites instead
+    of accumulating; ``unique=True`` for consumers that must not share state
+    across invocations (streaming checkpoints resume from their contents).
+    """
+    if unique:
+        d = tempfile.mkdtemp(prefix=prefix)
+        _SCRATCH_UNIQUE.append(d)
+        return d
+    if prefix not in _SCRATCH:
+        _SCRATCH[prefix] = tempfile.mkdtemp(prefix=prefix)
+    return _SCRATCH[prefix]
+
+
+@contextlib.contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scope `spark.sql.legacy.parquet.nanosAsLong` to a read: Spark captures
+    the conf when the relation resolves (batch) or when the streaming query
+    clones the session at start(), so restoring afterwards leaves the
+    session's strict-nanos behavior intact for other readers."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
@@ -52,8 +107,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        with nanos_as_long(spark):
+            df = spark.read.parquet(table_path(sf_dir, name))
         # integer division: float64 `/ 1000` loses precision above 2^53 ns
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))

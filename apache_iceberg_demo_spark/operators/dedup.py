@@ -142,33 +142,28 @@ def c1_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C2: near-dup via MinHash + banded LSH ---------------------------------------
 
-
-def _with_planted_neardups(docs: DataFrame) -> DataFrame:
-    """Union documents with deterministically mutated copies (every 10th word
-    dropped) so the operator demonstrably *finds* near-dups on the synthetic
-    corpus. Mutated ids are offset by 10^9."""
-    words = F.split(F.col("text"), r"\s+")
-    mutated = docs.select(
-        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
-        F.array_join(
-            F.filter(words, lambda w, i: i % 10 != 0), " "
-        ).alias("text"),
-    )
-    return docs.select("doc_id", "text").unionByName(mutated)
+# The hashed-shingle cache from the most recent minhash invocation; the next
+# invocation (or tests' teardown) unpersists it so repeated bench/driver runs
+# don't accumulate executor storage memory.
+_live_caches: list[DataFrame] = []
 
 
-@register("c2_minhash_lsh_neardup")  # rows-only: hash-family internals aren't ANSI SQL
-def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: MinHash banded-LSH near-duplicate pairs, Jaccard-verified.
+def _release_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
+
+def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Core MinHash banded-LSH near-dup pairs over any (doc_id, text) frame.
 
     Pipeline: shingle(3-gram) → 32 minhashes → 16 bands of 2 → explode
     bands → self-join on (band_idx, bucket) → exact Jaccard on candidates
-    → keep pairs ≥ 0.5.
+    → keep pairs ≥ min_jaccard.
     The banded join is the 100 TB path: candidate generation is linear in
     bucket occupancy; the quadratic all-pairs comparison never happens.
-    Verified against planted near-dups (10% word deletion ⇒ jaccard ≈ 0.7).
+    Recall is property-tested with planted mutants (tests/test_llm_ops.py).
     """
-    docs = _with_planted_neardups(load(spark, sf_dir, "documents"))
+    _release_caches()
     # hashed shingle sets, computed ONCE and cached: reused by the two sides
     # of the band join and the verification joins (without the cache, Spark
     # re-derives the whole shingle+hash pipeline for every self-join branch)
@@ -177,6 +172,7 @@ def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("hs") > 0)
         .cache()
     )
+    _live_caches.append(hs)
     bands = hs.select(
         "doc_id",
         F.posexplode(band_keys(minhash_signature(F.col("hs")))).alias(
@@ -203,20 +199,30 @@ def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(F.array_union("hs_a", "hs_b"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-@register("c2_simhash_neardup")  # rows-only
-def c2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: SimHash near-dup — 64-bit signature via token bit votes, pigeonhole
-    banding (4×16-bit chunks) for hamming ≤ 3, verified with bit_count(xor).
+@register("c2_minhash_lsh_neardup")  # rows-only: hash-family internals aren't ANSI SQL
+def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash banded-LSH near-duplicate pairs on the documents corpus.
+
+    Thin registration wrapper over :func:`minhash_lsh_pairs` — the operator
+    dedups the REAL table (no synthetic planting in the production path;
+    recall on planted mutants is asserted in tests instead).
+    """
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Core SimHash near-dup pairs over any (doc_id, text) frame — 64-bit
+    signature via token bit votes, pigeonhole banding (4×16-bit chunks) for
+    hamming ≤ max_hamming, verified with bit_count(xor).
 
     One aggregation builds all 64 bit votes in a single pass (no explode of
     64× rows); the chunk join is equi — shuffle-bounded, never O(n²).
     """
-    docs = _with_planted_neardups(load(spark, sf_dir, "documents"))
     tokens = F.array_distinct(F.split(F.col("text"), r"\s+"))
     # bit vote b_i = sum over tokens of (hash bit i ? +1 : -1); sign → bit i
     th = docs.select("doc_id", F.explode(tokens).alias("tok")).withColumn(
@@ -268,9 +274,16 @@ def c2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register("c2_simhash_neardup")  # rows-only
+def c2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: SimHash near-dup pairs on the documents corpus (see
+    :func:`simhash_pairs`; planted-mutant recall lives in tests)."""
+    return simhash_pairs(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @register(
@@ -361,6 +374,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; a chain
+        # longer than max_iter hops would silently split into several
+        # components — fail loudly instead of returning wrong clusters
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the graph "
+            "has a component with diameter above the round budget"
+        )
+    sym.unpersist()
+    _live_caches.append(labels)  # released on the next dedup invocation
     return labels
 
 

@@ -283,13 +283,13 @@ def b3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain join (bucketing must not change results). Bucket tables are
     (re)materialized in a session-scoped warehouse dir.
     """
-    import tempfile
+    from apache_iceberg_demo_spark.io import scratch_dir
 
     db_tag = "bucketed_demo"
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
     o = load(spark, sf_dir, "orders")
     li_t, o_t = f"{db_tag}_lineitem", f"{db_tag}_orders"
-    wh_dir = tempfile.mkdtemp(prefix="bucketed_wh_")
+    wh_dir = scratch_dir("bucketed_wh_")
     for name, df, key in ((li_t, li, "l_orderkey"), (o_t, o, "o_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
@@ -422,9 +422,9 @@ def b3_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a date-dim filter prunes a ship-date-partitioned fact to days of data,
     with zero literal date in the query.
     """
-    import tempfile
+    from apache_iceberg_demo_spark.io import scratch_dir
 
-    tmp = tempfile.mkdtemp(prefix="dpp_fact_")
+    tmp = scratch_dir("dpp_fact_")
     o = load(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
     fact = spark.read.parquet(tmp)

@@ -101,10 +101,17 @@ def b7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7: EXCEPT — customer keys absent from orders (set difference)."""
+    """B7: EXCEPT — customer keys absent from orders (set difference).
+
+    ``subtract`` is Spark's EXCEPT DISTINCT: a left value is dropped whenever
+    it appears in the right side at ALL, independent of multiplicities —
+    unlike ``exceptAll().distinct()``, which keeps a left value whose left
+    multiplicity exceeds its right multiplicity (wrong unless the key is
+    unique; ADVICE r01).
+    """
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @register(

@@ -266,26 +266,27 @@ def c3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, probe only the closest P cells at query time, exact re-rank inside.
 
     Spark-first IVF without a training job: centroids are K deterministic
-    corpus vectors (every (n/K)-th by vec_id — reproducible, no k-means RNG);
-    assignment is one broadcast-join pass (corpus never shuffles); the cell
-    index is then a *partitioned* table in production, so a query touches
-    P/K of the data (partition pruning on `cell`). Recall vs the exact top-k
-    is asserted in tests; raise N_PROBE to trade cost for recall.
+    corpus vectors — each cell c picks the vector minimizing a second
+    independent hash among rows with pmod(xxhash64(vec_id), K) == c. That is
+    one hash-aggregate with map-side combine (K rows cross the wire), no
+    driver-side count and no global window: reproducible, no k-means RNG,
+    and O(scan) at any corpus size. Assignment is one broadcast-join pass
+    (corpus never shuffles); the cell index is then a *partitioned* table in
+    production, so a query touches P/K of the data (partition pruning on
+    `cell`). Recall vs the exact top-k is asserted in tests; raise N_PROBE
+    to trade cost for recall.
     """
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()
-    step = max(1, n // N_CENTROIDS)
     centroids = (
-        e.withColumn(
-            "rn", F.row_number().over(W.orderBy("vec_id"))
+        e.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(N_CENTROIDS)).alias("cell"),
+            F.xxhash64("vec_id", F.lit(1)).alias("pick"),
+            "embedding",
         )
-        .filter((F.col("rn") - 1) % step == 0)
-        .limit(N_CENTROIDS)
-        .select(
-            F.col("rn").alias("cell"), F.col("embedding").alias("cv")
-        )
+        .groupBy("cell")
+        .agg(F.min_by("embedding", "pick").alias("cv"))
     )
     # assign every vector to its nearest centroid (one broadcast pass)
     assigned = (

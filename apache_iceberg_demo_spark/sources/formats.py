@@ -8,13 +8,11 @@ layout decision, read back, verify by aggregate checksum.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.io import load, scratch_dir
 from apache_iceberg_demo_spark.registry import register
 
 
@@ -22,7 +20,7 @@ from apache_iceberg_demo_spark.registry import register
 def b1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: JSON-lines sink + schema-declared source (no inference job —
     explicit schema is the 100 TB rule; inference is a full extra scan)."""
-    tmp = tempfile.mkdtemp(prefix="json_rt_")
+    tmp = scratch_dir("json_rt_")
     ev = load(spark, sf_dir, "events").limit(2000)
     ev.write.mode("overwrite").json(tmp)
 
@@ -47,7 +45,7 @@ def b1_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     """B1: hive-partitioned parquet write + partition-pruned read — the scan
     reads only the selected partition directory (partition pruning at the
     file-listing level, before any footer is opened)."""
-    tmp = tempfile.mkdtemp(prefix="pq_rt_")
+    tmp = scratch_dir("pq_rt_")
     li = load(spark, sf_dir, "lineitem").limit(5000)
     li.withColumn("rf", F.col("l_returnflag")).write.mode("overwrite").partitionBy(
         "rf"

@@ -565,11 +565,9 @@ from apache_iceberg_demo_spark.registry import register  # noqa: E402
 
 def _demo_warehouse(spark: SparkSession, sf_dir: str) -> tuple["Warehouse", str]:
     """Build a throwaway warehouse with 2 snapshots of lineitem (replace+append)."""
-    import tempfile
+    from apache_iceberg_demo_spark.io import load, scratch_dir
 
-    from apache_iceberg_demo_spark.io import load
-
-    tmp = tempfile.mkdtemp(prefix="wh_q_")
+    tmp = scratch_dir("wh_q_", unique=True)
     wh = Warehouse(spark, tmp)
     li = load(spark, sf_dir, "lineitem").limit(3000)
     base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
@@ -621,11 +619,9 @@ def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: MERGE INTO — upsert a changes batch into the versioned table:
     updated rows replace, new rows insert, untouched rows survive; the merge
     is a new snapshot (time travel still sees the pre-merge state)."""
-    import tempfile
+    from apache_iceberg_demo_spark.io import load, scratch_dir
 
-    from apache_iceberg_demo_spark.io import load
-
-    tmp = tempfile.mkdtemp(prefix="wh_merge_")
+    tmp = scratch_dir("wh_merge_", unique=True)
     wh = Warehouse(spark, tmp)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -677,11 +673,9 @@ def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/A4: sort-order clustering — the same data written unclustered vs
     clustered on the filter key; clustering tightens per-file min/max so the
     manifest pruner skips far more files for a point predicate."""
-    import tempfile
+    from apache_iceberg_demo_spark.io import load, scratch_dir
 
-    from apache_iceberg_demo_spark.io import load
-
-    tmp = tempfile.mkdtemp(prefix="wh_cluster_")
+    tmp = scratch_dir("wh_cluster_", unique=True)
     wh = Warehouse(spark, tmp)
     li = load(spark, sf_dir, "lineitem").limit(20000).repartition(8)
     wh.create_or_replace("unclustered", li)

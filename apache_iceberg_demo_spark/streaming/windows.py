@@ -120,41 +120,34 @@ def b9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-replay streaming source over `events` (explicit schema; the file
-    source requires a directory, so the parquet file is linked into one)."""
+    """File-replay streaming source over `events`.
+
+    The raw fixture is parquet TIMESTAMP(NANOS), which the vectorized reader
+    rejects; the legacy nanosAsLong conf can't be scoped to a stream (the
+    query thread clones the session conf asynchronously after ``start()``
+    returns). So the source streams from a µs-converted copy, written once
+    per process via the properly-scoped batch reader (io.load) — the
+    streaming path itself needs no legacy conf at all.
+    """
     import os
-    import tempfile
 
-    from pyspark.sql import types as T
+    from apache_iceberg_demo_spark.io import load, scratch_dir
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream_dir = scratch_dir(f"events_stream_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(stream_dir, "_converted")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(stream_dir)
+        open(marker, "w").close()
+    batch_schema = load(spark, sf_dir, "events").schema
+    return spark.readStream.schema(batch_schema).parquet(stream_dir)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "10 minutes"):
     """The genuine streaming pipeline used by tests: file-replay source →
     watermark → tumbling agg. Returns (query, sink_table_name)."""
-    import tempfile
     import uuid
+
+    from apache_iceberg_demo_spark.io import scratch_dir
 
     src = event_stream_source(spark, sf_dir)
     agg = (
@@ -168,7 +161,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "10 m
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt_", unique=True))
         .start()
     )
     return q, name

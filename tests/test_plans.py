@@ -69,6 +69,21 @@ def test_bucketed_join_zero_exchanges(spark):
     assert count_exchanges(df) == 0
 
 
+def test_ivf_no_global_window_or_driver_count(spark):
+    """IVF centroid selection must be a hash-aggregate (min_by per cell), not
+    a driver-side count() + unpartitioned row_number() — the r01 scale-killer
+    (VERDICT.md "What's wrong" #2). No SinglePartition exchange may appear
+    anywhere in the plan."""
+    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+
+    df = registry.QUERIES["c3_ann_ivf_topk"](spark, SF)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, "global (unpartitioned) exchange in IVF plan"
+    # building the DataFrame must not have triggered any Spark job (a driver
+    # count() would): the plan is fully lazy
+    assert "min_by" in plan.lower() or "minby" in plan.lower(), plan[:2000]
+
+
 def test_dpp_join_prunes_partitions_at_runtime(spark):
     """Partitioned fact ⋈ filtered dim must inject a dynamicpruningexpression
     into the fact scan's PartitionFilters — whole partition dirs skipped at

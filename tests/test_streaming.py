@@ -25,6 +25,15 @@ def _event_stream(spark, sf_dir=SF):
     return event_stream_source(spark, sf_dir)
 
 
+def _events_batch(spark, sf_dir=SF):
+    """Batch view of events via io.load (the raw fixture is TIMESTAMP(NANOS),
+    which a bare spark.read.parquet rejects now that the legacy conf is
+    scoped to io.load instead of leaked session-wide)."""
+    from apache_iceberg_demo_spark.io import load
+
+    return load(spark, sf_dir, "events")
+
+
 def _run_to_memory(df, mode="append"):
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = (
@@ -59,7 +68,7 @@ def test_streaming_dedup_with_watermark(spark):
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     name = _run_to_memory(deduped)
     n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
-    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    total = _events_batch(spark).count()
     assert n == total  # event_id is unique ⇒ dedup keeps everything
 
 
@@ -73,7 +82,7 @@ def test_streaming_session_window(spark):
     )
     name = _run_to_memory(sess, mode="complete")
     stream_n = spark.sql(f"SELECT sum(n_events) AS t FROM {name}").collect()[0].t
-    assert stream_n == spark.read.parquet(f"{SF}/events.parquet").count()
+    assert stream_n == _events_batch(spark).count()
     batch_n = registry.QUERIES["b9_session_window"](spark, SF).count()
     stream_sessions = spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0].c
     assert stream_sessions == batch_n
@@ -105,7 +114,7 @@ def test_stateful_apply_in_pandas_with_state(spark):
     }
     expected = {
         (r.user_id, r.n)
-        for r in spark.read.parquet(f"{SF}/events.parquet")
+        for r in _events_batch(spark)
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -182,7 +191,7 @@ def test_foreach_batch_sink_to_warehouse(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    total = _events_batch(spark).count()
     assert wh.read("events_sink").count() == total
     assert wh.snapshots("events_sink").count() >= 1
 
