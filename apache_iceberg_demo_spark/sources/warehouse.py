@@ -72,9 +72,18 @@ class Warehouse:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path(name))
 
+    def _abs_path(self, name: str, entry_path: str) -> str:
+        """Resolve a manifest path. Paths are stored RELATIVE to the table
+        dir (A8: a moved/copied warehouse stays readable — the Iceberg
+        ``allow_moved_paths`` concern); absolute paths from pre-A8 metadata
+        still resolve as-is."""
+        if os.path.isabs(entry_path):
+            return entry_path
+        return os.path.join(self._table_dir(name), entry_path)
+
     # ---------- manifest construction ----------
 
-    def _manifest_for_dir(self, data_dir: str) -> list[dict]:
+    def _manifest_for_dir(self, name: str, data_dir: str) -> list[dict]:
         """Walk a snapshot's data dir; record per-file stats from footers."""
         import pyarrow.parquet as pq
 
@@ -116,7 +125,7 @@ class Warehouse:
                         part_vals[k] = v
                 entries.append(
                     {
-                        "path": path,
+                        "path": os.path.relpath(path, self._table_dir(name)),
                         "size_bytes": os.path.getsize(path),
                         "row_count": md.num_rows,
                         "partition": part_vals,
@@ -136,17 +145,6 @@ class Warehouse:
         meta: Optional[dict],
     ) -> dict:
         snap_id = (parent or 0) + 1
-        snapshot = {
-            "snapshot_id": snap_id,
-            "parent_id": parent,
-            "timestamp_ms": _now_ms(),
-            "operation": operation,
-            "manifest": files,
-            "summary": {
-                "added-files": len(files),
-                "total-records": sum(f["row_count"] for f in files),
-            },
-        }
         if meta is None:
             meta = {
                 "table": name,
@@ -154,8 +152,25 @@ class Warehouse:
                 "schema": schema_ddl,
                 "partition_by": partition_by,
                 "current_snapshot_id": snap_id,
+                "field_map": {},
                 "snapshots": [],
             }
+        snapshot = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "timestamp_ms": _now_ms(),
+            "operation": operation,
+            "manifest": files,
+            # each snapshot carries ITS OWN schema + logical→physical column
+            # map (Iceberg: schema evolution is metadata-only; time travel to
+            # an old snapshot reads with that snapshot's schema)
+            "schema": schema_ddl,
+            "field_map": dict(meta.get("field_map", {})),
+            "summary": {
+                "added-files": len(files),
+                "total-records": sum(f["row_count"] for f in files),
+            },
+        }
         meta["schema"] = schema_ddl  # schema-wins-on-replace (SURVEY.md §1.3)
         meta["current_snapshot_id"] = snap_id
         meta["snapshots"].append(snapshot)
@@ -235,9 +250,10 @@ class Warehouse:
         parent = meta["current_snapshot_id"] if meta else None
         tag = f"snap-{(parent or 0) + 1:05d}"
         data_dir = self._write_data(name, df, tag, partition_by)
-        files = self._manifest_for_dir(data_dir)
+        files = self._manifest_for_dir(name, data_dir)
         if meta is not None:
             meta["partition_by"] = partition_by
+            meta["field_map"] = {}  # replace-wins: new physical layout
         snap = self._commit(
             name, "replace", files, df.schema.json(), partition_by, parent, meta
         )
@@ -258,7 +274,7 @@ class Warehouse:
         prev = self._snapshot(meta, parent)
         tag = f"snap-{parent + 1:05d}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
-        files = self._manifest_for_dir(data_dir)
+        files = self._manifest_for_dir(name, data_dir)
         all_files = prev["manifest"] + files
         snap = self._commit(
             name, "append", all_files, meta["schema"], meta.get("partition_by"), parent, meta
@@ -296,45 +312,82 @@ class Warehouse:
             else:
                 snapshot_id = meta["current_snapshot_id"]
         snap = self._snapshot(meta, snapshot_id)
+        # the SNAPSHOT's schema/field-map, not the table's current one: time
+        # travel across a schema evolution reads with the old schema
+        declared = self._declared_schema(snap if "schema" in snap else meta)
+        field_map = snap.get("field_map", meta.get("field_map", {}))
         files = snap["manifest"]
         if where is not None:
             files = [f for f in files if not self._can_skip(f, where)]
         if not files:
-            # empty relation with the table's schema
-            schema = self.spark.read.parquet(snap["manifest"][0]["path"]).schema if snap["manifest"] else None
-            return self.spark.createDataFrame([], schema=schema)
+            # empty relation with the DECLARED schema (includes partition
+            # columns, which a bare one-file read would miss) — handles both
+            # the everything-pruned and the empty-manifest case (ADVICE r01)
+            if declared is None:
+                raise ValueError(
+                    f"table {name!r}: no matching files and no declared "
+                    "schema in metadata to build an empty relation from"
+                )
+            return self.spark.createDataFrame([], schema=declared)
         # Partition discovery needs basePath directly above the `col=value`
         # dirs, so group the manifest by snapshot data dir and union the
-        # per-snapshot scans (plan-level concat, no shuffle).
+        # per-snapshot scans (plan-level concat, no shuffle). Scans may have
+        # heterogeneous columns after schema evolution — union by name with
+        # missing columns null-filled, then reconcile to the declared schema.
         data_root = os.path.join(self._table_dir(name), "data")
         by_snap: dict[str, list[str]] = {}
         for f in files:
-            rel = os.path.relpath(f["path"], data_root)
+            path = self._abs_path(name, f["path"])
+            rel = os.path.relpath(path, data_root)
             tag = rel.split(os.sep)[0]
-            by_snap.setdefault(os.path.join(data_root, tag), []).append(f["path"])
+            by_snap.setdefault(os.path.join(data_root, tag), []).append(path)
         df = None
         for base, paths in sorted(by_snap.items()):
             part = self.spark.read.option("basePath", base).parquet(*paths)
-            df = part if df is None else df.unionByName(part)
-        # Partition-dir type inference must not override the declared schema
-        # (Iceberg semantics: the table schema is authoritative; a yyyy-MM-dd
-        # string partition column stays a string — SURVEY.md §1.3).
-        declared = self._declared_schema(meta)
-        if declared is not None:
-            for field in declared.fields:
-                got = dict(df.dtypes).get(field.name)
-                if got is not None and got != field.dataType.simpleString():
-                    df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+        if declared is None:
+            # legacy simpleString metadata — best-effort raw scan
+            return df.filter(where) if where is not None else df
+        # 1) logical→physical renames (Iceberg tracks field ids; here the
+        #    snapshot records which physical column each logical name reads).
+        #    Post-rename appends write the logical name, so both spellings
+        #    can coexist across files — coalesce them.
+        for logical, physical in field_map.items():
+            if physical == logical:
+                continue
+            if logical in df.columns and physical in df.columns:
+                df = df.withColumn(
+                    logical, F.coalesce(F.col(logical), F.col(physical))
+                ).drop(physical)
+            elif physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+        # 2) columns added after these files were written → NULL
+        for field in declared.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        # 3) partition-dir type inference must not override the declared
+        #    schema (the table schema is authoritative; a yyyy-MM-dd string
+        #    partition column stays a string — SURVEY.md §1.3)
+        for field in declared.fields:
+            got = dict(df.dtypes).get(field.name)
+            if got is not None and got != field.dataType.simpleString():
+                df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        # 4) declared column set + order (dropped columns disappear here —
+        #    column pruning pushes through the projection, so dropped/unused
+        #    physical columns are never read off disk)
+        df = df.select(*[f.name for f in declared.fields])
         if where is not None:
             df = df.filter(where)
         return df
 
     @staticmethod
-    def _declared_schema(meta: dict):
+    def _declared_schema(meta_or_snap: dict):
         from pyspark.sql.types import StructType
 
         try:
-            return StructType.fromJson(json.loads(meta["schema"]))
+            return StructType.fromJson(json.loads(meta_or_snap["schema"]))
         except (ValueError, KeyError, TypeError):
             return None  # legacy simpleString metadata — best effort
 
@@ -423,12 +476,15 @@ class Warehouse:
         meta = self._load_meta(name)
         keep = meta["snapshots"][-keep_last:]
         expired = meta["snapshots"][:-keep_last]
-        live_paths = {f["path"] for s in keep for f in s["manifest"]}
+        live_paths = {
+            self._abs_path(name, f["path"]) for s in keep for f in s["manifest"]
+        }
         removed = 0
         for s in expired:
             for f in s["manifest"]:
-                if f["path"] not in live_paths and os.path.exists(f["path"]):
-                    os.remove(f["path"])
+                path = self._abs_path(name, f["path"])
+                if path not in live_paths and os.path.exists(path):
+                    os.remove(path)
                     removed += 1
         meta["snapshots"] = keep
         self._store_meta(name, meta)
@@ -442,6 +498,83 @@ class Warehouse:
                 ):
                     shutil.rmtree(full)
         return removed
+
+    # ---------- schema evolution (C6) ----------
+    #
+    # Iceberg's headline metadata capability: ALTER TABLE add/rename/drop is
+    # a METADATA-ONLY commit — no data file is rewritten; every snapshot
+    # carries its own schema, so time travel across an evolution reads each
+    # snapshot with the schema it was committed under (Iceberg spec:
+    # schema-evolution via field ids; emulated here with a logical→physical
+    # column map recorded per snapshot).
+
+    def _evolve(self, name: str, operation: str, mutate) -> dict:
+        """Commit a metadata-only schema change: same manifest, new schema."""
+        from pyspark.sql.types import StructType  # noqa: F401  (mutators use it)
+
+        meta = self._load_meta(name)
+        declared = self._declared_schema(meta)
+        if declared is None:
+            raise ValueError(
+                f"table {name!r}: schema evolution needs JSON schema metadata"
+            )
+        field_map = dict(meta.get("field_map", {}))
+        new_schema = mutate(declared, field_map)
+        parent = meta["current_snapshot_id"]
+        prev = self._snapshot(meta, parent)
+        meta["field_map"] = field_map
+        return self._commit(
+            name, operation, prev["manifest"], new_schema.json(),
+            meta.get("partition_by"), parent, meta,
+        )
+
+    def add_column(self, name: str, col: str, dtype: str) -> dict:
+        """ALTER TABLE ADD COLUMN — existing files read the new column as
+        NULL; no rewrite."""
+        from pyspark.sql.types import StructField, StructType
+
+        def mutate(schema: StructType, _fm: dict) -> StructType:
+            if col in schema.fieldNames():
+                raise ValueError(f"column {col!r} already exists")
+            added = StructType.fromDDL(f"`{col}` {dtype}").fields[0]
+            return StructType(schema.fields + [StructField(col, added.dataType, True)])
+
+        return self._evolve(name, "add-column", mutate)
+
+    def rename_column(self, name: str, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN — metadata-only; old files keep the old
+        physical name, resolved through the snapshot's field map on read."""
+        from pyspark.sql.types import StructField, StructType
+
+        def mutate(schema: StructType, fm: dict) -> StructType:
+            if old not in schema.fieldNames():
+                raise ValueError(f"column {old!r} not found")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new!r} already exists")
+            # chain through prior renames: the physical name is the one the
+            # oldest live data files were written with
+            fm[new] = fm.pop(old, old)
+            return StructType(
+                [
+                    StructField(new, f.dataType, f.nullable) if f.name == old else f
+                    for f in schema.fields
+                ]
+            )
+
+        return self._evolve(name, "rename-column", mutate)
+
+    def drop_column(self, name: str, col: str) -> dict:
+        """ALTER TABLE DROP COLUMN — metadata-only; the physical column stays
+        in old files but is projected away (and column-pruned at scan)."""
+        from pyspark.sql.types import StructType
+
+        def mutate(schema: StructType, fm: dict) -> StructType:
+            if col not in schema.fieldNames():
+                raise ValueError(f"column {col!r} not found")
+            fm.pop(col, None)
+            return StructType([f for f in schema.fields if f.name != col])
+
+        return self._evolve(name, "drop-column", mutate)
 
     def merge_into(
         self,
@@ -462,15 +595,55 @@ class Warehouse:
         - matched + no-update: target row kept (source matched rows dropped)
         - not-matched + insert: source row appended
 
-        One shuffle on the merge keys (the anti join); the rewrite is a full
-        replace commit. At 100 TB with a partitioned table you'd restrict the
-        rewrite to touched partitions — noted as the scale refinement; the
-        commit/manifest semantics are identical.
+        One shuffle on the merge keys (the anti join). On an UNPARTITIONED
+        table the rewrite is a full replace commit; on a PARTITIONED table
+        only the TOUCHED partitions (those holding a source row or a matched
+        target row) are rewritten — untouched partitions' file entries carry
+        over into the new manifest byte-identical, which is the 100 TB shape
+        (Iceberg's copy-on-write MERGE rewrites only affected files).
         """
+        meta = self._load_meta(name)
+        part_col = meta.get("partition_by")
+        spec = meta.get("partition_spec") or part_col
         target = self.read(name)
         src_cols = [c for c in target.columns if c in source.columns]
         src = source.select(*src_cols)
+        if part_col and part_col not in src.columns:
+            # re-derive the hidden-transform partition column on the source
+            # (the writer owns the derivation, ADVICE r01)
+            src, _ = self._apply_transform(src, spec)
+            if part_col not in src.columns:
+                raise ValueError(
+                    f"merge source lacks partition column {part_col!r} and "
+                    f"spec {spec!r} cannot derive it from the source columns"
+                )
+            src = src.select(*[c for c in target.columns if c in src.columns])
         keys = src.select(*on).dropDuplicates(on)
+
+        if part_col:
+            # touched partitions: where source rows land, plus where matched
+            # target rows currently live (an update can move a row across
+            # partitions — its old partition must be rewritten too)
+            pv = F.col(part_col).cast("string")
+            touched_vals = {
+                r.p
+                for r in src.select(pv.alias("p"))
+                .unionByName(
+                    target.join(keys, on=on, how="left_semi").select(pv.alias("p"))
+                )
+                .distinct()
+                .collect()
+            }
+            prev = self._snapshot(meta, meta["current_snapshot_id"])
+            carry = [
+                f
+                for f in prev["manifest"]
+                if str(f["partition"].get(part_col)) not in touched_vals
+            ]
+            target = target.filter(pv.isin(*touched_vals) if touched_vals else F.lit(False))
+        else:
+            carry = []
+
         untouched = target.join(keys, on=on, how="left_anti")
         if when_matched_update and when_not_matched_insert:
             result = untouched.unionByName(src)
@@ -481,9 +654,19 @@ class Warehouse:
             inserts = src.join(target.select(*on).dropDuplicates(on), on=on, how="left_anti")
             result = target.unionByName(inserts)
         else:
-            return self._snapshot(self._load_meta(name), self._load_meta(name)["current_snapshot_id"])
-        meta = self._load_meta(name)
-        return self.create_or_replace(name, result, partition_by=meta.get("partition_by"))
+            return self._snapshot(meta, meta["current_snapshot_id"])
+
+        if not part_col:
+            return self.create_or_replace(name, result)
+        # partial-partition commit: write only the rewritten partitions, then
+        # union the untouched file entries into the new manifest unchanged
+        parent = meta["current_snapshot_id"]
+        tag = f"snap-{parent + 1:05d}"
+        data_dir = self._write_data(name, result, tag, part_col)
+        new_files = self._manifest_for_dir(name, data_dir)
+        return self._commit(
+            name, "merge", carry + new_files, meta["schema"], part_col, parent, meta
+        )
 
     def apply_scd2(
         self, name: str, changes: DataFrame, key: list[str], effective_ts_col: str
@@ -540,7 +723,12 @@ class Warehouse:
             df = df.repartition(n_out, part_by)
         else:
             df = df.repartition(n_out)
-        return self.create_or_replace(name, df, partition_by=part_by)
+        # pass the ORIGINAL spec (not the derived column name) so the
+        # hidden-transform metadata survives the compaction commit and later
+        # appends still re-derive the partition column (ADVICE r01)
+        return self.create_or_replace(
+            name, df, partition_by=meta.get("partition_spec") or part_by
+        )
 
 
 def _cmp_holds(_v, op: str, lit, mn, mx) -> bool:
@@ -649,6 +837,85 @@ def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_before bigint, change_rows bigint, rows_after bigint, "
         "updated_rows bigint, updated_rows_at_v1 bigint",
+    )
+
+
+@register("c6_schema_evolution")  # rows-only: engine-specific DDL surface
+def c6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: metadata-only schema evolution (Iceberg's headline capability —
+    the hadoop catalog owns the schema, ``csv_to_ice.py:11-13``): add, rename
+    and drop columns without rewriting a single data file; appends after the
+    evolution write the new shape; time travel to the pre-evolution snapshot
+    reads with the OLD schema."""
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    tmp = scratch_dir("wh_evolve_", unique=True)
+    wh = Warehouse(spark, tmp)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    wh.create_or_replace("orders_e", orders.filter(F.col("o_orderkey") % 7 == 0))
+    files_before = set(wh.files("orders_e").toPandas()["file_path"])
+    wh.add_column("orders_e", "o_channel", "string")
+    wh.rename_column("orders_e", "o_orderstatus", "status")
+    wh.drop_column("orders_e", "o_custkey")
+    files_after = set(wh.files("orders_e").toPandas()["file_path"])
+    # append a batch in the NEW shape
+    batch2 = (
+        orders.filter(F.col("o_orderkey") % 7 == 1)
+        .withColumnRenamed("o_orderstatus", "status")
+        .drop("o_custkey")
+        .withColumn("o_channel", F.lit("web"))
+    )
+    wh.append("orders_e", batch2)
+    cur = wh.read("orders_e")
+    v1 = wh.read("orders_e", snapshot_id=1)
+    return spark.createDataFrame(
+        [
+            (
+                ",".join(v1.columns),
+                ",".join(cur.columns),
+                v1.count(),
+                cur.count(),
+                cur.filter(F.col("o_channel").isNull()).count(),  # pre-evolution rows
+                files_before == files_after,  # no data file rewritten
+            )
+        ],
+        "v1_columns string, current_columns string, v1_rows bigint, "
+        "current_rows bigint, null_channel_rows bigint, metadata_only boolean",
+    )
+
+
+@register("a8_relocated_warehouse_scan")  # rows-only: filesystem relocation
+def a8_relocated_warehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: relocated-warehouse read (the reference's ``allow_moved_paths``
+    DuckDB option, ``README.md:92-95``): manifest paths are stored RELATIVE
+    to the table root, so physically moving the whole table keeps every
+    snapshot readable — no path rewrite, exactly what Iceberg's
+    metadata-relative layout buys."""
+    import shutil
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    tmp = scratch_dir("wh_move_", unique=True)
+    wh = Warehouse(spark, os.path.join(tmp, "orig"))
+    li = load(spark, sf_dir, "lineitem").limit(2000).withColumn(
+        "ship_day", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    wh.create_or_replace("t_move", li.filter(F.col("l_linenumber") <= 3), "ship_day")
+    wh.append("t_move", li.filter(F.col("l_linenumber") > 3))
+    n_before = wh.read("t_move").count()
+    v1_before = wh.read("t_move", snapshot_id=1).count()
+
+    moved_root = os.path.join(tmp, "relocated")
+    shutil.move(os.path.join(tmp, "orig"), moved_root)
+    wh2 = Warehouse(spark, moved_root)
+    n_after = wh2.read("t_move").count()
+    v1_after = wh2.read("t_move", snapshot_id=1).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, v1_before, v1_after, n_before == n_after and v1_before == v1_after)],
+        "rows_before_move bigint, rows_after_move bigint, v1_before bigint, "
+        "v1_after bigint, relocation_transparent boolean",
     )
 
 
