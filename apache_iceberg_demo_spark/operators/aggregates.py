@@ -224,18 +224,39 @@ def b4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b4_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "b4_approx_count_distinct",
+    oracle="""
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(count(DISTINCT l_partkey)  AS BIGINT) AS exact_parts,
+               TRUE AS orders_within_5pct,
+               TRUE AS parts_within_5pct
+        FROM lineitem
+    """,
+)
 def b4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: HyperLogLog++ approximate distinct — the 100 TB path for distincts.
 
-    No oracle: HLL sketches differ across engines (the driver records a
-    rows-only check). Accuracy asserted in tests vs exact count (rsd 5%%).
-    """
+    HLL estimates are engine-specific, so the ESTIMATE itself can't be
+    oracle-compared; what CAN be is the accuracy contract: the query emits
+    the exact counts plus in-query booleans asserting the HLL estimate lands
+    within 5%% relative error (rsd=0.02 ⇒ ~2σ bound), and the oracle asserts
+    the same counts with literal TRUE. A broken sketch flips the boolean and
+    fails the value-hash."""
+    err = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
     return (
         load(spark, sf_dir, "lineitem")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_o"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_p"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "exact_orders",
+            "exact_parts",
+            (err(F.col("a_o"), F.col("exact_orders")) <= 0.05).alias("orders_within_5pct"),
+            (err(F.col("a_p"), F.col("exact_parts")) <= 0.05).alias("parts_within_5pct"),
         )
     )
 
@@ -347,16 +368,38 @@ def b4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b4_percentile_approx")  # rows-only: sketch internals are engine-specific
+@register(
+    "b4_percentile_approx",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               TRUE AS p50_within_1pct,
+               TRUE AS p90_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
 def b4_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4: approximate percentiles (KLL-style sketch, constant memory) — the
-    scale path for quantiles; accuracy vs exact asserted in tests."""
+    """B4: approximate percentiles (Greenwald-Khanna sketch, constant
+    memory) — the scale path for quantiles. The sketch output is
+    engine-specific, so the oracle checks the accuracy CONTRACT instead:
+    exact p50 value-compared, plus in-query booleans asserting the sketch
+    lands within 1%% of the exact interpolated percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    ok = lambda a, e: F.abs(a - e) / e <= 0.01  # noqa: E731
     return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a90"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("e50", 6).alias("p50_exact"),
+            ok(F.col("a50"), F.col("e50")).alias("p50_within_1pct"),
+            ok(F.col("a90"), F.col("e90")).alias("p90_within_1pct"),
         )
     )
 
@@ -454,16 +497,60 @@ def b4_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b4_freq_items")  # rows-only: freqItems sketch is engine-specific
+@register(
+    "b4_freq_items",
+    oracle="""
+        WITH tot AS (SELECT count(*) AS n FROM lineitem)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT l_returnflag FROM lineitem GROUP BY l_returnflag
+                    HAVING count(*) > 0.2 * (SELECT n FROM tot))) AS n_true_frequent_flags,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT l_linenumber FROM lineitem GROUP BY l_linenumber
+                    HAVING count(*) > 0.2 * (SELECT n FROM tot))) AS n_true_frequent_lines,
+               TRUE AS flags_all_found,
+               TRUE AS lines_all_found
+    """,
+)
 def b4_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: approximate frequent items (Karp et al. streaming heavy-hitters) —
     constant memory per column, single pass; the 100 TB alternative to an
-    exact top-k over an unbounded-cardinality column."""
+    exact top-k over an unbounded-cardinality column.
+
+    The sketch may return false positives (engine-specific), so the oracle
+    checks the algorithm's GUARANTEE instead: every value whose true
+    frequency exceeds the support threshold must appear in the sketch output
+    — verified in-query by cross-joining the sketch row with the exact
+    frequent sets and folding array_contains over them."""
     li = load(spark, sf_dir, "lineitem")
     fi = li.freqItems(["l_returnflag", "l_linenumber"], support=0.2)
-    return fi.select(
-        F.size("l_returnflag_freqItems").alias("n_frequent_flags"),
-        F.size("l_linenumber_freqItems").alias("n_frequent_lines"),
+
+    def exact_frequent(col: str, alias: str) -> DataFrame:
+        counts = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        total = li.agg(F.count("*").alias("tot"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") > 0.2 * F.col("tot"))
+            .agg(F.collect_list(col).alias(alias))
+        )
+
+    flags = exact_frequent("l_returnflag", "true_flags")
+    lines = exact_frequent("l_linenumber", "true_lines")
+    contains_all = lambda truth, sketch: F.forall(  # noqa: E731
+        truth, lambda x: F.array_contains(sketch, x)
+    )
+    return (
+        fi.crossJoin(F.broadcast(flags))
+        .crossJoin(F.broadcast(lines))
+        .select(
+            F.size("true_flags").cast("bigint").alias("n_true_frequent_flags"),
+            F.size("true_lines").cast("bigint").alias("n_true_frequent_lines"),
+            contains_all(F.col("true_flags"), F.col("l_returnflag_freqItems")).alias(
+                "flags_all_found"
+            ),
+            contains_all(F.col("true_lines"), F.col("l_linenumber_freqItems")).alias(
+                "lines_all_found"
+            ),
+        )
     )
 
 

@@ -51,10 +51,13 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 _DRIVER_VERIFIED: set[str] = {
     "a09_count_all", "a10_q1_filter_count", "a11_q2_filter_avg",
     "a12_q3_group_agg_sort", "flagship_pricing_summary", "b4_agg_stats",
-    "b4_count_distinct", "b4_approx_count_distinct", "b4_rollup", "b4_cube",
-    "b4_grouping_sets", "b4_having", "b4_percentiles", "b4_percentile_approx",
+    "b4_count_distinct", "b4_rollup", "b4_cube",
+    "b4_grouping_sets", "b4_having", "b4_percentiles",
     "b4_salted_skew_agg", "b4_corr_regression", "b4_histogram_width_bucket",
-    "b4_freq_items", "b4_collect_sorted_lists", "b4_median_bool",
+    "b4_collect_sorted_lists", "b4_median_bool",
+    # b4_approx_count_distinct / b4_percentile_approx / b4_freq_items were
+    # driver-seen in r01 but only as rows-only checks; they gained accuracy
+    # oracles in r02 and must re-verify under the stronger check.
     "b4_grouping_id", "asof_join_events", "sessionize_gap30m",
     "funnel_signup_to_purchase", "c1_dedup_exact_docs", "c1_dedup_content_hash",
     "c2_minhash_lsh_neardup", "c2_simhash_neardup", "c2_ngram_jaccard_pairs",
