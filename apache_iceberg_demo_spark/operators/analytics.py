@@ -1,0 +1,323 @@
+"""Complex analytic query pack (SURVEY.md §2 B2/B3/B4 extension) — TPC-H
+derived decision-support shapes over the synthetic star schema, adapted to
+its column subset (no partsupp/comment/receiptdate columns).
+
+The reference demonstrates its engines on TPC-H-style scans and aggregates
+(``/root/reference/README.md:85-211``); this module widens that surface to
+the harder shapes a warehouse engine must plan well: correlated EXISTS /
+NOT EXISTS (de-correlated to semi/anti joins), aggregate-membership
+subqueries, double aggregation over an outer join, a 6-table nation-pair
+volume join, and a ties-safe argmax via exact DECIMAL comparison.
+
+Scale notes per query in the docstrings; the common rules: dims broadcast,
+facts shuffle at most once per key change, money sums accumulate in DECIMAL
+(CLAUDE.md float discipline), and every predicate lives below the join it
+feeds so Catalyst pushes it into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+
+@register(
+    "b2_exists_late_shipment",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def b2_exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q4 shape): priority census of orders with a late shipment —
+    correlated EXISTS with a non-equi correlated predicate.
+
+    Spark-first: the EXISTS becomes a LEFT SEMI join on ``l_orderkey =
+    o_orderkey`` with the ``l_shipdate > o_orderdate + 60 days`` residual
+    evaluated inside the join — one shuffle on orderkey, no subquery
+    re-execution per row (the 100 TB de-correlation Catalyst would also pick
+    for the SQL form)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "b2_not_exists_quiet_customers",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 6) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority LIKE '1%')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def b2_not_exists_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q22 shape): well-funded customers with no urgent orders —
+    uncorrelated scalar subquery + correlated NOT EXISTS.
+
+    Spark-first: the scalar threshold is a broadcast 1-row aggregate (no
+    driver collect), the NOT EXISTS a LEFT ANTI join against the filtered
+    orders — the anti side is pre-filtered to urgent orders only, so the
+    anti-join build is a fraction of the orders table."""
+    c = load(spark, sf_dir, "customer")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").like("1%"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, on="c_custkey", how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "b2_agg_membership_big_orders",
+    oracle="""
+        SELECT c_name, o_orderkey,
+               round(o_totalprice, 6) AS price,
+               round(sum(l_quantity), 6) AS total_qty
+        FROM customer c
+        JOIN orders o ON c_custkey = o_custkey
+        JOIN lineitem l ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_name, o_orderkey, o_totalprice
+        ORDER BY o_orderkey
+    """,
+)
+def b2_agg_membership_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q18 shape): large-volume orders — IN over a grouped HAVING
+    subquery, then a 3-table join re-aggregated per order.
+
+    Spark-first: the membership set is itself an aggregate (sum(qty) > 300
+    per order) joined back LEFT SEMI; at 100 TB the semi join and the final
+    join share the l_orderkey shuffle partitioning, so AQE reuses the
+    exchange instead of re-shuffling lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), on="o_orderkey", how="left_semi"
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "b3_custdist_outer_agg",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+            GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def b3_custdist_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q13 shape): customer order-count distribution — LEFT OUTER
+    join with an ON-clause filter (filter must NOT drop orderless customers),
+    then two stacked aggregations.
+
+    Spark-first: count(o_orderkey) ignores the nulls the outer join
+    introduces, exactly like SQL; the second aggregation is over ≤ a few
+    thousand distinct counts — map-side partial aggregation collapses it
+    before the (tiny) shuffle."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "b3_nation_volume_matrix",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_regionkey = 0 AND n2.n_regionkey <= 1
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def b3_nation_volume_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q7 shape): shipping volume between nation pairs by year —
+    a 6-table join (2 facts + 4 dims) with region-restricted nation pairs.
+
+    Spark-first plan: lineitem⋈orders is the ONLY fact-fact shuffle;
+    supplier, customer and both nation legs are broadcast hash joins layered
+    on the probe stream (each dim ≤ a few thousand rows at any realistic
+    scale-up of this schema — nation is 25 rows forever). The region and
+    ship-date filters sit below their joins, so both prune at the scan.
+    Revenue accumulates in DECIMAL: join-arrival order must not flap the
+    round-6 hash."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_regionkey") <= 1).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "b4_top_supplier_revenue",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+)
+def b4_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q15 shape): the top supplier(s) by quarterly revenue —
+    aggregate, then argmax against a scalar subquery over the SAME aggregate,
+    ties kept.
+
+    Ties-safe across engines because the argmax equality compares EXACT
+    DECIMAL sums, never floats (two float sums that differ at the 1e-9 level
+    would pick different winners per engine); the double cast happens only on
+    output. Spark-first: the revenue aggregate is computed once and reused
+    for both the max (broadcast 1-row agg) and the equality filter — no
+    second scan of lineitem."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -105,6 +105,7 @@ def load_all() -> None:
     the registry so driver-unverified queries come first (see _reorder)."""
     from apache_iceberg_demo_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         dedup,
         filters,
