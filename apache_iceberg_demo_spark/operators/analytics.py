@@ -321,3 +321,222 @@ def b4_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "b3_market_share",
+    oracle="""
+        SELECT o_year,
+               round(CAST(sum(CAST(CASE WHEN supp_region = 0 THEN volume ELSE 0 END
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   sn.n_regionkey AS supp_region
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+            WHERE cn.n_regionkey = 1) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def b3_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q8 shape): region-0 suppliers' market share of region-1
+    customers' spend, by order year — conditional-aggregate ratio over a
+    6-table join.
+
+    Spark-first: single fact-fact shuffle (lineitem⋈orders); customer,
+    supplier, and both nation legs broadcast. The share is a ratio of two
+    EXACT DECIMAL sums — numerator and denominator are order-insensitive, so
+    the round-6 double division is stable across partitionings (a float
+    accumulator on either side would flap the hash)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    cn = n.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("supp_region")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    num = F.sum(F.when(F.col("supp_region") == 0, vol).otherwise(F.lit(0).cast("decimal(18,6)")))
+    den = F.sum(vol)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "b4_promo_revenue_share",
+    oracle="""
+        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                                THEN l_extendedprice * (1 - l_discount)
+                                                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def b4_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q14 shape): percent of one month's revenue from PROMO parts —
+    conditional aggregation over a fact⋈dim join, single-row output.
+
+    Spark-first: the ship-date filter pushes into the lineitem scan (one
+    month survives), part broadcasts, and the global aggregate is a partial
+    + final HashAggregate with no groupBy shuffle at all. Exact DECIMAL
+    numerator/denominator as in b3_market_share."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,6)"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * num.cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "b2_disjunctive_pushdown",
+    oracle="""
+        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15
+               AND l_quantity BETWEEN 1  AND 20)
+           OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def b2_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q19 shape): revenue under three disjunctive brand/size/
+    quantity branches — the classic OR-of-ANDs predicate-pushdown test.
+
+    Spark-first: Catalyst factors the common single-side conjuncts out of the
+    OR — ``p_brand IN (...)``, ``p_size BETWEEN 1 AND 50``, ``l_quantity
+    BETWEEN 1 AND 50`` each push into their own scan BELOW the join — then
+    evaluates the full disjunction as the join residual. At 100 TB the
+    pushed brand/size filter shrinks the broadcast side to 3 brands before
+    the join builds."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 35))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(20, 50) & qty.between(20, 50))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(F.sum(vol).cast("double"), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "b2_latest_shipper_per_order",
+    oracle="""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+    """,
+)
+def b2_latest_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q21 shape): suppliers who shipped last in multi-supplier
+    finished orders — EXISTS and NOT EXISTS both correlated to the same
+    outer row with inequality residuals.
+
+    Spark-first: both subqueries de-correlate to self-joins of lineitem on
+    l_orderkey — a LEFT SEMI (some other supplier exists) and a LEFT ANTI
+    (no other supplier shipped later). All three legs hash-partition on
+    orderkey, so AQE reuses one exchange of the fact instead of three; the
+    supplier dim broadcasts onto the survivors."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = li.alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    ).alias("l3")
+    waiting = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("l1.l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

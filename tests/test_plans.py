@@ -92,3 +92,39 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
 
     df = registry.QUERIES["b3_join_dpp_partitioned"](spark, SF)
     assert "dynamicpruning" in formatted_plan(df).lower()
+
+
+def test_nation_volume_single_fact_shuffle_pair(spark):
+    """Q7-shape 6-table join: only lineitem⋈orders may shuffle; supplier,
+    customer, and both nation legs must be broadcast."""
+    df = registry.QUERIES["b3_nation_volume_matrix"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_disjunctive_predicates_push_to_scan(spark):
+    """Q19-shape OR-of-ANDs: Catalyst must factor the common conjuncts out of
+    the disjunction and push brand/size and quantity bounds into their scans."""
+    df = registry.QUERIES["b2_disjunctive_pushdown"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_latest_shipper_exchange_reuse(spark):
+    """Q21-shape triple self-join on l_orderkey: the semi and anti legs must
+    join as hash/sort-merge on the same key — never a nested-loop — so the
+    orderkey exchange is reusable."""
+    df = registry.QUERIES["b2_latest_shipper_per_order"](spark, SF)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+
+
+def test_exists_late_shipment_is_semi_join(spark):
+    """Q4-shape correlated EXISTS must plan as one semi join, not a
+    re-executed subquery or an aggregate+inner-join detour."""
+    df = registry.QUERIES["b2_exists_late_shipment"](spark, SF)
+    strategies = join_strategies(df)
+    assert len(strategies) == 1, strategies
