@@ -1,0 +1,67 @@
+"""Full driver-gate rehearsal under the driver's PLAIN SparkSession.
+
+The CORRECTNESS gate runs `__spark_entry__.queries()` in a SparkSession the
+DRIVER builds (no engine configs: default shuffle partitions, default
+broadcast threshold, no Arrow flag). Our pytest parity suite uses the tuned
+`session.get_spark()` factory, so a query that silently depends on an engine
+config would pass locally and fail the gate. This script closes that gap:
+plain session + every registered query + oracle compare at sf0.01.
+
+Run: timeout 1800 python tools/driver_rehearsal.py [sf_dir]
+Prints one line per query and a final summary; exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    from tests.oracle_utils import compare, duck_connect
+
+    con = duck_connect(sf_dir)
+
+    failures: list[str] = []
+    for i, (name, fn) in enumerate(qs.items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                compare(df, con, oracles[name])
+                status = "PASS"
+            else:
+                n = df.count()
+                assert len(df.schema) > 0
+                status = f"ROWS({n})"
+        except Exception:
+            status = "FAIL"
+            failures.append(name)
+            traceback.print_exc(limit=3)
+        print(f"[{i + 1}/{len(qs)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} green; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
