@@ -540,3 +540,41 @@ def b2_latest_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "b4_rollup_reuse_hierarchy",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def b4_rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (hypertable continuous-aggregate shape): daily event rollup derived
+    FROM an hourly partial rollup, not from the raw table.
+
+    count and sum are decomposable, so ``daily = agg(hourly)`` is exact while
+    touching 24× fewer rows than a raw rescan. This is the continuous-
+    aggregate / materialized-rollup pattern a 100 TB time-series store lives
+    on: materialize the finest rollup once, serve every coarser granularity
+    (day/week/month) from it. The oracle recomputes daily straight from the
+    raw table — proving the two-level derivation is lossless. Spark-first:
+    both levels are partial+final HashAggregates; the second level's input is
+    already grouped on a prefix of the first's key, so AQE sees a tiny
+    exchange (≤ 24 rows/day)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 6).alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -411,3 +411,88 @@ def c5_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "c5_decontaminate_ngram_overlap",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 7),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM words WHERE len(w) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        corpus AS (SELECT doc_id, source FROM words WHERE doc_id % 97 <> 0),
+        contaminated AS (
+            SELECT DISTINCT gr.doc_id
+            FROM grams gr JOIN bench b ON gr.g = b.g
+            WHERE gr.doc_id % 97 <> 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+               CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_clean
+        FROM corpus LEFT JOIN contaminated c USING (doc_id)
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def c5_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: benchmark decontamination — flag corpus documents sharing any
+    8-gram with a held-out set (docs with ``doc_id % 97 = 0`` stand in for
+    the benchmark; a real pipeline loads eval sets here).
+
+    The standard training-data hygiene step (n-gram-overlap decontamination
+    as popularized by public LLM training reports): benchmark 8-grams are
+    DISTINCT-deduped and — being tiny relative to the corpus — broadcast;
+    corpus docs explode to per-doc DISTINCT grams and hit the benchmark set
+    with a LEFT SEMI broadcast join, so the corpus never shuffles and the
+    blowup is bounded by dedup before the join. At 100 TB the same plan holds
+    with the benchmark side a broadcast bloom filter.
+
+    Catalyst trap (see c5_fingerprint_winnow): the token array is staged in
+    its own projection so the n-gram transform references a column, not the
+    split() expression — inlining would re-split per gram (O(n²))."""
+    d = load(spark, sf_dir, "documents")
+    k = 8
+    staged = d.select("doc_id", "source", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    grams_expr = F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = staged.select("doc_id", "source", grams_expr.alias("grams"))
+    bench_grams = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), on="g", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(contaminated, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("*") - F.count("hit")).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
