@@ -165,3 +165,47 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "10 m
         .start()
     )
     return q, name
+
+
+@register(
+    "b9_stream_stream_interval_join",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+               round(sum(p.value), 6) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def b9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: click→purchase attribution — each purchase pairs with every click
+    by the same user in the preceding hour (the stream-stream interval-join
+    shape; batch form here, the genuine two-stream run with watermarks on
+    both sides is tests/test_streaming.py::test_stream_stream_join).
+
+    Spark-first: an equi-join on user_id with the time bound as residual —
+    one shuffle per side on the join key. In streaming the same plan holds
+    state bounded by the watermark + interval (Spark evicts click state
+    older than 1 h past the watermark), which is what makes it run forever
+    at 100 TB/day."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("purchase_value"),
+    )

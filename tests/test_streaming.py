@@ -242,3 +242,43 @@ def test_incremental_microbatches_with_watermark(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Genuine two-stream interval join: clicks and purchases stream from
+    the file-replay source, both watermarked, joined on user + 1 h bound in
+    append mode — pair count must equal the registered batch form."""
+    from apache_iceberg_demo_spark.registry import QUERIES
+    from apache_iceberg_demo_spark.streaming.windows import event_stream_source
+
+    batch = QUERIES["b9_stream_stream_interval_join"](spark, SF).collect()[0]
+
+    src = event_stream_source(spark, SF)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    assert got == batch.n_pairs
