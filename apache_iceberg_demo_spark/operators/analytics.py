@@ -578,3 +578,207 @@ def b4_rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "b3_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'REGION_2'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def b3_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q5 shape): revenue where customer and supplier share a
+    nation, per nation of one region — the join graph closes a cycle
+    (customer⋈supplier on nationkey THROUGH the lineitem⋈orders spine).
+
+    Spark-first: the cycle edge (c_nationkey = s_nationkey) rides as a
+    residual on the supplier broadcast join instead of forcing a second
+    fact shuffle; nation⋈region collapses to a broadcast semi-filter before
+    it ever touches the facts."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_2")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        "left_semi",
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "b4_revenue_delta_forecast",
+    oracle="""
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def b4_revenue_delta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q6 shape): forgone revenue if small-quantity discounts were
+    dropped — pure scan+filter+global agg, the canonical pushdown probe.
+
+    All three predicates push into the parquet scan (row-group min/max skip
+    at 100 TB); no shuffle at all — partial agg per split, one tiny final."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue_delta")
+        )
+    )
+
+
+@register(
+    "b3_returned_item_reporting",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               round(c.c_acctbal, 6) AS c_acctbal,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def b3_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q10 shape): top-20 customers by returned-merchandise revenue
+    in a quarter — fact⋈fact⋈dim⋈dim with a top-k on an aggregate.
+
+    Spark-first: returnflag + order-date filters prune both fact scans below
+    the join; customer/nation broadcast; the final ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (no global sort of the aggregate). Ties can't flap
+    the cut: revenue is an exact DECIMAL sum and c_custkey breaks the rest."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "b2_small_quantity_avg_correlated",
+    oracle="""
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def b2_small_quantity_avg_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q17 shape): revenue from orders below 20% of a part's
+    average quantity — correlated scalar aggregate over the SAME fact table.
+
+    Spark-first: the correlated subquery de-correlates to a per-part average
+    (one aggregate of lineitem) joined back on partkey — both sides share the
+    l_partkey shuffle, so AQE reuses one exchange; the brand filter prunes
+    via the broadcast part dim BEFORE the per-part average is joined. Money
+    sum accumulates in DECIMAL (result magnitude ~1e6 but per-part sums are
+    summation-order-sensitive at round-6 otherwise)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    per_part_avg = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        branded.join(per_part_avg, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
