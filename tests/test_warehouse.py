@@ -365,3 +365,40 @@ def test_merge_into_partitioned_rewrites_only_touched(spark, wh):
     extra = li.limit(50).withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
     wh.append("t", extra.drop(pcol) if pcol in extra.columns else extra)
     assert wh.read("t").count() == li.count() + 50
+
+
+def test_incremental_read_returns_only_appended_rows(spark, wh):
+    li = _lineitem(spark).drop("ship_day")
+    first = li.filter(F.col("l_linenumber") <= 2)
+    second = li.filter(F.col("l_linenumber").isin(3, 4))
+    third = li.filter(F.col("l_linenumber") > 4)
+    wh.create_or_replace("t", first)
+    wh.append("t", second)
+    wh.append("t", third)
+
+    # window (1 -> 3] = snapshots 2+3's added files only
+    inc = wh.read_incremental("t", from_snapshot_id=1)
+    assert inc.count() == second.count() + third.count()
+    # bounded window (1 -> 2]
+    inc12 = wh.read_incremental("t", from_snapshot_id=1, to_snapshot_id=2)
+    assert inc12.count() == second.count()
+    # empty window (same snapshot) -> zero rows, schema intact
+    empty = wh.read_incremental("t", from_snapshot_id=3, to_snapshot_id=3)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(li.columns)
+    # where-pushdown applies to the added files only
+    filt = wh.read_incremental("t", 1, where="l_linenumber = 3")
+    assert filt.count() == li.filter(F.col("l_linenumber") == 3).count()
+
+
+def test_incremental_read_refuses_rewrite_in_window(spark, wh):
+    li = _lineitem(spark).drop("ship_day")
+    wh.create_or_replace("t", li.filter(F.col("l_linenumber") <= 3))
+    wh.append("t", li.filter(F.col("l_linenumber") == 4))
+    wh.rewrite_data_files("t", target_file_mb=1)  # replace snapshot 3
+    with pytest.raises(ValueError, match="double-count"):
+        wh.read_incremental("t", from_snapshot_id=1)
+    # but a window that ends before the rewrite is fine
+    assert wh.read_incremental("t", 1, to_snapshot_id=2).count() == li.filter(
+        F.col("l_linenumber") == 4
+    ).count()
