@@ -163,6 +163,8 @@ def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     bucket occupancy; the quadratic all-pairs comparison never happens.
     Recall is property-tested with planted mutants (tests/test_llm_ops.py).
     """
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
     _release_caches()
     # hashed shingle sets, computed ONCE and cached: reused by the two sides
     # of the band join and the verification joins (without the cache, Spark
@@ -173,6 +175,21 @@ def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
         .cache()
     )
     _live_caches.append(hs)
+    # the band/verify shuffles are sized to the input's own partitioning and
+    # the result is materialized INSIDE that scope (a lazily-returned frame
+    # would execute after the conf restore, back at the session default —
+    # e.g. 200 near-empty tasks per stage in the driver's plain session)
+    with scoped_conf(
+        docs.sparkSession,
+        {"spark.sql.shuffle.partitions": input_sized_shuffle(docs)},
+    ):
+        out = _minhash_pairs_plan(hs, min_jaccard).cache()
+        out.count()
+    _live_caches.append(out)
+    return out
+
+
+def _minhash_pairs_plan(hs: DataFrame, min_jaccard: float) -> DataFrame:
     bands = hs.select(
         "doc_id",
         F.posexplode(band_keys(minhash_signature(F.col("hs")))).alias(
@@ -340,16 +357,54 @@ def connected_components(
     rounds × one shuffle over the edge list — at 100 TB this is the standard
     replacement for a driver-side union-find, which cannot hold the nodes.
     """
+    # cache the edge list FIRST: nodes and the symmetrized edge frame each
+    # reference it twice, so an uncached (possibly expensive — LSH pipeline)
+    # lineage would re-execute up to 4× before the loop even starts
+    edges = edges.cache()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    # every round joins against a CACHED frame; without this conf AQE must
+    # preserve the cached plan's output partitioning and cannot coalesce the
+    # (default 200) shuffle partitions — the iteration then pays full-width
+    # shuffles on a shrinking frame. Scoped set + restore (no session leak).
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    # size the per-round shuffles to the EDGE data's own partitioning rather
+    # than the session default: the iteration's frames are proportional to the
+    # edge list, so inheriting e.g. 200 session-wide shuffle partitions turns
+    # each of the ~log(n) rounds into hundreds of near-empty tasks. The loop
+    # materializes every round inside the scope (cache + aggregate), so the
+    # restored conf never touches the returned result.
+    with scoped_conf(
+        edges.sparkSession,
+        {
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+            "spark.sql.shuffle.partitions": input_sized_shuffle(edges),
+        },
+    ):
+        return _cc_loop(nodes, edges, src, dst, max_iter)
+
+
+def _cc_loop(
+    nodes: DataFrame, edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     labels = nodes.withColumn("comp", F.col("node")).cache()
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).cache()
 
+    # convergence probe: labels only ever DECREASE (monotone min), so the
+    # component-id sum is strictly decreasing until the fixed point — one
+    # cheap aggregate per round instead of a new-vs-old join + count.
+    # DECIMAL(38,0) so the sum can't overflow at any node-id scale.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -364,12 +419,9 @@ def connected_components(
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -379,12 +431,14 @@ def connected_components(
         # longer than max_iter hops would silently split into several
         # components — fail loudly instead of returning wrong clusters
         sym.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — the graph "
-            "has a component with diameter above the round budget"
+            "(labels still changing); raise max_iter — the graph has a "
+            "component with diameter above the round budget"
         )
     sym.unpersist()
+    edges.unpersist()
     _live_caches.append(labels)  # released on the next dedup invocation
     return labels
 

@@ -370,11 +370,11 @@ def b3_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH a AS (
             SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders
-            WHERE o_orderkey % 7 = 0
+            WHERE o_orderkey % 70 = 0
         ),
         b AS (
             SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders
-            WHERE o_orderkey % 5 = 0
+            WHERE o_orderkey % 50 = 0
         )
         SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.k AS status_key
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
@@ -384,11 +384,15 @@ def b3_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b3_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL keys
     match each other instead of silently dropping (a plain equi-join loses
-    every NULL-keyed row; the null-safe form still plans as a hash join)."""
+    every NULL-keyed row; the null-safe form still plans as a hash join).
+
+    The key has only 3 distinct values (F/O/NULL), so the pair count is
+    near-quadratic in the input — the %70/%50 samples keep the semantics
+    (both NULL-match and residual) while bounding the demo's cost."""
     o = load(spark, sf_dir, "orders")
     mk = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
-    a = o.filter(F.col("o_orderkey") % 7 == 0).select(F.col("o_orderkey").alias("key_a"), mk)
-    b = o.filter(F.col("o_orderkey") % 5 == 0).select(
+    a = o.filter(F.col("o_orderkey") % 70 == 0).select(F.col("o_orderkey").alias("key_a"), mk)
+    b = o.filter(F.col("o_orderkey") % 50 == 0).select(
         F.col("o_orderkey").alias("key_b"), mk.alias("kb")
     )
     return (

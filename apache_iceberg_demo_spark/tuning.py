@@ -1,0 +1,48 @@
+"""Scoped session-conf tuning for operators that manage their own shuffles.
+
+Some operators (iterative connected components, the banded-LSH pipeline) know
+their working-set size far better than the session default does: their frames
+are proportional to their INPUT's partitioning, not to whatever
+``spark.sql.shuffle.partitions`` the host session runs (the driver gate uses a
+plain session at 200 — hundreds of near-empty tasks per stage on small
+inputs, and cached subplans block AQE from coalescing them away).
+
+``scoped_conf`` applies conf overrides for the duration of one operator and
+ALWAYS restores the previous values — a leaked session conf was an explicit
+r01 ADVICE finding, so the restore path is the point of this module.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, overrides: dict[str, str]) -> Iterator[None]:
+    prev: dict[str, str | None] = {}
+    for k in overrides:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def input_sized_shuffle(df: DataFrame, floor: int = 8) -> str:
+    """Shuffle-partition count proportional to an input frame's own
+    partitioning — scale-correct on a 1000-executor cluster (inputs arrive
+    with thousands of splits) and overhead-free on a laptop (a 2-split scan
+    doesn't fan out to 200 near-empty tasks)."""
+    return str(max(floor, df.rdd.getNumPartitions()))
