@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from apache_iceberg_demo_spark.io import load
 from apache_iceberg_demo_spark.registry import register
 
+# result cache from the most recent eagerly-materialized operator (language
+# ID); the next invocation releases it so repeated driver/bench runs don't
+# accumulate executor storage (same pattern as operators/dedup.py).
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
 #: the synthetic corpus's function words (FIXTURES.md: query/engine vocabulary)
 STOPWORDS = ("a", "the")
 
@@ -192,7 +202,12 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # cached: the exploded bigrams feed BOTH the profile pass and the
-    # classify pass — without the cache the explode pipeline runs twice
+    # classify pass — without the cache the explode pipeline runs twice.
+    # The whole two-pass model runs under an input-sized shuffle scope and is
+    # materialized inside it (see tuning.py), then the intermediate cache is
+    # released — the result cache is the only thing kept.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
     db = d.select("doc_id", "lang", F.explode(bigrams).alias("bg")).cache()
     profile = (
         db.groupBy("lang", "bg")
@@ -210,7 +225,7 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("profile_lang"))
-    return (
+    result = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
@@ -220,6 +235,15 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits",
         )
     )
+    _release_caches()
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
+    ):
+        result = result.cache()
+        result.count()
+    db.unpersist()
+    _live_caches.append(result)
+    return result
 
 
 @register("c5_fingerprint_winnow")  # rows-only: rolling-hash winnowing

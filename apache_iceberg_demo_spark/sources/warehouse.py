@@ -797,16 +797,31 @@ def _cmp_holds(_v, op: str, lit, mn, mx) -> bool:
 from apache_iceberg_demo_spark.registry import register  # noqa: E402
 
 
-def _demo_warehouse(spark: SparkSession, sf_dir: str) -> tuple["Warehouse", str]:
-    """Build a throwaway warehouse with 2 snapshots of lineitem (replace+append)."""
+_demo_cache: dict[tuple[str, str], tuple["Warehouse", str]] = {}
+
+
+def _demo_warehouse(
+    spark: SparkSession, sf_dir: str, mutable: bool = False
+) -> tuple["Warehouse", str]:
+    """Build a demo warehouse with 2 snapshots of lineitem (replace+append).
+
+    Read-only callers share one instance per (session, sf_dir) — the build
+    costs several write jobs + a manifest walk, and four registered queries
+    need it. Callers that COMMIT (compaction, merge) pass ``mutable=True``
+    and get a private copy so the shared snapshots stay stable."""
     from apache_iceberg_demo_spark.io import load, scratch_dir
 
+    key = (str(id(spark)), sf_dir)
+    if not mutable and key in _demo_cache:
+        return _demo_cache[key]
     tmp = scratch_dir("wh_q_", unique=True)
     wh = Warehouse(spark, tmp)
     li = load(spark, sf_dir, "lineitem").limit(3000)
     base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
     wh.create_or_replace("lineitem_v", base.filter(F.col("l_linenumber") <= 4), "ship_day")
     wh.append("lineitem_v", base.filter(F.col("l_linenumber") > 4))
+    if not mutable:
+        _demo_cache[key] = (wh, "lineitem_v")
     return wh, "lineitem_v"
 
 
@@ -834,7 +849,7 @@ def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c6_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: rewrite_data_files compaction + expire_snapshots GC — data
     identical before/after, file count reduced, expired files removed."""
-    wh, t = _demo_warehouse(spark, sf_dir)
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
     before_files = wh.files(t).count()
     before_rows = wh.read(t).count()
     wh.rewrite_data_files(t, target_file_mb=128)
