@@ -322,3 +322,128 @@ def c3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- k-means clustering (semantic curation: semdedup / diversity sampling) ---
+
+
+def _sq_l2(emb: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid (JVM-side fold)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    emb_df: DataFrame, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, float]:
+    """Distributed Lloyd's k-means over an (vec_id, embedding) frame.
+
+    Returns (assignments frame with ``cluster`` + ``dist2``, final inertia).
+
+    Scale design: centroids are the ONLY driver-side state — k×dim floats
+    (bounded, independent of corpus size), rebroadcast as literal arrays each
+    round, exactly how IVF coarse quantizers ship with the query plan. Each
+    iteration is one scan: assignment is a k-way JVM fold per row, the
+    centroid update is posexplode → (cluster, dim) partial-avg — a shuffle of
+    k×dim running sums per partition, not of the vectors. Deterministic init:
+    the k vectors with the smallest xxhash64(vec_id) (hash-seeded, no RNG, so
+    results are reproducible across runs and partitionings).
+    """
+    emb = emb_df.select("vec_id", "embedding").cache()
+    try:
+        seed_rows = (
+            emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(k).collect()
+        )
+        centroids = [[float(v) for v in r.embedding] for r in seed_rows]
+        assigned = None
+        for _ in range(iters):
+            dists = F.array(*[_sq_l2(F.col("embedding"), c) for c in centroids])
+            assigned = emb.select(
+                "vec_id",
+                "embedding",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+                F.array_min(dists).alias("dist2"),
+            )
+            # k×dim running means — tiny, collected to rebuild the literals
+            upd = (
+                assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            new_c = {(r.cluster): dict() for r in upd}
+            for r in upd:
+                new_c[r.cluster][r.pos] = r.m
+            centroids = [
+                [new_c[ci][p] for p in range(len(centroids[0]))]
+                if ci in new_c
+                else centroids[ci]  # empty cluster keeps its old centroid
+                for ci in range(k)
+            ]
+        inertia = assigned.agg(F.sum("dist2")).collect()[0][0]
+        return assigned.select("vec_id", "cluster", "dist2"), float(inertia)
+    finally:
+        emb.unpersist()
+
+
+@register("c3_kmeans_embeddings")  # rows-only: iterative algorithm, not ANSI SQL
+def c3_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: k-means clusters over the embedding corpus — the curation
+    primitive behind semantic dedup (drop near-identical members inside a
+    cluster) and diversity-stratified sampling of training data.
+
+    Output: per-cluster size + mean squared distance (compact, scale-free).
+    Convergence (inertia strictly non-increasing over Lloyd iterations) is
+    property-tested in tests/test_llm_ops.py."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_assign(e, k=8, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("c3_semantic_dedup")  # rows-only: built on the iterative k-means
+def c3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: SemDeDup-style semantic dedup — cluster the embedding space, then
+    drop near-identical members WITHIN each cluster (cosine ≥ 0.95 keeps the
+    min vec_id).
+
+    The clustering is what makes this 100 TB-viable: the quadratic pairwise
+    check runs per cluster (bounded by cluster occupancy), never across the
+    corpus — same blocking idea as banded LSH, but in embedding space
+    (public SemDeDup recipe: Abbas et al., 2023). Output is per-cluster
+    keep/drop counts."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_assign(e, k=8, iters=2)
+    withc = e.join(assigned.select("vec_id", "cluster"), "vec_id")
+    a = withc.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = withc.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    dup_pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.95)
+    )
+    dropped = dup_pairs.select("cluster", F.col("id_b").alias("vec_id")).distinct()
+    return (
+        withc.join(dropped.withColumn("is_dup", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count("is_dup").alias("n_dropped"),
+            (F.count("*") - F.count("is_dup")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

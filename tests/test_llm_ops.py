@@ -165,3 +165,20 @@ def test_registered_c2_ops_run_on_real_corpus(spark):
         df = registry.QUERIES[name](spark, SF)
         assert df.count() >= 0
         assert len(df.schema) == 3 or name == "c2_dedup_clusters"
+
+
+def test_kmeans_inertia_decreases_and_partitions(spark):
+    """Lloyd's must not increase inertia; assignment partitions the corpus."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.operators.similarity import kmeans_assign
+
+    e = load(spark, SF, "embeddings")
+    total = e.count()
+    _, i1 = kmeans_assign(e, k=4, iters=1)
+    assigned, i3 = kmeans_assign(e, k=4, iters=3)
+    assert i3 <= i1 + 1e-9
+    assert assigned.count() == total
+    assert assigned.select("cluster").distinct().count() <= 4
+    # deterministic: same input -> same assignment
+    again, i3b = kmeans_assign(e, k=4, iters=3)
+    assert abs(i3 - i3b) < 1e-9
