@@ -176,3 +176,59 @@ def b10_udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_ids, "bigram": out_bgs})
 
     return d.mapInPandas(bigrams, schema="doc_id bigint, bigram string")
+
+
+@register(
+    "b10_map_in_arrow_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_arrow
+        FROM documents
+    """,
+)
+def b10_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: ``mapInArrow`` — the zero-copy tier below mapInPandas: RecordBatch
+    in, RecordBatch out, no pandas conversion at all. The right tier for
+    kernels that already speak Arrow (tokenizers, codecs); per-batch cost is
+    pure pyarrow.compute, oracle-verified against the SQL equivalent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64()),
+                    pc.utf8_length(text).cast(pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars_arrow"],
+            )
+
+    return d.mapInArrow(
+        stats, schema="doc_id bigint, n_tokens bigint, n_chars_arrow bigint"
+    )
+
+
+@register(
+    "b10_arrow_scalar_udf",
+    oracle="""
+        SELECT p_partkey,
+               round(p_retailprice * 1.1, 2) AS uplift_price
+        FROM part
+        WHERE p_size >= 40
+    """,
+)
+def b10_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: Arrow-optimized scalar Python UDF (``F.udf(useArrow=True)``,
+    Spark 3.5+) — row signature like a classic UDF but Arrow-batched
+    transport, the drop-in upgrade path for legacy row UDFs that can't be
+    rewritten as pandas_udf. Pinned to a filtered dimension; the oracle
+    verifies values end-to-end."""
+    uplift = F.udf(lambda p: round(p * 1.1, 2), T.DoubleType(), useArrow=True)
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select("p_partkey", uplift("p_retailprice").alias("uplift_price"))
