@@ -520,3 +520,118 @@ def c5_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_pretrain_data_prep",
+    oracle="""
+        WITH dedup AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn = 1
+        ),
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 7),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM words WHERE len(w) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT gr.doc_id
+            FROM grams gr JOIN bench b ON gr.g = b.g
+            WHERE gr.doc_id % 97 <> 0
+        ),
+        clean AS (
+            SELECT d.doc_id, d.lang,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM dedup d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+            WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+              AND len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
+              AND d.lang IN ('en', 'de', 'fr', 'es')
+        ),
+        packed AS (
+            SELECT lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT)
+                       AS pack_id
+            FROM clean
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_pretrain_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining data prep in ONE declarative plan, fully
+    oracle-paired: exact dedup (md5 keeper) → benchmark n-gram
+    decontamination → quality gates (token bounds, language allowlist) →
+    512-token sequence packing → per-language corpus stats.
+
+    Every stage is the scale-safe form of its standalone operator: the dedup
+    window shuffles (16-byte key, id); benchmark grams broadcast; the packing
+    window is bounded per language shard. Composing them in one plan lets
+    Catalyst pipeline the filters into the dedup scan — the whole prep is
+    two shuffles (md5 window, lang window) plus one broadcast join, end to
+    end. This is the "could a reference user run their pipeline here"
+    flagship for the LLM-data story."""
+    d = load(spark, sf_dir, "documents")
+    # stage 1: exact dedup, deterministic keeper
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    dedup = d.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    # stage 2: decontamination (grams from the RAW corpus — the benchmark set
+    # must not be affected by dedup), staged split to avoid O(n²) inlining
+    k = 8
+    staged = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    grams_expr = F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = staged.select("doc_id", grams_expr.alias("grams"))
+    bench = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        with_grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), on="g", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # stage 3: quality + language gates
+    clean = (
+        dedup.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, on="doc_id", how="left_anti")
+        .select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .filter(F.col("n_tokens").between(20, 1000))
+        .filter(F.col("lang").isin("en", "de", "fr", "es"))
+    )
+    # stage 4: 512-token packing per language
+    pw = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = clean.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(pw) - F.col("n_tokens")) / 512).cast("bigint"),
+    )
+    return packed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    ).orderBy("lang")
