@@ -203,3 +203,70 @@ def b5_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "b5_gap_fill_forward",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 6) AS v
+            FROM events
+            WHERE user_id % 50 = 0
+            GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT s.user_id,
+                   unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans s
+        )
+        SELECT g.user_id,
+               CAST(g.hour AS TIMESTAMP) AS hour,
+               coalesce(h.n, 0) AS n_events,
+               last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING) AS filled_value
+        FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+        ORDER BY user_id, hour
+    """,
+)
+def b5_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 (hypertable gap-fill shape): densify each user's hourly series over
+    its own [min, max] span and forward-fill missing values (LOCF) — the
+    time-series primitive behind `time_bucket_gapfill` / `locf`.
+
+    Spark-first: the dense grid is `sequence(min, max, interval 1 hour)` +
+    explode — generated distributed, per user, never on the driver; the fill
+    is one `last(v, ignorenulls=True)` window per user. Two shuffles total
+    (hourly agg, user window; the span agg reuses the hourly partitioning).
+    Grid size is bounded per user by its own span, so a 100 TB corpus fans
+    out rows proportionally to (users × span), each partition independent."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour")
+    )
