@@ -782,3 +782,51 @@ def b2_small_quantity_avg_correlated(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("avg_yearly")
         )
     )
+
+
+@register(
+    "b2_sql_api_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def b2_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q3 shape, raw-SQL surface): the engine's ``spark.sql`` entry
+    point — temp views over the parquet tables, then the literal SQL text.
+
+    Same Catalyst plan as the DataFrame form (views are lazy aliases, filters
+    still push to the scans, dims still broadcast) — registered to prove the
+    SQL front door end-to-end, since every other query exercises the
+    DataFrame front door. Views are per-session temp objects; registration is
+    idempotent."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
