@@ -128,3 +128,31 @@ def test_exists_late_shipment_is_semi_join(spark):
     df = registry.QUERIES["b2_exists_late_shipment"](spark, SF)
     strategies = join_strategies(df)
     assert len(strategies) == 1, strategies
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning (session.py enables it): a selective
+    dim filter must inject `might_contain(bloom_filter_agg(...))` into the
+    FACT side's filter — the scan-side reduction that makes non-broadcast
+    star joins viable at 100 TB. Forced to a shuffle join here (broadcast
+    disabled) because broadcast joins don't need the bloom."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.tuning import scoped_conf
+
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        },
+    ):
+        li = load(spark, SF, "lineitem").select("l_partkey", "l_quantity")
+        p = load(spark, SF, "part").filter(F.col("p_size") == 1).select("p_partkey")
+        df = li.join(p, li.l_partkey == p.p_partkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt and "bloom_filter_agg" in opt, opt[:500]
