@@ -133,3 +133,65 @@ def c4_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frame_bytes", F.encode("frame", "utf-8"))
         .select("doc_id", "frame_idx", F.length("frame_bytes").cast("bigint").alias("frame_len"))
     )
+
+
+@register("c4_phash_near_dup")  # rows-only: hash-family internals not ANSI SQL
+def c4_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: perceptual-hash near-dup over the binary modality — the image-
+    dedup stage of a multimodal training pipeline.
+
+    A real pipeline computes pHash/dHash from decoded pixels; with codecs
+    stubbed, a deterministic 64-bit signature over 8 content stripes of the
+    BLOB stands in (same bit-banding math either way — the Spark plumbing is
+    what's under test). Pigeonhole banding on 4×16-bit chunks guarantees
+    recall for hamming ≤ 3, exactly like SimHash text dedup
+    (operators/dedup.py) — the join is equi on chunk values, never O(n²) in
+    the corpus, and blobs never enter the shuffle (64-bit signatures only)."""
+    m = multimodal_table(spark, sf_dir)
+    # 8 stripes × 8 bits: stripe k's byte-slice hash contributes one byte
+    stripe = lambda k: F.xxhash64(  # noqa: E731
+        F.substring(F.col("image"), k * 16 + 1, 16), F.lit(k)
+    )
+    sig = F.lit(0).cast("bigint")
+    for k in range(8):
+        sig = sig.bitwiseXOR(F.shiftleft(F.pmod(stripe(k), F.lit(256)), k * 8))
+    sigs = m.select("doc_id", sig.alias("phash"))
+    chunks = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("phash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "phash", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -182,3 +182,25 @@ def test_kmeans_inertia_decreases_and_partitions(spark):
     # deterministic: same input -> same assignment
     again, i3b = kmeans_assign(e, k=4, iters=3)
     assert abs(i3 - i3b) < 1e-9
+
+
+def test_phash_detects_exact_blob_duplicates(spark):
+    """Identical blobs hash identically — every exact text-duplicate pair
+    must appear in the phash near-dup output with hamming 0."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.registry import QUERIES
+
+    d = load(spark, SF, "documents")
+    dup_groups = (
+        d.groupBy(F.md5("text").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    expected_pairs = sum(r.n * (r.n - 1) // 2 for r in dup_groups)
+    got = (
+        QUERIES["c4_phash_near_dup"](spark, SF)
+        .filter(F.col("hamming") == 0)
+        .count()
+    )
+    assert got >= expected_pairs, (got, expected_pairs)
