@@ -148,7 +148,15 @@ def c1_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _live_caches: list[DataFrame] = []
 
 
+#: memoized LSH pair results for the registered documents-table op, keyed by
+#: sf_dir — c2_dedup_clusters consumes c2_minhash's pairs, and without the
+#: memo the whole LSH pipeline (the most expensive plan in the repo) would
+#: re-run inside the same process. Cleared with the caches it points into.
+_pairs_memo: dict[str, DataFrame] = {}
+
+
 def _release_caches() -> None:
+    _pairs_memo.clear()
     while _live_caches:
         _live_caches.pop().unpersist()
 
@@ -227,9 +235,15 @@ def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Thin registration wrapper over :func:`minhash_lsh_pairs` — the operator
     dedups the REAL table (no synthetic planting in the production path;
-    recall on planted mutants is asserted in tests instead).
+    recall on planted mutants is asserted in tests instead). The materialized
+    pair set is memoized per sf_dir so a same-process consumer
+    (c2_dedup_clusters) reuses it instead of re-running the LSH pipeline.
     """
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    if sf_dir in _pairs_memo:
+        return _pairs_memo[sf_dir]
+    out = minhash_lsh_pairs(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    _pairs_memo[sf_dir] = out
+    return out
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
