@@ -49,9 +49,14 @@ N_BANDS = 16  # r = 2 rows/band → P(candidate | j=0.6) ≈ 0.999; false candid
 _FAMILY = _hash_family(N_HASHES)
 
 
-def shingles(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as a distinct array (JVM-side, no UDF)."""
-    words = F.split(text_col, r"\s+")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED words column.
+
+    ``words`` must be a bound column (not a `split()` expression): it appears
+    inside the transform lambda, and Catalyst inlines lambda-captured
+    expressions PER ELEMENT — an inlined split would re-tokenize the document
+    ~3×|positions| times (the O(n²) trap measured on c5_fingerprint_winnow;
+    fixed here r02: 6.3 s → sub-second per sf0.1 pass)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -63,10 +68,52 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as a distinct array (JVM-side, no UDF).
+
+    NOTE: evaluates `split()` inside the transform lambda — acceptable for
+    tests and one-off expressions, but hot paths must stage the split into
+    its own projection and call :func:`shingles_from_words` (see why there)."""
+    return shingles_from_words(F.split(text_col, r"\s+"), n)
+
+
 def hashed_shingles(shingle_col: Column) -> Column:
     """Hash each shingle string ONCE to a 32-bit value; the k minhash
     functions then run on integers (32 string-hash passes would dominate)."""
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(2**32)))
+
+
+def hashed_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs): 32-bit hashed word-n-gram shingle sets — the production
+    shingle path.
+
+    Spark higher-order functions evaluate INTERPRETED (no whole-stage
+    codegen), so per-element work must be minimal: instead of building
+    n-gram STRINGS and hashing them (one concat_ws + xxhash64 per position —
+    measured 6.3 s/5k docs), hash each word once, then combine the n
+    word-hashes per position with two arithmetic `zip_with` passes over
+    shifted slices (rolling polynomial mix, ~0.6 s/5k docs — 10×). The
+    resulting hash family differs from hashing the strings, which is
+    irrelevant to MinHash/Jaccard: any fixed deterministic 32-bit shingle
+    hash works. Documents shorter than n words have no full n-gram and drop
+    out (they can only be exact dups, which C1 catches)."""
+    m32 = F.lit(2**32)
+    staged = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("words"))
+    wh = staged.select(
+        "doc_id",
+        F.transform("words", lambda w: F.pmod(F.xxhash64(w), m32)).alias("wh"),
+    ).filter(F.size("wh") >= n)
+    n_sh = F.size("wh") - (n - 1)
+    mixed = F.slice("wh", 1, n_sh)
+    for j in range(1, n):
+        mixed = F.zip_with(
+            mixed,
+            F.slice("wh", j + 1, n_sh),
+            lambda m, c: F.pmod(m * F.lit(1000003) + c, m32),
+        )
+    return wh.select("doc_id", F.array_distinct(mixed).alias("hs")).filter(
+        F.size("hs") > 0
+    )
 
 
 def minhash_signature(hashed_col: Column) -> Column:
@@ -177,11 +224,7 @@ def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # hashed shingle sets, computed ONCE and cached: reused by the two sides
     # of the band join and the verification joins (without the cache, Spark
     # re-derives the whole shingle+hash pipeline for every self-join branch)
-    hs = (
-        docs.select("doc_id", hashed_shingles(shingles(F.col("text"))).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .cache()
-    )
+    hs = hashed_word_shingles(docs).cache()
     _live_caches.append(hs)
     # the band/verify shuffles are sized to the input's own partitioning and
     # the result is materialized INSIDE that scope (a lazily-returned frame
