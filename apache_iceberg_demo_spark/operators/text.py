@@ -195,11 +195,12 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     chars = F.split(F.regexp_replace("text", r"\s+", "_"), "")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(chars) - 2),
-        lambda i: F.concat(
-            F.element_at(chars, (i + 1).cast("int")), F.element_at(chars, (i + 2).cast("int"))
-        ),
+    # zip_with over shifted slices, not transform-over-sequence+element_at:
+    # HOFs evaluate interpreted, so one cheap lambda per position beats two
+    # indexed lookups (same trick as dedup.hashed_word_shingles)
+    n1 = F.size(chars) - 1
+    bigrams = F.zip_with(
+        F.slice(chars, 1, n1), F.slice(chars, 2, n1), lambda a, b: F.concat(a, b)
     )
     # cached: the exploded bigrams feed BOTH the profile pass and the
     # classify pass — without the cache the explode pipeline runs twice.
