@@ -255,22 +255,34 @@ def c5_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     All array ops JVM-side; fingerprints are compact (≪ text size)."""
     k, w = 4, 5
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams_expr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
-        ),
+    # HOFs are interpreted (CLAUDE.md): k-gram hashes come from one word-hash
+    # pass + rolling arithmetic mixes over shifted slices, and the sliding
+    # window minimum is w-1 zip_with/least passes — both linear in positions
+    # with cheap per-element lambdas (the transform+element_at string form
+    # this replaced cost ~10× more; the gram array is still staged in its own
+    # projection so the window pass reads a column, not the gram pipeline)
+    m32 = F.lit(2**32)
+    staged0 = d.select("doc_id", F.split("text", " ").alias("wd"))
+    wh = F.transform("wd", lambda t: F.pmod(F.xxhash64(t), m32))
+    staged1 = staged0.select("doc_id", wh.alias("wh")).filter(F.size("wh") >= k)
+    ng = F.size("wh") - (k - 1)
+    mixed = F.slice("wh", 1, ng)
+    for j in range(1, k):
+        mixed = F.zip_with(
+            mixed,
+            F.slice("wh", j + 1, ng),
+            lambda m, c: F.pmod(m * F.lit(1000003) + c, m32),
+        )
+    staged = staged1.select("doc_id", mixed.alias("grams")).filter(
+        F.size("grams") >= w
     )
-    # materialize the gram-hash array in its own projection: inlining it into
-    # the sliding-window transform would re-evaluate ALL k-gram hashes for
-    # every window position (O(n²) hashing — measured 68s → ~1s at sf0.01)
-    staged = d.select("doc_id", grams_expr.alias("grams"))
     grams = F.col("grams")
-    windows_min = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
-        lambda i: F.array_min(F.slice(grams, (i + 1).cast("int"), w)),
-    )
+    nw = F.size(grams) - (w - 1)
+    windows_min = F.slice(grams, 1, nw)
+    for j in range(1, w):
+        windows_min = F.zip_with(
+            windows_min, F.slice(grams, j + 1, nw), lambda a, b: F.least(a, b)
+        )
     staged2 = staged.select("doc_id", F.array_distinct(windows_min).alias("fp"))
     return staged2.select(
         "doc_id",
