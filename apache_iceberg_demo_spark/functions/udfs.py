@@ -218,7 +218,7 @@ def b10_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b10_arrow_scalar_udf",
     oracle="""
         SELECT p_partkey,
-               round(p_retailprice * 1.1, 2) AS uplift_price
+               round(p_retailprice * 1.1, 6) AS uplift_price
         FROM part
         WHERE p_size >= 40
     """,
@@ -228,7 +228,11 @@ def b10_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 3.5+) — row signature like a classic UDF but Arrow-batched
     transport, the drop-in upgrade path for legacy row UDFs that can't be
     rewritten as pandas_udf. Pinned to a filtered dimension; the oracle
-    verifies values end-to-end."""
-    uplift = F.udf(lambda p: round(p * 1.1, 2), T.DoubleType(), useArrow=True)
+    verifies values end-to-end. Round-6, not round-2: a 2-decimal price × 1.1
+    can land EXACTLY on a 2-decimal midpoint where Python (banker's on the
+    binary double) and DuckDB (decimal half-up) disagree; no product of a
+    finite double is exactly representable at the 6th decimal, so round-6 is
+    the engine-stable form (float discipline, CLAUDE.md)."""
+    uplift = F.udf(lambda p: round(p * 1.1, 6), T.DoubleType(), useArrow=True)
     p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     return p.select("p_partkey", uplift("p_retailprice").alias("uplift_price"))

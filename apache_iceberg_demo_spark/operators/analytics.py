@@ -811,8 +811,9 @@ def b2_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL front door end-to-end, since every other query exercises the
     DataFrame front door. Views are per-session temp objects; registration is
     idempotent."""
-    for t in ("customer", "orders", "lineitem"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l.l_orderkey,

@@ -489,6 +489,7 @@ def _cc_loop(
         # components — fail loudly instead of returning wrong clusters
         sym.unpersist()
         edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(labels still changing); raise max_iter — the graph has a "

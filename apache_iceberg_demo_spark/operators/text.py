@@ -450,6 +450,47 @@ def c5_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_ngrams(d: DataFrame, k: int = 8, extra_cols: list[str] | None = None) -> DataFrame:
+    """(doc_id, [extra_cols...], grams): per-doc DISTINCT word k-gram arrays.
+
+    The split is staged in its own projection so the n-gram transform
+    references a bound column, not the split() expression (Catalyst inlines
+    lambda-captured expressions per element — the O(n²) trap). Shared by the
+    standalone decontamination operator and the pretrain-prep pipeline so the
+    gram construction can't silently diverge between them."""
+    cols = ["doc_id", *(extra_cols or [])]
+    staged = d.select(*cols, F.split("text", " ").alias("w"))
+    w = F.col("w")
+    grams_expr = F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(*cols, grams_expr.alias("grams"))
+
+
+def _contaminated_doc_ids(with_grams: DataFrame) -> DataFrame:
+    """(doc_id): corpus docs sharing any gram with the benchmark set
+    (``doc_id % 97 = 0``). Benchmark grams are DISTINCT-deduped and broadcast;
+    the corpus side hits them with a LEFT SEMI join — corpus never shuffles."""
+    bench = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    return (
+        with_grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), on="g", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @register(
     "c5_decontaminate_ngram_overlap",
     oracle="""
@@ -496,32 +537,9 @@ def c5_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     its own projection so the n-gram transform references a column, not the
     split() expression — inlining would re-split per gram (O(n²))."""
     d = load(spark, sf_dir, "documents")
-    k = 8
-    staged = d.select("doc_id", "source", F.split("text", " ").alias("w"))
-    w = F.col("w")
-    grams_expr = F.when(
-        F.size(w) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - k),
-                lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), k), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    with_grams = staged.select("doc_id", "source", grams_expr.alias("grams"))
-    bench_grams = (
-        with_grams.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-    )
+    with_grams = _doc_ngrams(d, extra_cols=["source"])
     corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
-    contaminated = (
-        corpus.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), on="g", how="left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    contaminated = _contaminated_doc_ids(with_grams).withColumn("hit", F.lit(1))
     return (
         corpus.select("doc_id", "source")
         .join(contaminated, on="doc_id", how="left")
@@ -601,32 +619,8 @@ def pipeline_pretrain_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
     dedup = d.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
     # stage 2: decontamination (grams from the RAW corpus — the benchmark set
-    # must not be affected by dedup), staged split to avoid O(n²) inlining
-    k = 8
-    staged = d.select("doc_id", F.split("text", " ").alias("w"))
-    w = F.col("w")
-    grams_expr = F.when(
-        F.size(w) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - k),
-                lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), k), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    with_grams = staged.select("doc_id", grams_expr.alias("grams"))
-    bench = (
-        with_grams.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-    )
-    contaminated = (
-        with_grams.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench), on="g", how="left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    # must not be affected by dedup); shared helper with the standalone op
+    contaminated = _contaminated_doc_ids(_doc_ngrams(d))
     # stage 3: quality + language gates
     clean = (
         dedup.filter(F.col("doc_id") % 97 != 0)

@@ -155,6 +155,25 @@ class Warehouse:
                 "field_map": {},
                 "snapshots": [],
             }
+        # Iceberg-style field ids: every schema column has a stable id;
+        # columns new to the table (including RE-ADDED names after a drop —
+        # the evolution mutators remove the old id first) get a fresh one, so
+        # reads bind file data by identity, never by name collision.
+        try:
+            from pyspark.sql.types import StructType as _St
+
+            col_names = [f.name for f in _St.fromJson(json.loads(schema_ddl)).fields]
+        except (ValueError, KeyError, TypeError):
+            col_names = None
+        if col_names is not None:
+            fids = dict(meta.get("fids", {}))
+            nfid = int(meta.get("next_field_id", 1))
+            for c in col_names:
+                if c not in fids:
+                    fids[c] = nfid
+                    nfid += 1
+            meta["fids"] = fids
+            meta["next_field_id"] = nfid
         snapshot = {
             "snapshot_id": snap_id,
             "parent_id": parent,
@@ -166,6 +185,7 @@ class Warehouse:
             # an old snapshot reads with that snapshot's schema)
             "schema": schema_ddl,
             "field_map": dict(meta.get("field_map", {})),
+            "fids": dict(meta.get("fids", {})),
             "summary": {
                 "added-files": len(files),
                 "total-records": sum(f["row_count"] for f in files),
@@ -340,13 +360,22 @@ class Warehouse:
         to_snap = self._snapshot(meta, to_snapshot_id)
         ids = [s["snapshot_id"] for s in meta["snapshots"]]
         lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
         for s in meta["snapshots"][lo + 1 : hi + 1]:
-            if s.get("operation", "append") not in ("append",):
-                raise ValueError(
-                    f"incremental read across non-append snapshot "
-                    f"{s['snapshot_id']} ({s.get('operation')!r}) would "
-                    "double-count rewritten rows"
-                )
+            if s.get("operation", "append") == "append":
+                continue
+            # metadata-only commits (schema evolution) carry their parent's
+            # manifest unchanged — no data files move, nothing double-counts
+            parent = by_id.get(s.get("parent_id"))
+            if parent is not None and [f["path"] for f in s["manifest"]] == [
+                f["path"] for f in parent["manifest"]
+            ]:
+                continue
+            raise ValueError(
+                f"incremental read across non-append snapshot "
+                f"{s['snapshot_id']} ({s.get('operation')!r}) would "
+                "double-count rewritten rows"
+            )
         seen = {f["path"] for f in from_snap["manifest"]}
         added = [f for f in to_snap["manifest"] if f["path"] not in seen]
         return self._scan_files(name, meta, to_snap, added, where)
@@ -387,9 +416,38 @@ class Warehouse:
             rel = os.path.relpath(path, data_root)
             tag = rel.split(os.sep)[0]
             by_snap.setdefault(os.path.join(data_root, tag), []).append(path)
+        # field-id resolution (Iceberg semantics): a column binds to a file's
+        # physical data only when the WRITING snapshot's schema carried the
+        # same field id. This is what keeps a drop-then-re-add column NULL
+        # over old files (the re-add got a FRESH id) instead of resurrecting
+        # the dropped values, and makes renames track identity, not names.
+        target_fids = snap.get("fids")
+        by_snap_id = {s["snapshot_id"]: s for s in meta.get("snapshots", [])}
         df = None
         for base, paths in sorted(by_snap.items()):
             part = self.spark.read.option("basePath", base).parquet(*paths)
+            wfids = None
+            if declared is not None and target_fids:
+                tag = os.path.basename(base)
+                try:
+                    wsnap = by_snap_id.get(int(tag.rsplit("-", 1)[1]))
+                except (ValueError, IndexError):
+                    wsnap = None
+                wfids = (wsnap or {}).get("fids")
+            if wfids is not None:
+                inv = {fid: col for col, fid in wfids.items()}
+                proj = []
+                for field in declared.fields:
+                    src = inv.get(target_fids.get(field.name))
+                    if src is not None and src in part.columns:
+                        proj.append(
+                            F.col(src).cast(field.dataType).alias(field.name)
+                        )
+                    else:
+                        proj.append(
+                            F.lit(None).cast(field.dataType).alias(field.name)
+                        )
+                part = part.select(*proj)
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True
             )
