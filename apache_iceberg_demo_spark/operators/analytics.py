@@ -831,3 +831,373 @@ def b2_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "b3_min_cost_supplier",
+    oracle="""
+        WITH pair_cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT pc.l_partkey, pc.l_suppkey, pc.unit_cost,
+                   s_acctbal, s_name, n_name
+            FROM pair_cost pc
+            JOIN supplier ON s_suppkey = pc.l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT round(eu.s_acctbal, 6) AS s_acctbal, eu.s_name, eu.n_name,
+               p.p_partkey, p.p_type, round(eu.unit_cost, 6) AS unit_cost
+        FROM eu
+        JOIN part p ON p.p_partkey = eu.l_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+          AND eu.unit_cost = (SELECT min(e2.unit_cost) FROM eu e2
+                              WHERE e2.l_partkey = eu.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def b3_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (TPC-H Q2 shape): cheapest supplier per part in a region — the
+    correlated-min scalar subquery, de-correlated to an aggregate + re-join.
+
+    The testdata has no partsupp table (reference README.md:85 TPC-H subset),
+    so "supply cost" is the supplier's minimum observed unit sell price from
+    lineitem — min is order-insensitive, so the float compares identically on
+    both engines (no summation-order hazard).
+
+    Spark-first: one shuffle builds (part, supplier, min unit price); the
+    region restriction rides on broadcast dims; the correlated min becomes a
+    per-part aggregate joined back on (partkey, cost) — the same
+    de-correlation Catalyst performs for the SQL form, with the part filter
+    pushed below both sides. At 100 TB the only big shuffle is the pair
+    aggregate, keyed on (partkey, suppkey)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    pair_cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("unit_cost")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        pair_cost.join(F.broadcast(s), pair_cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    part_min = eu.groupBy(F.col("l_partkey").alias("pm_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eu.join(
+            part_min,
+            (eu.l_partkey == part_min.pm_key) & (eu.unit_cost == part_min.min_cost),
+        )
+        .join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_type",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "b3_product_type_profit",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               round(CAST(sum(CAST(
+                   l_extendedprice * (1 - l_discount)
+                   - 0.25 * p_retailprice * l_quantity
+                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def b3_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B4 (TPC-H Q9 shape): profit by supplier nation and order year for
+    one product line — a 5-table join with a computed per-row measure.
+
+    No partsupp.ps_supplycost exists in the testdata, so cost is proxied as
+    25% of retail price per unit; the shape (name-LIKE part filter, fact
+    joined to part+supplier+orders+nation, nation x year rollup) is Q9's.
+
+    Spark-first: part/supplier/nation broadcast; lineitem->orders is the one
+    fact-fact shuffle on orderkey; the measure accumulates in DECIMAL(18,6)
+    because national yearly profit exceeds the 1e8 float-discipline line at
+    scale. Per-row arithmetic stays in the textual order of the oracle so the
+    IEEE results agree bit-for-bit before the decimal cast."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.25) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 6).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "b4_important_stock_value",
+    oracle="""
+        WITH partvalue AS (
+            SELECT l_partkey,
+                   sum(CAST(l_quantity * p_retailprice AS DECIMAL(18,2))) AS value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN part     ON p_partkey = l_partkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey,
+               round(CAST(value AS DOUBLE), 6) AS stock_value
+        FROM partvalue
+        WHERE value > (SELECT sum(value) * 0.001 FROM partvalue)
+        ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def b4_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q11 shape): parts holding a significant share of two
+    nations' stock value — a grouped aggregate filtered against a scalar
+    subquery over the SAME aggregate.
+
+    Stock value is proxied from shipped lineitems (quantity x retail price;
+    no partsupp.ps_availqty in the testdata). Both the per-part values and
+    the global threshold accumulate in DECIMAL, so the > compare is exact on
+    both engines.
+
+    Spark-first: the per-part aggregate is built once as a lineage; the
+    global total re-derives from the same subplan, which Spark's
+    ReuseExchange collapses to a single shuffle at execution, and joins back
+    as a broadcast 1-row relation (no driver collect)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    partvalue = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(18,2)")
+            ).alias("value")
+        )
+    )
+    threshold = partvalue.agg((F.sum("value") * F.lit(0.001)).alias("cut"))
+    return (
+        partvalue.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value").cast("double"), 6).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "b4_shipdelay_priority",
+    oracle="""
+        SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 'SLOW'
+                    WHEN l_shipdate >= o_orderdate + INTERVAL 21 DAY THEN 'MEDIUM'
+                    ELSE 'FAST' END AS ship_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY ship_bucket
+        ORDER BY ship_bucket
+    """,
+)
+def b4_shipdelay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q12 shape): order-priority census by shipping class — the
+    conditional two-way count aggregate. The testdata has no l_shipmode /
+    l_commitdate / l_receiptdate, so the class is derived from the
+    order-to-ship delay (interval compares only: no datediff dtype hazard).
+
+    Spark-first: the one shuffle is lineitem-orders on orderkey (both fact
+    tables; AQE picks SMJ at scale), the year filter pushes into the lineitem
+    scan, and both counts come from a single pass of conditional sums rather
+    than two scans."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = (
+        F.when(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            "SLOW",
+        )
+        .when(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 21 DAYS"),
+            "MEDIUM",
+        )
+        .otherwise("FAST")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "b4_supplier_part_census",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#9'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def b4_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (TPC-H Q16 shape): how many suppliers can serve each surviving
+    (brand, type, size) bucket — NOT IN exclusion subquery + COUNT DISTINCT.
+    Supplier "complaints" are proxied by negative account balance (the
+    testdata has no s_comment column); lineitem is the part-supplier bridge
+    (no partsupp table).
+
+    Spark-first: the NOT IN becomes a broadcast LEFT ANTI join (the excluded
+    supplier list is tiny and NULL-free by construction, so anti-join
+    semantics match NOT IN); part prunes to 3 columns and broadcasts; the
+    COUNT DISTINCT shuffles (brand, type, size, suppkey) once, which Spark
+    expands to the standard two-phase distinct aggregate."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "b2_promotion_part_suppliers",
+    oracle="""
+        SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                               AND l_shipdate <  TIMESTAMP '1997-01-01'
+                              THEN l_quantity ELSE 0 END)
+                     > 0.3 * sum(l_quantity))
+        ORDER BY s_name
+    """,
+)
+def b2_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (TPC-H Q20 shape): regional suppliers who moved a concentrated
+    share of a promoted product line — doubly nested IN subqueries over a
+    grouped HAVING. The availability predicate (ps_availqty) is proxied as
+    "1996 shipped over 30% of all-time shipped quantity for that part" since
+    the testdata has no partsupp.
+
+    Spark-first: the inner part-name IN is a broadcast semi join into the
+    lineitem scan; the HAVING is a conditional-sum aggregate on (suppkey,
+    partkey); the outer IN collapses to a semi join of the tiny supplier dim
+    against the distinct qualifying suppkeys. Quantities are integral
+    doubles, so the sums are exact and the 0.3x compare is engine-stable."""
+    promo_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in_1996 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(promo_parts), on="l_partkey", how="left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("q96"),
+            F.sum("l_quantity").alias("q_all"),
+        )
+        .filter(F.col("q96") > F.lit(0.3) * F.col("q_all"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qualifying, on="s_suppkey", how="left_semi")
+        .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -623,10 +623,16 @@ class Warehouse:
                 f"table {name!r}: schema evolution needs JSON schema metadata"
             )
         field_map = dict(meta.get("field_map", {}))
-        new_schema = mutate(declared, field_map)
+        fids = dict(meta.get("fids", {}))
+        new_schema = mutate(declared, field_map, fids)
         parent = meta["current_snapshot_id"]
         prev = self._snapshot(meta, parent)
         meta["field_map"] = field_map
+        # mutators own the fid bookkeeping: rename moves the id to the new
+        # logical name (reads keep binding old files by identity), drop
+        # retires it (a re-added name gets a FRESH id in _commit, so old
+        # values stay dead). _commit only ever assigns ids to unseen names.
+        meta["fids"] = fids
         return self._commit(
             name, operation, prev["manifest"], new_schema.json(),
             meta.get("partition_by"), parent, meta,
@@ -637,7 +643,7 @@ class Warehouse:
         NULL; no rewrite."""
         from pyspark.sql.types import StructField, StructType
 
-        def mutate(schema: StructType, _fm: dict) -> StructType:
+        def mutate(schema: StructType, _fm: dict, _fids: dict) -> StructType:
             if col in schema.fieldNames():
                 raise ValueError(f"column {col!r} already exists")
             added = StructType.fromDDL(f"`{col}` {dtype}").fields[0]
@@ -650,7 +656,7 @@ class Warehouse:
         physical name, resolved through the snapshot's field map on read."""
         from pyspark.sql.types import StructField, StructType
 
-        def mutate(schema: StructType, fm: dict) -> StructType:
+        def mutate(schema: StructType, fm: dict, fids: dict) -> StructType:
             if old not in schema.fieldNames():
                 raise ValueError(f"column {old!r} not found")
             if new in schema.fieldNames():
@@ -658,6 +664,8 @@ class Warehouse:
             # chain through prior renames: the physical name is the one the
             # oldest live data files were written with
             fm[new] = fm.pop(old, old)
+            if old in fids:
+                fids[new] = fids.pop(old)
             return StructType(
                 [
                     StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -672,10 +680,11 @@ class Warehouse:
         in old files but is projected away (and column-pruned at scan)."""
         from pyspark.sql.types import StructType
 
-        def mutate(schema: StructType, fm: dict) -> StructType:
+        def mutate(schema: StructType, fm: dict, fids: dict) -> StructType:
             if col not in schema.fieldNames():
                 raise ValueError(f"column {col!r} not found")
             fm.pop(col, None)
+            fids.pop(col, None)
             return StructType([f for f in schema.fields if f.name != col])
 
         return self._evolve(name, "drop-column", mutate)
