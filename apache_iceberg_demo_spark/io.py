@@ -93,28 +93,83 @@ def nanos_as_long(spark: SparkSession):
             spark.conf.set(key, prior)
 
 
+def _events_ts_unit(path: str) -> str:
+    """On-disk physical unit of ``events.ts`` ('ns', 'us', 'ms', 's', or
+    'int64'), read from the parquet footer without starting a Spark job."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    # Directory-of-files layouts: inspect the first parquet footer found.
+    target = path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                target = os.path.join(path, entry)
+                break
+    field = pq.read_schema(target).field("ts")
+    if pat.is_timestamp(field.type):
+        return field.type.unit
+    return "int64"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) (TESTDATA.md), which
-    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
-    nanos as int64 (`nanosAsLong`, runtime-settable) and rebuild a proper
-    microsecond TimestampType column — semantically the ns→µs cast FIXTURES.md
-    prescribes, with no Python in the path.
+    ``events.ts`` has shipped in two vintages: parquet TIMESTAMP(NANOS) —
+    which Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL) —
+    and plain timestamp[us]. The footer decides (schema-adaptive read, the
+    engine-neutral "scan what's on disk" property the reference demos across
+    three engines, ``/root/reference/README.md:52-53,78``): ns/int64 → read
+    nanos as int64 (`nanosAsLong`) and rebuild a µs TimestampType with integer
+    division (float64 `/ 1000` loses precision above 2^53 ns); us/ms/s →
+    Spark reads it natively as TimestampType already.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
     if name == "events":
         from pyspark.sql import functions as F
 
-        with nanos_as_long(spark):
-            df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division: float64 `/ 1000` loses precision above 2^53 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        unit = _events_ts_unit(path)
+        if unit in ("ns", "int64"):
+            with nanos_as_long(spark):
+                df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # isAdjustedToUTC=false parquet infers as TIMESTAMP_NTZ in Spark 4;
+        # cast to session-TZ TimestampType (session TZ is pinned UTC in
+        # session.py, so the instant is identical to the ns-vintage rebuild)
+        # to keep one downstream type across vintages.
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (for the SQL entry point)."""
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: "tuple[str, ...] | None" = None
+) -> None:
+    """Register testdata tables as temp views (for the SQL entry point).
+
+    ``tables=None`` registers all of :data:`TABLES` with per-table isolation:
+    a table whose loader fails (e.g. an on-disk schema drift) is skipped so
+    queries over the *other* tables still work — its own failure surfaces at
+    name resolution of whichever query actually reads it. An explicit
+    ``tables=`` subset is strict: callers asked for exactly those views, so
+    any failure raises immediately.
+    """
+    if tables is not None:
+        for name in tables:
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
+        return
+    errors: list[str] = []
     for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 — isolate per-table failures
+            errors.append(f"{name}: {exc}")
+    if errors:
+        import warnings
+
+        warnings.warn(
+            "register_views skipped unloadable tables: " + "; ".join(errors),
+            stacklevel=2,
+        )

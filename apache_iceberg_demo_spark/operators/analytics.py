@@ -813,7 +813,7 @@ def b2_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent."""
     from apache_iceberg_demo_spark.io import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders", "lineitem"))
     return spark.sql(
         """
         SELECT l.l_orderkey,

@@ -24,7 +24,7 @@ from apache_iceberg_demo_spark.registry import register
 )
 def b2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: uncorrelated scalar subquery (planned as a broadcast of 1 value)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderkey, round(o_totalprice, 6) AS price
@@ -46,7 +46,7 @@ def b2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: IN subquery — Catalyst rewrites to a left-semi join."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders", "lineitem"))
     return spark.sql(
         """
         SELECT l_orderkey, l_linenumber
@@ -71,7 +71,7 @@ def b2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b2_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: correlated EXISTS — de-correlated into a semi join on custkey."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_name
@@ -98,7 +98,7 @@ def b2_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b2_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: correlated scalar subquery (max order per customer) — rewritten
     into an aggregate + join; equivalent to the window top-1 pattern."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
