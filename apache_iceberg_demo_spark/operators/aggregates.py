@@ -655,11 +655,14 @@ def b4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b4_filtered_aggs",
     oracle="""
         SELECT o_orderpriority,
-               count_if(o_totalprice > 150000)                        AS n_big,
+               CAST(count_if(o_totalprice > 150000) AS BIGINT)        AS n_big,
                round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0), 6) AS finished_spend,
-               round(avg(o_totalprice)
-                     FILTER (WHERE o_orderstatus = 'O'), 6)           AS open_avg,
+               CASE WHEN count_if(o_orderstatus = 'O') > 0
+                    THEN round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                         / CAST(count_if(o_orderstatus = 'O') AS BIGINT), 6)
+               END                                                    AS open_avg,
                count(*)                                               AS n
         FROM orders
         GROUP BY o_orderpriority
@@ -691,8 +694,22 @@ def b4_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "finished_spend",
         ),
+        # AVG's underlying float64 sum is ~4.5e8 at sf0.01 — above the 1e8
+        # DECIMAL threshold (float discipline, CLAUDE.md): a different
+        # parallel summation order can straddle the round-6 boundary, the
+        # r01-r04 driver hash flake. Exact DECIMAL sum ÷ exact count, then
+        # ONE double division identical on both sides.
         round6(
-            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+            F.when(
+                F.count_if(F.col("o_orderstatus") == "O") > 0,
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "O",
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ).cast("double")
+                / F.count_if(F.col("o_orderstatus") == "O"),
+            ),
             "open_avg",
         ),
         F.count("*").alias("n"),

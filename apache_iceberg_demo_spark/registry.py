@@ -67,13 +67,42 @@ _DRIVER_VERIFIED: set[str] = {
     "b3_join_full_outer", "b3_join_semi", "b3_join_anti", "b3_join_cross",
     "b3_join_multikey", "b3_join_nonequi_range", "b3_join_bucketed_colocated",
     "b3_join_salted_skew", "b3_join_null_safe", "b3_join_dpp_partitioned",
-    # NOT in this set although driver-seen: b4_filtered_aggs (r01 FAIL, fixed
-    # this round — must re-verify, so it registers first of all).
+    # --- r03/r04 driver greens (CORRECTNESS_r03/r04.json), folded in per
+    # VERDICT r04 item 2 so the round-5 driver budget reaches the ~47
+    # never-run oracle-paired queries instead of re-proving these:
+    "b2_agg_membership_big_orders", "b2_disjunctive_pushdown",
+    "b2_exists_late_shipment", "b2_latest_shipper_per_order",
+    "b2_not_exists_quiet_customers", "b2_promotion_part_suppliers",
+    "b2_small_quantity_avg_correlated", "b3_custdist_outer_agg",
+    "b3_local_supplier_volume", "b3_market_share", "b3_min_cost_supplier",
+    "b3_nation_volume_matrix", "b3_product_type_profit",
+    "b3_returned_item_reporting", "b4_approx_count_distinct", "b4_freq_items",
+    "b4_important_stock_value", "b4_percentile_approx",
+    "b4_promo_revenue_share", "b4_revenue_delta_forecast",
+    "b4_shipdelay_priority", "b4_supplier_part_census",
+    "b4_top_supplier_revenue", "b5_pivot_status_counts",
+    "b5_unpivot_measures", "b6_limit_offset", "b6_sort_nulls_placement",
+    "b6_topk_limit", "b7_distinct_pairs", "b7_drop_duplicates_subset",
+    "b7_except", "b7_except_all", "b7_intersect", "b7_intersect_all",
+    "b7_union_all", "b7_union_by_name", "b7_union_distinct", "b8_map_funcs",
+    "c3_cosine_neardup_pairs", "c3_cosine_topk", "c3_cosine_topk_batch",
+    "c4_multimodal_metadata", "s1_hash_sample_10pct", "s1_mixture_weighted",
+    "s1_train_val_test_split",
+    # NOT in this set although driver-seen: b4_filtered_aggs (hash FAIL
+    # r01-r04, open_avg now DECIMAL-sum÷count — must re-verify, so it
+    # registers first of all) and the four r04 `err` rows broken by the
+    # events-loader regression (fixed this round, re-verify via _HEAD).
 }
 
 # Names that must lead the registry regardless of verification history
-# (regression re-checks of previously-failed rows).
-_HEAD: list[str] = ["b4_filtered_aggs"]
+# (regression re-checks of previously-failed/erred rows).
+_HEAD: list[str] = [
+    "b4_filtered_aggs",
+    "b4_rollup_reuse_hierarchy",
+    "b2_sql_api_shipping_priority",
+    "b2_scalar_subquery",
+    "b2_in_subquery",
+]
 
 
 def _reorder() -> None:
