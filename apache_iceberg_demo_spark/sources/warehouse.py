@@ -864,6 +864,30 @@ def _cmp_holds(_v, op: str, lit, mn, mx) -> bool:
 from apache_iceberg_demo_spark.registry import register  # noqa: E402
 
 
+def _content_hash(df: DataFrame) -> tuple[int, str]:
+    """Order-insensitive content fingerprint: (row count, xor+sum of per-row
+    xxhash64 over all columns, column-name-sorted). Lets the rows-only C6
+    checks assert "same data" across snapshots/rewrites without collecting
+    rows (VERDICT r04 item 8). DECIMAL sum — bigint sum of 2^63-scale hashes
+    overflows, and Spark 4 ANSI mode makes that an error, not a wrap."""
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    h = df.select(F.xxhash64(*cols).alias("h"))
+    row = h.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(h)").alias("x"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), f"{row['x']}:{row['s']}"
+
+
+def _check(cond: bool, msg: str) -> None:
+    """Self-verifying invariant inside a registered rows-only query: a
+    violated table-format guarantee fails the query outright instead of
+    returning plausible-looking rows."""
+    if not cond:
+        raise AssertionError(f"C6 invariant violated: {msg}")
+
+
 _demo_cache: dict[tuple[str, str], tuple["Warehouse", str]] = {}
 
 
@@ -898,15 +922,43 @@ def c6_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Iceberg metadata-table surface; reference's system-table query is
     ``README.md:204-207``)."""
     wh, t = _demo_warehouse(spark, sf_dir)
-    return wh.snapshots(t).select("snapshot_id", "parent_id", "operation", "total_records")
+    snaps = wh.snapshots(t).select(
+        "snapshot_id", "parent_id", "operation", "total_records"
+    )
+    rows = sorted(snaps.collect(), key=lambda r: r["snapshot_id"])
+    _check(len(rows) == 2, f"expected 2 snapshots, got {len(rows)}")
+    _check(
+        [r["operation"] for r in rows] == ["replace", "append"],
+        f"snapshot ops {[r['operation'] for r in rows]}",
+    )
+    _check(
+        rows[1]["total_records"] > rows[0]["total_records"],
+        "append did not grow total_records",
+    )
+    _check(rows[1]["parent_id"] == rows[0]["snapshot_id"], "broken parent chain")
+    return snaps
 
 
 @register("c6_time_travel")  # rows-only
 def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: VERSION-AS-OF time travel — row counts at snapshot 1 vs current."""
+    from apache_iceberg_demo_spark.io import load
+
     wh, t = _demo_warehouse(spark, sf_dir)
     v1 = wh.read(t, snapshot_id=1).count()
     cur = wh.read(t).count()
+    # time travel must reproduce EXACTLY the pre-append state: recompute the
+    # expected snapshot-1 content relationally from the source table and
+    # compare order-insensitive fingerprints, not just counts
+    li = load(spark, sf_dir, "lineitem").limit(3000)
+    expected_v1 = li.withColumn(
+        "ship_day", F.date_format("l_shipdate", "yyyy-MM")
+    ).filter(F.col("l_linenumber") <= 4)
+    _check(
+        _content_hash(wh.read(t, snapshot_id=1)) == _content_hash(expected_v1),
+        "snapshot-1 read != recomputed pre-append content",
+    )
+    _check(cur > v1, "current snapshot should include the appended rows")
     return spark.createDataFrame(
         [(1, v1), (2, cur)], "snapshot_id bigint, n_rows bigint"
     )
@@ -918,13 +970,21 @@ def c6_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical before/after, file count reduced, expired files removed."""
     wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
     before_files = wh.files(t).count()
-    before_rows = wh.read(t).count()
+    before_rows, before_hash = _content_hash(wh.read(t))
     wh.rewrite_data_files(t, target_file_mb=128)
     expired = wh.expire_snapshots(t, keep_last=1)
     after_files = wh.files(t).count()
-    after_rows = wh.read(t).count()
+    after_rows, after_hash = _content_hash(wh.read(t))
+    # compaction is a pure physical rewrite: content fingerprint must be
+    # byte-for-byte stable while the file count shrinks
+    _check(
+        (before_rows, before_hash) == (after_rows, after_hash),
+        "compaction changed table content",
+    )
+    _check(after_files < before_files, "compaction did not reduce file count")
+    _check(expired > 0, "expire_snapshots removed nothing")
     return spark.createDataFrame(
-        [(before_files, after_files, before_rows, after_rows, expired, after_rows == before_rows)],
+        [(before_files, after_files, before_rows, after_rows, expired, before_hash == after_hash)],
         "files_before bigint, files_after bigint, rows_before bigint, "
         "rows_after bigint, files_expired bigint, data_identical boolean",
     )
@@ -951,18 +1011,21 @@ def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.merge_into("orders_v", changes, on=["o_orderkey"])
 
     merged = wh.read("orders_v")
+    n_changes = changes.count()
+    n_after = merged.count()
+    n_updated = merged.filter(F.col("o_orderstatus") == "U").count()
+    n_u_at_v1 = wh.read("orders_v", snapshot_id=1).filter(
+        F.col("o_orderstatus") == "U"
+    ).count()
+    # MERGE semantics, asserted: every change row lands exactly once (update
+    # or insert), untouched rows survive, and the pre-merge snapshot is
+    # unchanged (the merge is a NEW snapshot, not an in-place edit)
+    n_inserted = changes.filter(F.col("o_orderkey") % 3 == 0).count()
+    _check(n_after == base_rows + n_inserted, "merge row-count ledger broken")
+    _check(n_updated == n_changes, "not every change row carries its update")
+    _check(n_u_at_v1 == 0, "time travel sees post-merge state")
     return spark.createDataFrame(
-        [
-            (
-                base_rows,
-                changes.count(),
-                merged.count(),
-                merged.filter(F.col("o_orderstatus") == "U").count(),
-                wh.read("orders_v", snapshot_id=1).filter(
-                    F.col("o_orderstatus") == "U"
-                ).count(),
-            )
-        ],
+        [(base_rows, n_changes, n_after, n_updated, n_u_at_v1)],
         "rows_before bigint, change_rows bigint, rows_after bigint, "
         "updated_rows bigint, updated_rows_at_v1 bigint",
     )
@@ -998,15 +1061,32 @@ def c6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.append("orders_e", batch2)
     cur = wh.read("orders_e")
     v1 = wh.read("orders_e", snapshot_id=1)
+    v1_rows, cur_rows = v1.count(), cur.count()
+    null_channel = cur.filter(F.col("o_channel").isNull()).count()
+    _check(files_before == files_after, "evolution rewrote data files")
+    _check(
+        v1.columns == ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        f"pre-evolution snapshot lost its OLD schema: {v1.columns}",
+    )
+    _check(
+        "status" in cur.columns
+        and "o_channel" in cur.columns
+        and "o_custkey" not in cur.columns,
+        f"evolved schema wrong: {cur.columns}",
+    )
+    _check(
+        null_channel == v1_rows,
+        "pre-evolution rows should read NULL for the added column",
+    )
     return spark.createDataFrame(
         [
             (
                 ",".join(v1.columns),
                 ",".join(cur.columns),
-                v1.count(),
-                cur.count(),
-                cur.filter(F.col("o_channel").isNull()).count(),  # pre-evolution rows
-                files_before == files_after,  # no data file rewritten
+                v1_rows,
+                cur_rows,
+                null_channel,
+                files_before == files_after,
             )
         ],
         "v1_columns string, current_columns string, v1_rows bigint, "
@@ -1035,11 +1115,21 @@ def a8_relocated_warehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before = wh.read("t_move").count()
     v1_before = wh.read("t_move", snapshot_id=1).count()
 
+    before_hash = _content_hash(wh.read("t_move"))
+
     moved_root = os.path.join(tmp, "relocated")
     shutil.move(os.path.join(tmp, "orig"), moved_root)
     wh2 = Warehouse(spark, moved_root)
     n_after = wh2.read("t_move").count()
     v1_after = wh2.read("t_move", snapshot_id=1).count()
+    _check(
+        _content_hash(wh2.read("t_move")) == before_hash,
+        "relocated read returned different content",
+    )
+    _check(
+        (n_before, v1_before) == (n_after, v1_after),
+        "relocation changed visible row counts",
+    )
     return spark.createDataFrame(
         [(n_before, n_after, v1_before, v1_after, n_before == n_after and v1_before == v1_after)],
         "rows_before_move bigint, rows_after_move bigint, v1_before bigint, "
@@ -1086,6 +1176,11 @@ def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh.read("clustered", where=pred).count()
         == wh.read("unclustered").filter(pred).count()
     )
+    _check(rows_match, "pruned clustered read lost/gained rows")
+    _check(
+        kept("clustered", pred) <= kept("unclustered", pred),
+        "clustering did not tighten file skipping",
+    )
     return spark.createDataFrame(
         [(kept("unclustered", pred), kept("clustered", pred), rows_match)],
         "files_scanned_unclustered bigint, files_scanned_clustered bigint, "
@@ -1107,6 +1202,8 @@ def c6_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = [f for f in snap["manifest"] if not wh._can_skip(f, pred)]
     pruned_rows = wh.read(t, where=pred).count()
     full_rows = wh.read(t).filter(pred).count()
+    _check(pruned_rows == full_rows, "file-skipping read diverged from full scan")
+    _check(len(kept) < total, "selective predicate skipped no files")
     return spark.createDataFrame(
         [(total, len(kept), pruned_rows, full_rows, pruned_rows == full_rows)],
         "manifest_files bigint, files_after_skip bigint, rows_pruned_read bigint, "
