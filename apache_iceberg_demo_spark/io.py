@@ -93,9 +93,15 @@ def nanos_as_long(spark: SparkSession):
             spark.conf.set(key, prior)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _events_ts_unit(path: str) -> str:
     """On-disk physical unit of ``events.ts`` ('ns', 'us', 'ms', 's', or
-    'int64'), read from the parquet footer without starting a Spark job."""
+    'int64'), read from the parquet footer without starting a Spark job.
+    Cached per path — testdata files are immutable within a run, and the
+    footer read would otherwise repeat on every events-query invocation."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
