@@ -119,3 +119,49 @@ def s1_stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@register(
+    "s1_mixture_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source,
+                   CAST(floor(100.0 * sqrt(n) / (SELECT max(sqrt(n)) FROM counts))
+                        AS BIGINT) AS keep_pct
+            FROM counts
+        )
+        SELECT d.source, r.keep_pct, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_duck_bucket('d.doc_id')} < r.keep_pct
+        GROUP BY d.source, r.keep_pct
+    """,
+)
+def s1_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: temperature-rebalanced source mixing (T=2 → sampling mass ∝
+    sqrt of source size, the multilingual/multi-source rebalancing rule:
+    big sources are downweighted, small sources kept near-whole).
+
+    Per-source keep rate = floor(100·√n_s / max_s √n_s), applied with the
+    same deterministic hash buckets as every sampler here. Spark-first: the
+    rate table is a tiny broadcast join (sources ≪ rows); the scalar max
+    rides along via a broadcast 1-row crossJoin — no row shuffle at all
+    beyond the one count aggregate."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    max_sqrt = counts.agg(F.max(F.sqrt("n")).alias("mx"))
+    rates = (
+        counts.crossJoin(F.broadcast(max_sqrt))
+        .select(
+            "source",
+            F.floor(100.0 * F.sqrt("n") / F.col("mx")).cast("bigint").alias("keep_pct"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
+        .groupBy("source", "keep_pct")
+        .agg(F.count("*").alias("n_kept"))
+    )

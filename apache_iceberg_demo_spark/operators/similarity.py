@@ -447,3 +447,55 @@ def c3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "c3_quantize_int8_error",
+    oracle="""
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(list_aggregate(errs, 'max')), 6)  AS avg_max_err,
+               round(avg(list_aggregate(errs, 'sum') / 64), 6) AS avg_mean_err
+        FROM (
+            SELECT label,
+                   list_transform(embedding, x ->
+                       abs(greatest(least(floor(CAST(x AS DOUBLE) * scale + 0.5),
+                                          127.0), -127.0) / scale
+                           - CAST(x AS DOUBLE))) AS errs
+            FROM (
+                SELECT label, embedding,
+                       127.0 / list_aggregate(
+                           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                           'max') AS scale
+                FROM embeddings
+            )
+        )
+        GROUP BY label
+    """,
+)
+def c3_quantize_int8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: symmetric per-vector int8 quantization of the embedding column and
+    its reconstruction-error profile — the storage/bandwidth lever for ANN at
+    100 TB (4× smaller vectors, SIMD-friendly int8 dot products downstream).
+
+    scale = 127/max|x| per vector; q = clamp(floor(x·scale + .5), ±127)
+    (floor(x+.5) instead of round() — identical half-up semantics on both
+    engines, where round()'s tie-breaking differs). Pure JVM array ops, one
+    hash aggregate on label; nothing shuffles but the 3-column stats."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    scale = (F.lit(127.0) / mx).alias("scale")
+    withs = e.select("label", "embedding", scale)
+    q = lambda x: F.greatest(  # noqa: E731
+        F.least(F.floor(xd(x) * F.col("scale") + 0.5).cast("double"), F.lit(127.0)),
+        F.lit(-127.0),
+    )
+    errs = F.transform("embedding", lambda x: F.abs(q(x) / F.col("scale") - xd(x)))
+    witherr = withs.select("label", errs.alias("errs"))
+    mean_err = F.aggregate("errs", F.lit(0.0), lambda a, v: a + v) / DIM
+    return witherr.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg(F.array_max("errs")), 6).alias("avg_max_err"),
+        F.round(F.avg(mean_err), 6).alias("avg_mean_err"),
+    )

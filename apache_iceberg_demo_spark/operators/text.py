@@ -642,3 +642,64 @@ def pipeline_pretrain_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     ).orderBy("lang")
+
+
+@register(
+    "c5_repetition_stats",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM words GROUP BY doc_id, w
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT)   AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(max(c) AS BIGINT)   AS top_c
+            FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_unique,
+               round(CAST(top_c AS DOUBLE) / n_words, 6)    AS top_word_frac,
+               round(CAST(n_unique AS DOUBLE) / n_words, 6) AS unique_ratio,
+               (CAST(top_c AS DOUBLE) / n_words > 0.2
+                OR CAST(n_unique AS DOUBLE) / n_words < 0.3) AS repetitious
+        FROM agg
+    """,
+)
+def c5_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: repetition-based quality signals per document (the Gopher-rule
+    family: a document dominated by one token, or with a collapsed unique-
+    word ratio, is boilerplate/spam and gets flagged for removal).
+
+    Spark-first: explode → two hash aggregates (word counts, then per-doc
+    rollup) — the classic wordcount shape with map-side partial aggregation,
+    fully whole-stage-codegen (HOF lambdas would be interpreted per element).
+    Both shuffles key on doc_id-dominated keys, so skew is bounded by the
+    longest single document, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_words")
+    uniq_ratio = F.col("n_unique").cast("double") / F.col("n_words")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        ((top_frac > 0.2) | (uniq_ratio < 0.3)).alias("repetitious"),
+    )

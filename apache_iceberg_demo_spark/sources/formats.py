@@ -40,6 +40,35 @@ def b1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b1_orc_roundtrip",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def b1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: ORC sink + source roundtrip (Spark-native columnar format beside
+    parquet). The oracle computes the same aggregate straight from the
+    parquet table — equality proves the ORC write/read preserved every row
+    and value exactly. Full table, no sampling, so the roundtrip itself is
+    the thing under test."""
+    tmp = scratch_dir("orc_rt_")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("total_price"),
+    )
+
+
 @register("b1_partitioned_parquet_roundtrip")  # rows-only
 def b1_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: hive-partitioned parquet write + partition-pruned read — the scan

