@@ -227,6 +227,39 @@ def b8_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b8_variant_json",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                   AS k_sum,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def b8_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: VARIANT semi-structured type (Spark 4) — `parse_json` once into
+    the binary VARIANT encoding, then typed `variant_get` path extraction.
+
+    The reference stores open-schema event properties as a JSON *string*
+    (driver `events.props`); VARIANT is the columnar-engine answer at 100 TB
+    — parsed once at ingest, stored binary (shreddable into columns in
+    Parquet), every downstream access a typed path lookup instead of a
+    re-parse. `b8_json_funcs` registers the string-side functions; this
+    registers the typed-value tier over the same data."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
     "b8_cast_coercion",
     oracle="""
         SELECT l_orderkey,

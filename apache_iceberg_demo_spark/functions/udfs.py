@@ -179,6 +179,68 @@ def b10_udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b10_python_udtf_chunks",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   CASE WHEN n <= 64 THEN 1
+                        ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS n_chunks
+            FROM d
+        ),
+        e AS (
+            SELECT doc_id, n, unnest(range(0, n_chunks)) AS i FROM c
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(i * 48 AS INT) AS start_tok,
+               CAST(least(64, n - i * 48) AS INT) AS n_tokens
+        FROM e
+    """,
+)
+def b10_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: genuine Python UDTF (Spark 4 ``@udtf`` class) via LATERAL join —
+    the context-window chunker every pretraining pipeline runs: each document
+    expands to overlapping token windows (width 64, stride 48; the final
+    window carries the tail).
+
+    This is the one UDF tier the others can't express: a *table* function
+    whose output cardinality is data-dependent per input row, composed in
+    SQL with LATERAL. Executes row-at-a-time in Python workers — acceptable
+    here because cost is O(chunks) string splits; a hot 100 TB path would
+    move the same loop into `mapInPandas` (see `b10_udtf_explode_bigrams`)
+    or `F.sequence` + `F.slice`. Oracle-paired: the chunk layout is pure
+    arithmetic on the token count, so DuckDB reproduces it exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start_tok int, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            n = len(text.split(" "))
+            W, S = 64, 48
+            idx, start = 0, 0
+            while True:
+                end = min(start + W, n)
+                yield idx, start, end - start
+                if end >= n:
+                    break
+                idx, start = idx + 1, start + S
+
+    from apache_iceberg_demo_spark.io import register_views
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_tokens
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+@register(
     "b10_map_in_arrow_stats",
     oracle="""
         SELECT doc_id,

@@ -834,6 +834,40 @@ def b2_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b2_sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def b2_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (SQL pipe syntax, Spark 4): the `|>` pipelined-SQL front door —
+    the same filter→aggregate plan as the ANSI form, written as a linear
+    dataflow (`FROM … |> WHERE … |> AGGREGATE … GROUP BY`). Catalyst parses
+    pipe stages into the identical logical plan (filter pushed to the scan,
+    partial/final hash aggregate), so this registers the *parser surface*,
+    not a new execution path; money sum accumulates in DECIMAL on both
+    sides per the float discipline."""
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "b3_min_cost_supplier",
     oracle="""
         WITH pair_cost AS (

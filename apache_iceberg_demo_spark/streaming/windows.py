@@ -119,15 +119,21 @@ def b9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_stream_source(
+    spark: SparkSession, sf_dir: str, options: dict | None = None
+) -> DataFrame:
     """File-replay streaming source over `events`.
 
-    The raw fixture is parquet TIMESTAMP(NANOS), which the vectorized reader
-    rejects; the legacy nanosAsLong conf can't be scoped to a stream (the
-    query thread clones the session conf asynchronously after ``start()``
-    returns). So the source streams from a µs-converted copy, written once
-    per process via the properly-scoped batch reader (io.load) — the
-    streaming path itself needs no legacy conf at all.
+    Some testdata vintages ship `ts` as parquet TIMESTAMP(NANOS), which the
+    vectorized reader rejects, and the legacy nanosAsLong conf can't be
+    scoped to a stream (the query thread clones the session conf
+    asynchronously after ``start()`` returns). So the source streams from a
+    µs-converted copy, written once per process via the vintage-adaptive
+    batch reader (io.load) — the streaming path itself needs no legacy conf
+    at all, whatever is on disk.
+
+    ``options`` passes reader options through (e.g. ``maxFilesPerTrigger``
+    to force a multi-micro-batch replay).
     """
     import os
 
@@ -139,7 +145,10 @@ def event_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").write.mode("overwrite").parquet(stream_dir)
         open(marker, "w").close()
     batch_schema = load(spark, sf_dir, "events").schema
-    return spark.readStream.schema(batch_schema).parquet(stream_dir)
+    reader = spark.readStream.schema(batch_schema)
+    for key, val in (options or {}).items():
+        reader = reader.option(key, val)
+    return reader.parquet(stream_dir)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, gap: str = "10 minutes"):
@@ -380,3 +389,116 @@ def b9_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("session_value", 6).alias("session_value"),
     )
+
+
+@register("b9_foreachbatch_merge_sink")  # rows-only: genuine streaming run + versioned sink
+def b9_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9+C6: streaming ingest into the table format — the `foreachBatch`
+    MERGE pattern (SURVEY.md §2 B9 "foreachBatch sink to Iceberg"). The
+    event stream replays in micro-batches (`maxFilesPerTrigger`); each batch
+    folds its per-event_type partial aggregate (count, DECIMAL value sum)
+    into a versioned warehouse table via MERGE — matched keys accumulate,
+    new keys insert — so each micro-batch is one incremental snapshot commit.
+
+    Self-verifying two ways (VERDICT r04 item 8): (1) the replay must have
+    committed ≥3 snapshots (create + ≥2 merges — proof the ingest was
+    actually incremental, not one big batch); (2) the final table must equal
+    the one-shot batch groupBy of the same data EXACTLY — DECIMAL
+    accumulation is associative, so streaming-merge and batch must agree to
+    the last digit, not within a float tolerance.
+
+    Exactly-once: `availableNow` file replay delivers each file once; on a
+    retrying production source the MERGE becomes idempotent by recording the
+    committing batch_id per key and skipping already-applied batches.
+
+    Scale: each micro-batch shuffles only its partial aggregate (bounded by
+    event-type cardinality), and the MERGE rewrites a k-row table. Running
+    state lives in the TABLE, not in stream memory — the unbounded-retention
+    alternative to watermarked in-memory aggregation; downstream readers
+    time-travel the sink like any other table.
+    """
+    import os
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    DEC = "decimal(20,6)"
+
+    # private replay copy with a fixed file count so the stream genuinely
+    # micro-batches (8 files / 2 per trigger = 4 batches at every SF)
+    replay = scratch_dir(f"fb_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        open(marker, "w").close()
+    src = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(replay)
+    )
+
+    wh = Warehouse(spark, scratch_dir("fb_sink_wh_", unique=True))
+    t = "event_type_totals"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("value_sum"),
+        )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        part = partial(batch_df)
+        if not os.path.exists(os.path.join(wh.root, t, "metadata.json")):
+            wh.create_or_replace(t, part)
+            return
+        cur = wh.read(t)
+        merged = (
+            part.alias("s")
+            .join(cur.alias("t"), "event_type", "left")
+            .select(
+                "event_type",
+                (F.col("s.n") + F.coalesce(F.col("t.n"), F.lit(0))).alias("n"),
+                (
+                    F.col("s.value_sum")
+                    + F.coalesce(F.col("t.value_sum"), F.lit(0).cast(DEC))
+                )
+                .cast(DEC)
+                .alias("value_sum"),
+            )
+        )
+        wh.merge_into(t, merged, on=["event_type"])
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_dir("fb_ckpt_", unique=True))
+        .start()
+    )
+    q.awaitTermination()
+
+    n_snaps = wh.snapshots(t).count()
+    if n_snaps < 3:
+        raise AssertionError(
+            f"foreachBatch sink committed only {n_snaps} snapshots — replay "
+            f"was not incremental"
+        )
+    final = wh.read(t)
+    expected = partial(load(spark, sf_dir, "events").select("event_type", "value"))
+    got = {(r["event_type"], r["n"], r["value_sum"]) for r in final.collect()}
+    want = {(r["event_type"], r["n"], r["value_sum"]) for r in expected.collect()}
+    if got != want:
+        raise AssertionError(
+            f"streaming MERGE sink diverged from batch aggregate: "
+            f"{got.symmetric_difference(want)}"
+        )
+    return final.select(
+        "event_type",
+        "n",
+        F.round(F.col("value_sum").cast("double"), 6).alias("value_sum"),
+    ).orderBy("event_type")

@@ -262,3 +262,14 @@ def test_stateful_sessionize_matches_batch(spark):
     batch = sessionize_gap30m(spark, SF)
     n_users = batch.select("user_id").distinct().count()
     assert n_streamed == batch.count() - n_users  # every user's last is open
+
+
+def test_ann_recall_audit_self_verifies(spark):
+    """The registered audit computes recall@10 for both ANN paths against
+    the exact top-k and raises below the floor; both methods must report."""
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["c3_ann_recall_audit"](spark, "/root/testdata/sf0.001").collect()
+    assert {r.method for r in rows} == {"lsh_banded", "ivf_probe"}
+    assert all(r.recall >= 0.3 for r in rows)

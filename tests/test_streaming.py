@@ -282,3 +282,25 @@ def test_stream_stream_join(spark, tmp_path):
     q.stop()
     got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
     assert got == batch.n_pairs
+
+
+def test_foreach_batch_merge_sink_registered(spark):
+    """B9+C6 registered op: micro-batched MERGE accumulation into the
+    versioned table; the op self-asserts ≥3 snapshots and exact (DECIMAL)
+    equality with the one-shot batch aggregate — here we re-check the
+    returned totals against an independent recompute."""
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+    from apache_iceberg_demo_spark.io import load
+    from pyspark.sql import functions as F
+
+    load_all()
+    out = QUERIES["b9_foreachbatch_merge_sink"](spark, "/root/testdata/sf0.001")
+    rows = {(r.event_type, r.n) for r in out.collect()}
+    expect = {
+        (r.event_type, r.n)
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows == expect
