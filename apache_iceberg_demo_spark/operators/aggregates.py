@@ -714,3 +714,53 @@ def b4_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "b4_hll_sketch_mergeable",
+    oracle="""
+        SELECT r_name,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+               TRUE AS union_within_5pct
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+    """,
+)
+def b4_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: Apache DataSketches HLL (`hll_sketch_agg` / `hll_union_agg`) —
+    the MERGEABLE sketch tier above `approx_count_distinct`.
+
+    What the extra tier buys at 100 TB: the per-nation binary sketches are a
+    storable rollup — region/global distinct counts come from UNIONING those
+    sketches (bytes per nation), never rescanning the fact rows; the same
+    sketch column serves every rollup level and every later query. Same
+    verification idea as `b4_approx_count_distinct`: estimates are
+    engine-specific, so the query emits exact counts plus an in-query
+    boolean asserting the sketch-union estimate lands within 5% of exact;
+    the oracle asserts the identical exact counts with literal TRUE."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    per_nation = joined.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    unioned = per_nation.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = joined.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("exact_customers")
+    )
+    return exact.join(unioned, "r_name").select(
+        "r_name",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("union_within_5pct"),
+    )

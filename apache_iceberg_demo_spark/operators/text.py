@@ -703,3 +703,52 @@ def c5_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq_ratio, 6).alias("unique_ratio"),
         ((top_frac > 0.2) | (uniq_ratio < 0.3)).alias("repetitious"),
     )
+
+
+@register(
+    "c5_unigram_logprob_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        freqs AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freqs)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 6) AS avg_logprob
+        FROM toks t
+        JOIN freqs f ON t.tok = f.tok
+        CROSS JOIN tot
+        GROUP BY t.doc_id
+    """,
+)
+def c5_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: unigram-LM document scoring — mean log-probability of each doc's
+    tokens under the corpus unigram distribution (the cheap stand-in for the
+    perplexity-filter stage of a pretraining pipeline: improbable-token salad
+    scores low, fluent text scores near the corpus mean; public recipe in
+    CCNet/Gopher-style quality filtering).
+
+    Two hash aggregates and one join, all JVM-side: token→count (the LM),
+    corpus total as a broadcast 1-row agg (same pattern as TF-IDF's n_docs),
+    then tokens join the LM and average per doc. The LM table is vocabulary-
+    sized; Spark broadcasts it when small and shuffle-joins when not — at
+    100 TB the vocabulary (even web-scale, ~1e8 types) still fits a
+    shuffle-join comfortably while the token stream never collects."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freqs.agg(F.sum("cnt").cast("double").alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        toks.join(freqs, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
