@@ -182,3 +182,65 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_converted"),
         F.sum("n_purchases").cast("bigint").alias("total_purchases"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+        WITH quotes AS (
+            SELECT user_id, ts, max_by(value, event_id) AS quote_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ),
+        trades AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT t.event_id, t.user_id,
+               round(t.value, 6) AS trade_value,
+               CASE WHEN q.ts >= t.ts - INTERVAL 1 HOUR
+                    THEN round(q.quote_value, 6) END AS last_view_value,
+               (q.ts IS NOT NULL AND q.ts >= t.ts - INTERVAL 1 HOUR)
+                   AS within_tolerance
+        FROM trades t ASOF LEFT JOIN quotes q
+          ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF with tolerance — `merge_asof(tolerance=1h)` semantics: each
+    purchase takes the user's most recent view at-or-before it ONLY if that
+    view is within the last hour; staler matches are nulled (a quote that
+    old is not a quote).
+
+    Same union-and-carry plan as `asof_join_events` — the carried columns
+    just include the quote timestamp, and the tolerance is a post-window
+    null-out predicate; no extra shuffle, no per-group Python. The oracle is
+    DuckDB's native ASOF JOIN with the identical staleness CASE, so the
+    composed form is value-hash-verified against a first-class
+    implementation."""
+    ev = load(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("quote_value"))
+        .withColumn("quote_ts", F.col("ts"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["quote_value", "quote_ts"],
+    )
+    fresh = F.col("asof_quote_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("trade_value"),
+        F.when(fresh, F.round("asof_quote_value", 6)).alias("last_view_value"),
+        F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
+    )

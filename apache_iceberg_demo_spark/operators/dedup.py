@@ -522,3 +522,44 @@ def c2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keeper_id", "cluster_size")
     )
+
+
+@register(
+    "c1_dedup_keep_best",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY sha256(concat(text, '|', lang))
+                       ORDER BY n_chars DESC, length(source), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rk = 1
+    """,
+)
+def c1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup with a QUALITY keep-rule — within each content-hash
+    group keep the best copy (longest n_chars, then shortest source tag,
+    then min doc_id), not just the arbitrary/min-id one. This is the form
+    production dedup actually takes: when the same document arrives from
+    multiple crawls/sources, the pipeline keeps the highest-quality instance
+    and drops the rest.
+
+    Plan: one shuffle on the 32-byte hash, per-group window top-1 (rank
+    filter) — identical cost to min-id dedup; the keep-policy is just the
+    window ORDER BY, which is the point: any quality ordering slots in
+    without changing the dataflow."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(F.concat(F.col("text"), F.lit("|"), F.col("lang")), 256)
+    w = W.partitionBy(fp).orderBy(
+        F.desc("n_chars"), F.length("source"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )

@@ -145,6 +145,11 @@ class Warehouse:
         meta: Optional[dict],
     ) -> dict:
         snap_id = (parent or 0) + 1
+        if meta is not None and meta.get("snapshots"):
+            # staged (unpublished) snapshots branch off the same parent as
+            # later commits — ids must stay unique across the whole log, not
+            # just along the current line (WAP, Iceberg's wap.id staging)
+            snap_id = max(snap_id, max(s["snapshot_id"] for s in meta["snapshots"]) + 1)
         if meta is None:
             meta = {
                 "table": name,
@@ -300,6 +305,45 @@ class Warehouse:
             name, "append", all_files, meta["schema"], meta.get("partition_by"), parent, meta
         )
         return snap
+
+    def stage_append(self, name: str, df: DataFrame) -> dict:
+        """Write-Audit-Publish step 1 (Iceberg's ``wap.id`` staging): the
+        batch is fully written and committed as a snapshot, but the current
+        pointer stays on the parent — readers see NOTHING until `publish`.
+        The staged snapshot is auditable via ``read(name, snapshot_id=...)``.
+        """
+        meta_before = self._load_meta(name)
+        parent = meta_before["current_snapshot_id"]
+        snap = self.append(name, df)
+        meta = self._load_meta(name)
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == snap["snapshot_id"]:
+                s["staged"] = True
+        meta["current_snapshot_id"] = parent
+        self._store_meta(name, meta)
+        snap["staged"] = True
+        return snap
+
+    def publish(self, name: str, snapshot_id: int) -> dict:
+        """Write-Audit-Publish step 3: atomically advance the current pointer
+        to an audited staged snapshot (fast-forward only — the staged
+        snapshot's parent must still be current, else the audit ran against
+        a stale base and must re-stage)."""
+        meta = self._load_meta(name)
+        s = self._snapshot(meta, snapshot_id)
+        if not s.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not staged")
+        if s["parent_id"] != meta["current_snapshot_id"]:
+            raise ValueError(
+                f"cannot publish snapshot {snapshot_id}: its parent "
+                f"{s['parent_id']} is no longer current "
+                f"({meta['current_snapshot_id']}) — re-stage on the new base"
+            )
+        s["staged"] = False
+        meta["current_snapshot_id"] = snapshot_id
+        meta["schema"] = s["schema"]
+        self._store_meta(name, meta)
+        return s
 
     # ---------- read paths ----------
 
@@ -1249,4 +1293,57 @@ def c6_incremental_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register("c6_write_audit_publish")  # rows-only: engine-specific staging surface
+def c6_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: Write-Audit-Publish — the production ingest safety pattern
+    (Iceberg ``wap.id`` staged commits): the batch is fully written as a
+    snapshot readers can't see, AUDITED against data-quality invariants by
+    snapshot-id read, and only then published by an atomic pointer advance.
+    A batch that fails audit is simply never published (and expires later).
+
+    Self-verified invariants: staging changes nothing for readers (content
+    fingerprint identical before/after stage), the staged snapshot holds
+    exactly base+batch, publish makes precisely that state current, and an
+    unpublished second stage stays invisible. Scale: audit cost is a scan of
+    the STAGED snapshot only; publish is a metadata pointer swap — no data
+    moves at any size."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    pre = _content_hash(wh.read(t))
+
+    li = load(spark, sf_dir, "lineitem").limit(3000)
+    batch = (
+        li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
+        .filter(F.col("l_linenumber") == 1)
+        .limit(500)
+    )
+    n_batch = batch.count()
+
+    snap = wh.stage_append(t, batch)
+    _check(_content_hash(wh.read(t)) == pre, "staging leaked into readers")
+    staged = wh.read(t, snapshot_id=snap["snapshot_id"])
+    n_staged = staged.count()
+    _check(n_staged == pre[0] + n_batch, "staged snapshot != base + batch")
+    # the audit step itself: the batch must satisfy table invariants
+    _check(
+        staged.filter(F.col("l_quantity") <= 0).count() == 0,
+        "audit failed: non-positive quantities in staged snapshot",
+    )
+
+    wh.publish(t, snap["snapshot_id"])
+    n_published = wh.read(t).count()
+    _check(n_published == pre[0] + n_batch, "published state != audited state")
+
+    # a staged-but-never-published batch must stay invisible forever
+    wh.stage_append(t, batch.limit(100))
+    _check(wh.read(t).count() == n_published, "unpublished stage visible")
+
+    return spark.createDataFrame(
+        [(snap["snapshot_id"], pre[0], n_batch, n_published, True)],
+        "published_snapshot_id bigint, base_rows bigint, batch_rows bigint, "
+        "published_rows bigint, audit_passed boolean",
     )

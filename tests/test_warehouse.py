@@ -402,3 +402,30 @@ def test_incremental_read_refuses_rewrite_in_window(spark, wh):
     assert wh.read_incremental("t", 1, to_snapshot_id=2).count() == li.filter(
         F.col("l_linenumber") == 4
     ).count()
+
+
+def test_write_audit_publish_staging(spark, wh):
+    """WAP: staged snapshots are invisible until published; publish is a
+    fast-forward pointer swap; a stale-base publish is refused."""
+    li = load(spark, SF, "lineitem").limit(600)
+    wh.create_or_replace("wap_t", li.filter(F.col("l_linenumber") <= 2))
+    base_n = wh.read("wap_t").count()
+
+    batch = li.filter(F.col("l_linenumber") == 3)
+    snap = wh.stage_append("wap_t", batch)
+    assert snap["staged"] is True
+    assert wh.read("wap_t").count() == base_n  # invisible pre-publish
+    assert wh.read("wap_t", snapshot_id=snap["snapshot_id"]).count() == base_n + batch.count()
+
+    wh.publish("wap_t", snap["snapshot_id"])
+    assert wh.read("wap_t").count() == base_n + batch.count()
+
+    # double-publish refused (no longer staged)
+    with pytest.raises(ValueError):
+        wh.publish("wap_t", snap["snapshot_id"])
+
+    # stale-base publish refused: stage, then advance base, then publish
+    s2 = wh.stage_append("wap_t", batch.limit(10))
+    wh.append("wap_t", batch.limit(5))
+    with pytest.raises(ValueError):
+        wh.publish("wap_t", s2["snapshot_id"])
