@@ -165,3 +165,59 @@ def s1_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "keep_pct")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@register(
+    "s1_split_leakage_audit",
+    oracle=f"""
+        WITH g AS (
+            SELECT sha256(text) AS fp,
+                   count(*) AS n_copies,
+                   count(DISTINCT CASE WHEN {_duck_bucket('doc_id')} < 80 THEN 'train'
+                                       WHEN {_duck_bucket('doc_id')} < 90 THEN 'val'
+                                       ELSE 'test' END) AS n_splits
+            FROM documents
+            GROUP BY sha256(text)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_groups,
+               CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaking_groups,
+               CAST(sum(CASE WHEN n_splits > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+                   AS n_leaked_docs
+        FROM g
+    """,
+)
+def s1_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1×C1: holdout-leakage audit — duplicated CONTENT that straddles the
+    train/test boundary. Hash-splitting by doc_id is stable, but two copies
+    of the same text with different ids can land in different splits, which
+    silently inflates eval scores; this is the check every pipeline should
+    run after splitting (and why production splits hash the content
+    fingerprint, not the row id).
+
+    One scan → hash aggregate on the 32-byte fingerprint (count copies,
+    count distinct splits per group) → 1-row rollup. Reports group/document
+    leakage counts; the fix (split by `hash(fp)` instead of `hash(doc_id)`)
+    is the `s1_train_val_test_split` expression with a different key."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    g = (
+        d.select(F.sha2(F.col("text"), 256).alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+    )
+    leak = F.col("n_splits") > 1
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum((F.col("n_copies") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
+        F.sum(leak.cast("int")).cast("bigint").alias("n_leaking_groups"),
+        F.sum(F.when(leak, F.col("n_copies")).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_docs"),
+    )

@@ -83,3 +83,84 @@ def b1_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     return pruned.groupBy("rf").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("total")
     )
+
+
+@register("b1_csv_malformed_modes")  # rows-only: reads a locally written fixture
+def b1_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: dirty-CSV ingestion policy — the three Spark parse modes over the
+    same file with two malformed lines (wrong arity / unparseable number):
+
+    - PERMISSIVE + `columnNameOfCorruptRecord`: bad lines survive as raw
+      text in a quarantine column (the audit-and-reprocess path)
+    - DROPMALFORMED: bad lines silently dropped
+    - FAILFAST: the load refuses the file outright
+
+    Two measured Spark subtleties the docstring is the warning label for:
+    (1) malformedness is judged against the columns the query actually
+    READS — `count()` over a column-pruned scan drops nothing, so the
+    DROPMALFORMED leg materializes every column; (2) a value-unparseable
+    field still null-fills in DROPMALFORMED when that column isn't
+    required, so reconciliation must force the full schema on both legs.
+
+    Self-verified: clean/corrupt counts must reconcile across all three
+    modes (clean_permissive == clean_drop, corrupt == total - clean,
+    FAILFAST must raise). The A1 ingest contract (`csv_to_ice.py:17` reads
+    raw CSV with inferSchema) says nothing about bad rows — at 100 TB of
+    crawled CSV the quarantine column IS the operator."""
+    import os
+
+    from apache_iceberg_demo_spark.io import scratch_dir
+
+    d = scratch_dir("csv_dirty_")
+    path = os.path.join(d, "dirty.csv")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write("id,qty,price\n")
+            for i in range(50):
+                f.write(f"{i},{i % 7},{i * 1.5}\n")
+            f.write("50,three,4.5\n")  # unparseable qty
+            f.write("51,2,not-a-price\n")  # unparseable price
+    schema = "id INT, qty INT, price DOUBLE, _corrupt STRING"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    n_total = permissive.count()
+    n_corrupt = permissive.filter(F.col("_corrupt").isNotNull()).count()
+
+    dropped = (
+        spark.read.schema("id INT, qty INT, price DOUBLE")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # collect() requires every column, so the parser judges the full row;
+    # a pruned count() would read zero columns and drop nothing
+    n_drop = len(dropped.collect())
+
+    failed = False
+    try:
+        (
+            spark.read.schema("id INT, qty INT, price DOUBLE")
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(path)
+            .collect()
+        )
+    except Exception:
+        failed = True
+
+    permissive.unpersist()
+    assert n_corrupt == 2, f"expected 2 corrupt rows, got {n_corrupt}"
+    assert n_drop == n_total - n_corrupt, "DROPMALFORMED != clean rows"
+    assert failed, "FAILFAST accepted a malformed file"
+    return spark.createDataFrame(
+        [(n_total, n_total - n_corrupt, n_corrupt, n_drop, failed)],
+        "rows_permissive bigint, rows_clean bigint, rows_quarantined bigint, "
+        "rows_dropmalformed bigint, failfast_raised boolean",
+    )
