@@ -764,3 +764,59 @@ def b4_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("union_within_5pct"),
     )
+
+
+@register("b4_observe_metrics")  # rows-only: Observation API is engine-specific
+def b4_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: in-flight pipeline metrics via ``df.observe`` — named aggregates
+    collected DURING another query's execution, no second scan (Spark's
+    AccumulatorV2-backed Observation API; the mechanism behind streaming's
+    observed metrics).
+
+    Why it matters at 100 TB: data-quality counters (rows read, nulls seen,
+    value totals) on a petabyte scan are free as observations but cost a
+    full re-scan as a separate query. Self-verified: the observed metrics
+    must equal an independent aggregate recompute exactly — count equality
+    and a DECIMAL-summed total, so no float-order tolerance is needed."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_total"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_rows"),
+    )
+    # the *real* query this pipeline runs; metrics piggyback on its scan
+    per_flag = observed.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    per_flag_rows = {r["l_returnflag"]: r["n"] for r in per_flag.collect()}
+
+    got = obs.get
+    expect = li.agg(
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_total"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_rows"),
+    ).collect()[0]
+    if (
+        got["rows_seen"] != expect["rows_seen"]
+        or got["qty_total"] != expect["qty_total"]
+        or got["returned_rows"] != expect["returned_rows"]
+        or got["returned_rows"] != per_flag_rows.get("R", 0)
+    ):
+        raise AssertionError(
+            f"observed metrics {got} diverge from recompute {expect.asDict()}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(got["rows_seen"]),
+                float(got["qty_total"]),
+                int(got["returned_rows"]),
+                True,
+            )
+        ],
+        "rows_seen bigint, qty_total double, returned_rows bigint, metrics_match boolean",
+    )

@@ -1235,3 +1235,55 @@ def b2_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "b4_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE))
+                       AS day_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort AS cohort_day,
+               CAST(day_offset AS INT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM activity GROUP BY cohort, day_offset
+    """,
+)
+def b4_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: cohort retention triangle — users grouped by first-activity day,
+    counted as retained on each later day they appear (the product-analytics
+    staple the reference's engines get asked for constantly).
+
+    Plan: first-touch per user (one hash aggregate), join activity back on
+    user_id, distinct (user, cohort, offset), count per cell. Two shuffles,
+    both on user_id until the final cell count; the cohort dimension is
+    derived, never stored. At 100 TB the firsts frame is user-dimension
+    sized — orders smaller than events — and the join key is the natural
+    events partitioning, so no extra exchange on the fact side."""
+    from apache_iceberg_demo_spark.io import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort").alias("cohort_day"), "day_offset"
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
