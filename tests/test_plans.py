@@ -70,18 +70,19 @@ def test_bucketed_join_zero_exchanges(spark):
 
 
 def test_ivf_no_global_window_or_driver_count(spark):
-    """IVF centroid selection must be a hash-aggregate (min_by per cell), not
-    a driver-side count() + unpartitioned row_number() — the r01 scale-killer
-    (VERDICT.md "What's wrong" #2). No SinglePartition exchange may appear
-    anywhere in the plan."""
+    """IVF must never plan the r01 scale-killer (VERDICT.md r01 "What's
+    wrong" #2): an unpartitioned row_number() over EVERY corpus vector to
+    pick nearest centroids. Since the r05 trained-quantizer rewrite the
+    driver state is the k-means contract (k×dim centroid floats); the
+    per-vector assignment is a JVM fold with NO window function at all, and
+    the candidate path is corpus ⋈ assignment ⋈ broadcast(query)."""
     from apache_iceberg_demo_spark.plans.explain import formatted_plan
 
     df = registry.QUERIES["c3_ann_ivf_topk"](spark, SF)
     plan = formatted_plan(df)
-    assert "SinglePartition" not in plan, "global (unpartitioned) exchange in IVF plan"
-    # building the DataFrame must not have triggered any Spark job (a driver
-    # count() would): the plan is fully lazy
-    assert "min_by" in plan.lower() or "minby" in plan.lower(), plan[:2000]
+    assert "Window" not in plan, "per-vector window function in IVF plan"
+    # final top-k must be a per-partition heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_dpp_join_prunes_partitions_at_runtime(spark):
@@ -156,3 +157,28 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         )
         opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in opt and "bloom_filter_agg" in opt, opt[:500]
+
+
+def test_unigram_scorer_prunes_to_text_columns(spark):
+    """The LM build and the scoring pass must each read only (doc_id, text) —
+    a scan dragging lang/source/n_chars through the explode is wrong."""
+    df = registry.QUERIES["c5_unigram_logprob_score"](spark, SF)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_retention_scans_two_columns_only(spark):
+    """Cohort retention touches a 6-column events table but may read only
+    (user_id, ts) on both the first-touch and activity legs."""
+    df = registry.QUERIES["b4_retention_cohorts"](spark, SF)
+    for cols in read_schema_columns(df):
+        assert cols <= {"user_id", "ts"}, cols
+
+
+def test_hll_sketch_broadcasts_dims(spark):
+    """Nation/region legs of the sketch rollup must broadcast; the customer
+    side shuffles only for the sketch aggregates."""
+    df = registry.QUERIES["b4_hll_sketch_mergeable"](spark, SF)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
