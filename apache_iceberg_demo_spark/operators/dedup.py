@@ -563,3 +563,53 @@ def c1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+@register(
+    "c2_containment_pairs",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     least(len(a.toks), len(b.toks)), 6) AS containment
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+              least(len(a.toks), len(b.toks)) >= 0.95
+    """,
+)
+def c2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: token-set CONTAINMENT pairs — |A∩B| / min(|A|,|B|) within a
+    blocking key. The asymmetric cousin of Jaccard: a short document quoted
+    whole inside a long one scores ~1.0 here but low on Jaccard (union
+    dominated by the long side), so this is the subset/quote-detection pass
+    of a dedup pipeline, not a near-identity pass.
+
+    Same bounded block-join shape as `c2_ngram_jaccard_pairs` (quadratic
+    only within a block); at 100 TB the block key comes from LSH bands or a
+    length bucket instead of `source`, and this exact verify runs on the
+    candidate pairs only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cont = F.size(F.array_intersect("a.toks", "b.toks")) / F.least(
+        F.size("a.toks"), F.size("b.toks")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= 0.95)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "containment",
+        )
+    )

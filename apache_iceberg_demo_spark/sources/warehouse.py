@@ -647,6 +647,30 @@ class Warehouse:
                     shutil.rmtree(full)
         return removed
 
+    def remove_orphan_files(self, name: str) -> int:
+        """Iceberg ``remove_orphan_files``: delete data files under the table
+        location that NO snapshot references — the debris of failed/aborted
+        writes (a task wrote its file, the commit never happened). Distinct
+        from ``expire_snapshots``, which GCs files of *known* dropped
+        snapshots; orphans are unknown to the metadata entirely, so the scan
+        is location-driven: walk the data dir, keep what any manifest
+        claims, remove the rest."""
+        meta = self._load_meta(name)
+        live = {
+            os.path.realpath(self._abs_path(name, f["path"]))
+            for s in meta["snapshots"]
+            for f in s["manifest"]
+        }
+        removed = 0
+        data_root = os.path.join(self._table_dir(name), "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                path = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and os.path.realpath(path) not in live:
+                    os.remove(path)
+                    removed += 1
+        return removed
+
     # ---------- schema evolution (C6) ----------
     #
     # Iceberg's headline metadata capability: ALTER TABLE add/rename/drop is
@@ -1346,4 +1370,60 @@ def c6_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(snap["snapshot_id"], pre[0], n_batch, n_published, True)],
         "published_snapshot_id bigint, base_rows bigint, batch_rows bigint, "
         "published_rows bigint, audit_passed boolean",
+    )
+
+
+@register("c6_remove_orphan_files")  # rows-only: engine-specific maintenance op
+def c6_remove_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: ``remove_orphan_files`` — location-driven GC of data files no
+    snapshot references (aborted-write debris). The complement of
+    ``expire_snapshots``: expiry forgets old snapshots' files, orphan
+    removal reclaims files the metadata never knew.
+
+    Self-verified: planting two orphan parquet files inside the table's data
+    location changes NOTHING for readers (manifest-driven scans never list
+    the directory), cleanup removes exactly the planted files, and the
+    table's content fingerprint is identical before/after. That
+    reader-invariance is the table-format point: directory listings are not
+    the source of truth, the manifest is."""
+    import os
+
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    pre = _content_hash(wh.read(t))
+    files_before = wh.files(t).count()
+
+    # plant orphans: a task's leftover file inside an existing snapshot dir
+    # and a whole uncommitted write attempt
+    data_root = os.path.join(wh._table_dir(t), "data")
+    snap_dir = next(
+        os.path.join(data_root, d)
+        for d in sorted(os.listdir(data_root))
+        if os.path.isdir(os.path.join(data_root, d))
+    )
+    orphan_src = wh.read(t).limit(50)
+    orphan_src.write.mode("overwrite").parquet(
+        os.path.join(data_root, "snap-aborted", "attempt-0")
+    )
+    orphan_src.limit(5).write.mode("overwrite").parquet(
+        os.path.join(snap_dir, "_orphan_task_retry")
+    )
+    n_planted = sum(
+        1
+        for root in (os.path.join(data_root, "snap-aborted"), os.path.join(snap_dir, "_orphan_task_retry"))
+        for _, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    _check(_content_hash(wh.read(t)) == pre, "orphans visible to readers")
+    removed = wh.remove_orphan_files(t)
+    _check(removed == n_planted, f"removed {removed}, planted {n_planted}")
+    _check(_content_hash(wh.read(t)) == pre, "orphan cleanup changed table content")
+    _check(wh.files(t).count() == files_before, "manifest file count changed")
+    _check(wh.remove_orphan_files(t) == 0, "second cleanup found more orphans")
+
+    return spark.createDataFrame(
+        [(files_before, n_planted, removed, True)],
+        "live_files bigint, orphans_planted bigint, orphans_removed bigint, "
+        "content_stable boolean",
     )
