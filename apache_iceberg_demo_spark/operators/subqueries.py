@@ -109,3 +109,48 @@ def b2_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "b2_not_in_null_semantics",
+    oracle="""
+        SELECT
+          CAST((SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0
+                                                    THEN c_custkey END
+                                        FROM customer)) AS BIGINT)
+              AS n_null_poisoned,
+          CAST((SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_acctbal < 0)) AS BIGINT)
+              AS n_null_filtered
+    """,
+)
+def b2_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: the NOT IN null trap, demonstrated and verified on both engines.
+    One NULL in the subquery makes ``x NOT IN (...)`` UNKNOWN for every row
+    — the poisoned leg returns 0; filtering nulls out of the subquery
+    (the fix) returns the thousands of rows people expect.
+
+    Spark plans the poisoned leg as a null-aware anti join (broadcast +
+    null-check on the build side — the reason NOT IN is more expensive than
+    NOT EXISTS at scale) and the filtered leg as a plain left-anti; both
+    through the real SQL front door so the planner, not hand-rolled joins,
+    owns the semantics."""
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0
+                                                    THEN c_custkey END
+                                        FROM customer)) AS BIGINT)
+              AS n_null_poisoned,
+          CAST((SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_acctbal < 0)) AS BIGINT)
+              AS n_null_filtered
+        """
+    )

@@ -304,3 +304,28 @@ def test_foreach_batch_merge_sink_registered(spark):
         .collect()
     }
     assert rows == expect
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """B9: `dropDuplicatesWithinWatermark` (Spark 3.5+) — duplicates of the
+    same key arriving within the watermark horizon collapse to one emission,
+    and state for a key is dropped once the watermark passes it (bounded
+    state, unlike key-forever dropDuplicates). Planted duplicate event_ids
+    across two files must emit exactly once each."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "dup_src")
+    base = _events_batch(spark).select("event_id", "ts", "user_id").limit(200)
+    base.write.mode("overwrite").parquet(src_dir)
+    # second file: the same 50 events re-delivered (at-least-once source)
+    base.limit(50).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .parquet(src_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = _run_to_memory(stream)
+    got = spark.sql(f"SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM {name}").collect()[0]
+    assert got.n == got.d == base.count()
