@@ -526,3 +526,139 @@ def c3_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, k bigint, hits bigint, recall double"
     )
+
+
+@register("c3_product_quantization")  # rows-only: iterative codebook training
+def c3_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: product quantization (PQ) — the FAISS-IVFPQ compression tier above
+    int8: split each 64-dim vector into M=8 subvectors, train a K=16-entry
+    codebook per subspace (2 Lloyd rounds), encode every subvector as its
+    nearest code id. 8 codes × 4 bits = 4 bytes/vector vs 256 — 64×
+    compression, and ANN distance becomes 8 table lookups.
+
+    Fully distributed training — unlike ``kmeans_assign`` there is NO driver
+    collect anywhere: all 8 codebooks train simultaneously in one dataflow
+    (posexplode to (vec, subspace, subvec); assignment is a broadcast join
+    against the centroid FRAME + min_by per (vec, subspace); the update is a
+    (subspace, cell, dim) partial-average — k×M×dim running sums cross the
+    wire, never vectors). Deterministic hash-seeded init, no RNG.
+
+    Self-verified: PQ reconstruction error must beat the 1-centroid-per-
+    subspace baseline (the subspace mean — what an untrained codebook
+    degenerates to); a codebook that fails that learned nothing.
+
+    Iteration hygiene (CLAUDE.md): each round's codebook (M×K rows) is
+    cached and materialized so the final encode doesn't re-execute the
+    whole training lineage once per consumer, and every shuffle in the
+    loop is scoped to input-sized partitions — under a plain 200-partition
+    session the 4000-row grouped aggregates would otherwise fan out to
+    hundreds of near-empty tasks per round."""
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    M, DSUB, K, ITERS = 8, 8, 16, 2
+    e = load(spark, sf_dir, "embeddings")
+    subs = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.transform(
+                            F.slice("embedding", s * DSUB + 1, DSUB),
+                            lambda x: x.cast("double"),
+                        )
+                        for s in range(M)
+                    ]
+                )
+            ).alias("sub", "subvec"),
+        )
+    ).cache()
+    cached: list[DataFrame] = [subs]
+    try:
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(subs)}
+        ):
+            sq_dist = F.aggregate(
+                F.zip_with("subvec", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cents = (
+                subs.withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(K)))
+                .withColumn("pick", F.xxhash64("vec_id", "sub"))
+                .groupBy("sub", "cell")
+                .agg(F.min_by("subvec", "pick").alias("cvec"))
+            )
+            for _ in range(ITERS):
+                assigned = (
+                    subs.join(F.broadcast(cents), "sub")
+                    .withColumn("d", sq_dist)
+                    .groupBy("vec_id", "sub")
+                    .agg(
+                        F.min_by("cell", F.struct("d", "cell")).alias("cell"),
+                        F.first("subvec").alias("subvec"),
+                    )
+                )
+                cents = (
+                    assigned.select(
+                        "sub", "cell", F.posexplode("subvec").alias("pos", "v")
+                    )
+                    .groupBy("sub", "cell", "pos")
+                    .agg(F.avg("v").alias("m"))
+                    .groupBy("sub", "cell")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                            lambda s: s.getField("m"),
+                        ).alias("cvec")
+                    )
+                ).cache()
+                cached.append(cents)
+                cents.count()  # materialize: truncate the training lineage
+            # final encode with the trained codebooks; per-vector error = sum
+            # of subspace residuals. Baseline: K=1 codebook = subspace mean.
+            final = (
+                subs.join(F.broadcast(cents), "sub")
+                .withColumn("d", sq_dist)
+                .groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("d", "cell")).getField("d").alias("d_pq"))
+            )
+            mean_cents = (
+                subs.select("sub", F.posexplode("subvec").alias("pos", "v"))
+                .groupBy("sub", "pos")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("sub")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s.getField("m"),
+                    ).alias("cvec")
+                )
+            )
+            base = subs.join(F.broadcast(mean_cents), "sub").select(
+                "vec_id", "sub", sq_dist.alias("d_base")
+            )
+            per_vec = (
+                final.join(base, ["vec_id", "sub"])
+                .groupBy("vec_id")
+                .agg(F.sum("d_pq").alias("err_pq"), F.sum("d_base").alias("err_base"))
+            )
+            out = per_vec.join(e.select("vec_id", "label"), "vec_id").groupBy(
+                "label"
+            ).agg(
+                F.count("*").cast("bigint").alias("n_vecs"),
+                F.round(F.avg(F.sqrt("err_pq")), 6).alias("avg_l2_err_pq"),
+                F.round(F.avg(F.sqrt("err_base")), 6).alias("avg_l2_err_mean_code"),
+                F.lit(float(64 * 4) / (M * 0.5)).alias("compression_x"),
+            )
+            rows = out.orderBy("label").collect()
+        worse = [r for r in rows if r["avg_l2_err_pq"] >= r["avg_l2_err_mean_code"]]
+        if worse:
+            raise AssertionError(
+                f"PQ codebook no better than subspace means for labels "
+                f"{[r['label'] for r in worse]}"
+            )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for df in cached:
+            df.unpersist()

@@ -273,3 +273,15 @@ def test_ann_recall_audit_self_verifies(spark):
     rows = QUERIES["c3_ann_recall_audit"](spark, "/root/testdata/sf0.001").collect()
     assert {r.method for r in rows} == {"lsh_banded", "ivf_probe"}
     assert all(r.recall >= 0.3 for r in rows)
+
+
+def test_product_quantization_beats_mean_code(spark):
+    """PQ codebooks must reconstruct better than the per-subspace mean
+    baseline for every label (the op also self-asserts this)."""
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["c3_product_quantization"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert all(r.avg_l2_err_pq < r.avg_l2_err_mean_code for r in rows)
+    assert all(r.compression_x == 64.0 for r in rows)
