@@ -528,34 +528,47 @@ def c3_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c3_product_quantization")  # rows-only: iterative codebook training
-def c3_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3: product quantization (PQ) — the FAISS-IVFPQ compression tier above
-    int8: split each 64-dim vector into M=8 subvectors, train a K=16-entry
-    codebook per subspace (2 Lloyd rounds), encode every subvector as its
-    nearest code id. 8 codes × 4 bits = 4 bytes/vector vs 256 — 64×
-    compression, and ANN distance becomes 8 table lookups.
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS = 8, 8, 16, 2
 
-    Fully distributed training — unlike ``kmeans_assign`` there is NO driver
-    collect anywhere: all 8 codebooks train simultaneously in one dataflow
+#: memoized trained PQ state per (session, sf_dir): (subs, cents), both
+#: cached — the codebook trains once per process and serves both the
+#: reconstruction-error profile and the ADC search (same pattern as
+#: dedup's LSH pair memo / the demo-warehouse memo).
+_pq_memo: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+def _pq_sq_dist() -> Column:
+    """Squared L2 between the row's subvec and the joined codebook cvec
+    (built lazily — HOF lambdas need an active session)."""
+    return F.aggregate(
+        F.zip_with("subvec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the M×K product-quantization codebooks; returns the cached
+    ``(subs, cents)`` frames — subs = (vec_id, sub, subvec float64[DSUB]),
+    cents = (sub, cell, cvec).
+
+    Fully distributed — unlike ``kmeans_assign`` there is NO driver collect
+    anywhere: all M codebooks train simultaneously in one dataflow
     (posexplode to (vec, subspace, subvec); assignment is a broadcast join
     against the centroid FRAME + min_by per (vec, subspace); the update is a
-    (subspace, cell, dim) partial-average — k×M×dim running sums cross the
+    (subspace, cell, dim) partial-average — K×M×dim running sums cross the
     wire, never vectors). Deterministic hash-seeded init, no RNG.
 
-    Self-verified: PQ reconstruction error must beat the 1-centroid-per-
-    subspace baseline (the subspace mean — what an untrained codebook
-    degenerates to); a codebook that fails that learned nothing.
-
     Iteration hygiene (CLAUDE.md): each round's codebook (M×K rows) is
-    cached and materialized so the final encode doesn't re-execute the
-    whole training lineage once per consumer, and every shuffle in the
-    loop is scoped to input-sized partitions — under a plain 200-partition
-    session the 4000-row grouped aggregates would otherwise fan out to
-    hundreds of near-empty tasks per round."""
+    cached and materialized so consumers never re-execute the training
+    lineage, and every shuffle in the loop is scoped to input-sized
+    partitions — under a plain 200-partition session the grouped aggregates
+    would otherwise fan out to hundreds of near-empty tasks per round."""
     from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
 
-    M, DSUB, K, ITERS = 8, 8, 16, 2
+    key = (str(id(spark)), sf_dir)
+    if key in _pq_memo:
+        return _pq_memo[key]
+    M, DSUB, K, ITERS = _PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS
     e = load(spark, sf_dir, "embeddings")
     subs = (
         e.select(
@@ -573,92 +586,201 @@ def c3_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sub", "subvec"),
         )
     ).cache()
-    cached: list[DataFrame] = [subs]
-    try:
-        with scoped_conf(
-            spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(subs)}
-        ):
-            sq_dist = F.aggregate(
-                F.zip_with("subvec", "cvec", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    rounds: list[DataFrame] = []
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(subs)}
+    ):
+        cents = (
+            subs.withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(K)))
+            .withColumn("pick", F.xxhash64("vec_id", "sub"))
+            .groupBy("sub", "cell")
+            .agg(F.min_by("subvec", "pick").alias("cvec"))
+        )
+        for _ in range(ITERS):
+            assigned = (
+                subs.join(F.broadcast(cents), "sub")
+                .withColumn("d", _pq_sq_dist())
+                .groupBy("vec_id", "sub")
+                .agg(
+                    F.min_by("cell", F.struct("d", "cell")).alias("cell"),
+                    F.first("subvec").alias("subvec"),
+                )
             )
             cents = (
-                subs.withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(K)))
-                .withColumn("pick", F.xxhash64("vec_id", "sub"))
-                .groupBy("sub", "cell")
-                .agg(F.min_by("subvec", "pick").alias("cvec"))
-            )
-            for _ in range(ITERS):
-                assigned = (
-                    subs.join(F.broadcast(cents), "sub")
-                    .withColumn("d", sq_dist)
-                    .groupBy("vec_id", "sub")
-                    .agg(
-                        F.min_by("cell", F.struct("d", "cell")).alias("cell"),
-                        F.first("subvec").alias("subvec"),
-                    )
+                assigned.select(
+                    "sub", "cell", F.posexplode("subvec").alias("pos", "v")
                 )
-                cents = (
-                    assigned.select(
-                        "sub", "cell", F.posexplode("subvec").alias("pos", "v")
-                    )
-                    .groupBy("sub", "cell", "pos")
-                    .agg(F.avg("v").alias("m"))
-                    .groupBy("sub", "cell")
-                    .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                            lambda s: s.getField("m"),
-                        ).alias("cvec")
-                    )
-                ).cache()
-                cached.append(cents)
-                cents.count()  # materialize: truncate the training lineage
-            # final encode with the trained codebooks; per-vector error = sum
-            # of subspace residuals. Baseline: K=1 codebook = subspace mean.
-            final = (
-                subs.join(F.broadcast(cents), "sub")
-                .withColumn("d", sq_dist)
-                .groupBy("vec_id", "sub")
-                .agg(F.min(F.struct("d", "cell")).getField("d").alias("d_pq"))
-            )
-            mean_cents = (
-                subs.select("sub", F.posexplode("subvec").alias("pos", "v"))
-                .groupBy("sub", "pos")
+                .groupBy("sub", "cell", "pos")
                 .agg(F.avg("v").alias("m"))
-                .groupBy("sub")
+                .groupBy("sub", "cell")
                 .agg(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("pos", "m"))),
                         lambda s: s.getField("m"),
                     ).alias("cvec")
                 )
+            ).cache()
+            rounds.append(cents)
+            cents.count()  # materialize: truncate the training lineage
+    for df in rounds[:-1]:  # keep only the final codebook cached
+        df.unpersist()
+    _pq_memo[key] = (subs, cents)
+    return subs, cents
+
+
+@register("c3_product_quantization")  # rows-only: iterative codebook training
+def c3_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: product quantization (PQ) — the FAISS-IVFPQ compression tier above
+    int8: split each 64-dim vector into M=8 subvectors, train a K=16-entry
+    codebook per subspace (2 Lloyd rounds, :func:`pq_train`), encode every
+    subvector as its nearest code id. 8 codes × 4 bits = 4 bytes/vector vs
+    256 — 64× compression, and ANN distance becomes 8 table lookups
+    (`c3_ann_pq_adc_topk` is that search path).
+
+    Self-verified: PQ reconstruction error must beat the 1-centroid-per-
+    subspace baseline (the subspace mean — what an untrained codebook
+    degenerates to); a codebook that fails that learned nothing."""
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    M = _PQ_M
+    e = load(spark, sf_dir, "embeddings")
+    subs, cents = pq_train(spark, sf_dir)
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(subs)}
+    ):
+        sq_dist = _pq_sq_dist()
+        # per-vector error = sum of subspace residuals against the trained
+        # codebook. Baseline: K=1 codebook = the subspace mean.
+        final = (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn("d", sq_dist)
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d", "cell")).getField("d").alias("d_pq"))
+        )
+        mean_cents = (
+            subs.select("sub", F.posexplode("subvec").alias("pos", "v"))
+            .groupBy("sub", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
             )
-            base = subs.join(F.broadcast(mean_cents), "sub").select(
-                "vec_id", "sub", sq_dist.alias("d_base")
-            )
-            per_vec = (
-                final.join(base, ["vec_id", "sub"])
-                .groupBy("vec_id")
-                .agg(F.sum("d_pq").alias("err_pq"), F.sum("d_base").alias("err_base"))
-            )
-            out = per_vec.join(e.select("vec_id", "label"), "vec_id").groupBy(
-                "label"
-            ).agg(
-                F.count("*").cast("bigint").alias("n_vecs"),
-                F.round(F.avg(F.sqrt("err_pq")), 6).alias("avg_l2_err_pq"),
-                F.round(F.avg(F.sqrt("err_base")), 6).alias("avg_l2_err_mean_code"),
-                F.lit(float(64 * 4) / (M * 0.5)).alias("compression_x"),
-            )
-            rows = out.orderBy("label").collect()
-        worse = [r for r in rows if r["avg_l2_err_pq"] >= r["avg_l2_err_mean_code"]]
-        if worse:
-            raise AssertionError(
-                f"PQ codebook no better than subspace means for labels "
-                f"{[r['label'] for r in worse]}"
-            )
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        for df in cached:
-            df.unpersist()
+        )
+        base = subs.join(F.broadcast(mean_cents), "sub").select(
+            "vec_id", "sub", sq_dist.alias("d_base")
+        )
+        per_vec = (
+            final.join(base, ["vec_id", "sub"])
+            .groupBy("vec_id")
+            .agg(F.sum("d_pq").alias("err_pq"), F.sum("d_base").alias("err_base"))
+        )
+        out = per_vec.join(e.select("vec_id", "label"), "vec_id").groupBy(
+            "label"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg(F.sqrt("err_pq")), 6).alias("avg_l2_err_pq"),
+            F.round(F.avg(F.sqrt("err_base")), 6).alias("avg_l2_err_mean_code"),
+            F.lit(float(64 * 4) / (M * 0.5)).alias("compression_x"),
+        )
+        rows = out.orderBy("label").collect()
+    worse = [r for r in rows if r["avg_l2_err_pq"] >= r["avg_l2_err_mean_code"]]
+    if worse:
+        raise AssertionError(
+            f"PQ codebook no better than subspace means for labels "
+            f"{[r['label'] for r in worse]}"
+        )
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register("c3_ann_pq_adc_topk")  # rows-only: codebook search path
+def c3_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: PQ asymmetric-distance (ADC) top-k — serving from the compressed
+    index: the corpus exists only as 4-byte PQ codes; the query stays
+    full-precision and precomputes an M×K distance table (one squared-L2 per
+    (subspace, code) — 128 floats, driver math, no job), and every corpus
+    distance is then M table lookups + adds. This is FAISS's ADC, the reason
+    PQ search never decodes a vector.
+
+    Plan: codes (vec_id, sub, cell) ⋈ broadcast(distance table) → sum per
+    vec_id → ascending top-k (TakeOrderedAndProject). The corpus never
+    shuffles as vectors — only as (id, sub, cell) ints.
+
+    Self-verified recall: ADC top-10 must overlap the EXACT squared-L2
+    top-10 (computed in the same job from the uncompressed subvectors) above
+    the property-test floor — quantization loses precision, not the
+    neighborhood."""
+    k, floor = 10, 0.3
+    M, DSUB, K = _PQ_M, _PQ_DSUB, _PQ_K
+    subs, cents = pq_train(spark, sf_dir)
+    codes = (
+        subs.join(F.broadcast(cents), "sub")
+        .withColumn("d", _pq_sq_dist())
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+    )
+    # query = min-vec_id vector; its subvectors, driver-side (M×DSUB floats)
+    e = load(spark, sf_dir, "embeddings")
+    qrow = [float(v) for v in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    qsubs = [qrow[s * DSUB : (s + 1) * DSUB] for s in range(M)]
+    # M×K distance table from the (tiny) trained codebook
+    dt_rows = [
+        (int(r["sub"]), int(r["cell"]),
+         float(sum((a - b) * (a - b) for a, b in zip(qsubs[int(r["sub"])], r["cvec"]))))
+        for r in cents.collect()
+    ]
+    dtable = spark.createDataFrame(dt_rows, "sub int, cell bigint, qd double")
+    shortlist = (
+        codes.join(F.broadcast(dtable), ["sub", "cell"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(5 * k)
+    )
+    # exact squared-L2 top-k from the uncompressed subvectors (ground truth)
+    q_arrays = {s: F.array(*[F.lit(v) for v in qsubs[s]]) for s in range(M)}
+    qd_expr = F.aggregate(
+        F.zip_with(
+            "subvec",
+            F.element_at(
+                F.array(*[q_arrays[s] for s in range(M)]), F.col("sub") + 1
+            ),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # refine: exact squared-L2 re-rank of the ADC shortlist only (the
+    # FAISS serve shape — lookups shortlist 5k candidates, full precision
+    # re-scores just those)
+    refined = (
+        subs.join(shortlist, "vec_id")
+        .select("vec_id", "adc_dist", qd_expr.alias("qd"))
+        .groupBy("vec_id", "adc_dist")
+        .agg(F.sum("qd").alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+    )
+    exact = (
+        subs.select("vec_id", qd_expr.alias("qd"))
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+    )
+    approx_rows = refined.collect()
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len({r["vec_id"] for r in approx_rows} & exact_ids) / max(
+        len(exact_ids), 1
+    )
+    if recall < floor:
+        raise AssertionError(f"PQ-ADC recall@{k} = {recall:.3f} < floor {floor}")
+    return spark.createDataFrame(
+        [
+            (r["vec_id"], round(r["adc_dist"], 6), round(r["l2"], 6), round(recall, 6))
+            for r in approx_rows
+        ],
+        "vec_id bigint, adc_dist double, exact_l2 double, recall_at_k double",
+    )

@@ -285,3 +285,17 @@ def test_product_quantization_beats_mean_code(spark):
     assert len(rows) == 10
     assert all(r.avg_l2_err_pq < r.avg_l2_err_mean_code for r in rows)
     assert all(r.compression_x == 64.0 for r in rows)
+
+
+def test_pq_adc_search_recall(spark):
+    """ADC shortlist + exact re-rank must recover most of the exact L2
+    top-10 (op self-asserts the 0.3 floor; measured 0.7 both SFs)."""
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["c3_ann_pq_adc_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert rows[0].recall_at_k >= 0.3
+    # re-ranked output must be ordered by exact distance
+    l2s = [r.exact_l2 for r in rows]
+    assert l2s == sorted(l2s)
