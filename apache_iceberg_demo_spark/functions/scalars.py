@@ -482,3 +482,34 @@ def b8_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("status").alias("status"),
         nested.getField("inner").getField("pri").alias("priority"),
     )
+
+
+@register(
+    "b8_try_functions",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice / NULLIF(o_custkey % 7, 0), 6) AS safe_ratio,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+               TRY_CAST(o_orderpriority AS INT) AS bad_cast
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+    """,
+)
+def b8_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: ANSI-safe `try_*` surface — Spark 4 runs with ANSI mode ON, so a
+    plain CAST('2-HIGH' AS INT) or a zero divide THROWS mid-job; `try_cast`
+    / `try_divide` are the per-expression opt-outs that degrade to NULL
+    instead. On a 100 TB scan one malformed row otherwise kills the whole
+    job hours in — the try tier is how pipelines quarantine bad VALUES the
+    way PERMISSIVE mode quarantines bad ROWS (`b1_csv_malformed_modes`).
+    Oracle spelling: NULLIF for the guarded divide, DuckDB TRY_CAST for the
+    casts — NULL outcomes must agree row-for-row."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7), 6
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").substr(1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+    )
