@@ -154,3 +154,49 @@ def b2_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS n_null_filtered
         """
     )
+
+
+@register(
+    "b2_recursive_cte_spine",
+    oracle="""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST((SELECT min(o_orderdate) FROM orders) AS TIMESTAMP)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT max(o_orderdate) FROM orders)
+        )
+        SELECT m AS month_start,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months
+        LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+    """,
+)
+def b2_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: recursive CTE (Spark 4) — a generated calendar spine: months from
+    min to max order date, LEFT JOINed so empty months surface as zero rows
+    (the gap a plain GROUP BY silently swallows; the spine-join counterpart
+    of the LOCF gap-fill in `b5_gap_fill_forward`).
+
+    The recursion materializes ~80 rows driver-free; each iteration is one
+    tiny plan and the bound comes from a scalar subquery, not a literal —
+    the spine tracks whatever data range arrives. Oracle is the identical
+    WITH RECURSIVE text on DuckDB."""
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST((SELECT min(o_orderdate) FROM orders) AS TIMESTAMP)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT max(o_orderdate) FROM orders)
+        )
+        SELECT m AS month_start,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months
+        LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )
