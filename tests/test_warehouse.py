@@ -429,3 +429,24 @@ def test_write_audit_publish_staging(spark, wh):
     wh.append("wap_t", batch.limit(5))
     with pytest.raises(ValueError):
         wh.publish("wap_t", s2["snapshot_id"])
+
+
+def test_can_skip_between_and_conjunction(spark, wh):
+    """Manifest skipping handles BETWEEN and AND-conjunctions: one provably
+    disjoint conjunct skips the file; unrecognized text never skips."""
+    entry = {"partition": {}, "stats": {"x": [10, 20], "y": ["a", "c"]}}
+    cs = Warehouse._can_skip
+    assert cs(entry, "x BETWEEN 30 AND 40")
+    assert not cs(entry, "x BETWEEN 15 AND 40")
+    assert cs(entry, "x >= 15 AND x <= 5")  # second conjunct disjoint
+    assert cs(entry, "y = 'zzz' AND x >= 0")
+    assert not cs(entry, "x >= 15 AND y = 'b'")
+    assert not cs(entry, "some_unparseable || garbage")
+
+
+def test_zorder_registered_query(spark):
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.layout: r for r in QUERIES["c6_zorder_clustering"](spark, SF).collect()}
+    assert rows["zorder"].kept_suppkey_range < rows["linear_partkey"].kept_suppkey_range
