@@ -450,3 +450,64 @@ def b3_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend"),
         )
     )
+
+
+@register(
+    "b3_join_range_binned",
+    oracle="""
+        SELECT c.user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(p.value), 6) AS paired_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        GROUP BY c.user_id
+    """,
+)
+def b3_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: range join via TIME BINNING — the scale rewrite of a ±30-minute
+    interval join. A naive `|t1-t2| <= w` condition on a shuffle join makes
+    every same-key pair a candidate (O(n·m) residual evaluation per user);
+    binning floors both sides to w-sized buckets, EXPLODES one side to its
+    bucket ±1, and equi-joins on (user_id, bin) — every true pair shares an
+    expanded bin, candidates shrink to temporal neighbors, and the join key
+    becomes hashable. Same trick Spark's streaming interval join plays with
+    watermark-bounded state, applied to batch.
+
+    The oracle is the naive inequality join — results must match exactly,
+    proving the bin expansion loses no pairs and the residual drops no
+    legitimate ones."""
+    from apache_iceberg_demo_spark.io import load as _load
+
+    W_US = 30 * 60 * 1_000_000
+    ev = _load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withColumn("c_us", F.unix_micros("c_ts"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    (F.col("c_us") / W_US).cast("bigint") - 1,
+                    (F.col("c_us") / W_US).cast("bigint"),
+                    (F.col("c_us") / W_US).cast("bigint") + 1,
+                )
+            ),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .withColumn("p_us", F.unix_micros("p_ts"))
+        .withColumn("bin", (F.col("p_us") / W_US).cast("bigint"))
+    )
+    pairs = clicks.join(purchases, ["user_id", "bin"]).filter(
+        (F.col("p_us") >= F.col("c_us") - W_US) & (F.col("p_us") <= F.col("c_us") + W_US)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("value"), 6).alias("paired_value"),
+    )

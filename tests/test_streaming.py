@@ -329,3 +329,38 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     name = _run_to_memory(stream)
     got = spark.sql(f"SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM {name}").collect()[0]
     assert got.n == got.d == base.count()
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """B9 durability: a restarted query on the SAME checkpoint resumes from
+    the committed offset log — the second run must process only the file
+    added while the stream was down, never re-emitting the first batch
+    (exactly-once over restarts, the property checkpoints exist for)."""
+    src = str(tmp_path / "resume_src")
+    ckpt = str(tmp_path / "resume_ckpt")
+    out = str(tmp_path / "resume_out")
+    base = _events_batch(spark).select("event_id", "user_id").limit(100)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        # file sink, not memory: the memory sink can't recover a checkpoint
+        q = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 100
+    # stream is down; 40 more rows arrive
+    base.limit(40).withColumn("event_id", F.col("event_id") + 1_000_000).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # cumulative output is 140, not 240 — the first batch was not re-emitted
+    assert run_once() == 140
