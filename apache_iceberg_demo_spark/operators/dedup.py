@@ -613,3 +613,56 @@ def c2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment",
         )
     )
+
+
+@register("c2_minhash_estimate_accuracy")  # rows-only: measured estimator contract
+def c2_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the MinHash accuracy contract, measured — for a blocked sample of
+    document pairs, the fraction of matching signature components (32
+    permutations) must estimate the exact shingle Jaccard unbiasedly:
+    E[match_frac] = J, σ = sqrt(J(1-J)/32). In-query assertions hold the
+    estimator to |bias| ≤ 0.01 and MAE ≤ 0.02 (generous vs the binomial
+    bound at this corpus's similarity range); a broken hash family — skewed
+    permutations, collisions, band math errors — fails the query rather
+    than silently degrading LSH recall. Same evidence pattern as the HLL
+    and int8/PQ accuracy contracts.
+
+    Scale: the sample is a fixed hash block (doc_id % 10), pairs bounded
+    quadratically in the BLOCK only; at 100 TB this audit runs on the same
+    blocked sample, never the corpus."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    hs = hashed_word_shingles(d)
+    sig = hs.select("doc_id", minhash_signature(F.col("hs")).alias("sig"), "hs")
+    a = sig.select(
+        F.col("doc_id").alias("ida"), F.col("sig").alias("sa"), F.col("hs").alias("ha")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("idb"), F.col("sig").alias("sb"), F.col("hs").alias("hb")
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    est = F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)) / 32.0
+    exact = F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb"))
+    row = (
+        pairs.select(est.alias("est"), exact.alias("ex"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("ex"))), 6).alias("mae"),
+            F.round(F.avg(F.col("est") - F.col("ex")), 6).alias("bias"),
+            F.round(F.avg("ex"), 6).alias("mean_exact_jaccard"),
+        )
+        .collect()[0]
+    )
+    if row["n_pairs"] < 100:
+        raise AssertionError(f"accuracy sample too small: {row['n_pairs']} pairs")
+    if abs(row["bias"]) > 0.01 or row["mae"] > 0.02:
+        raise AssertionError(
+            f"MinHash estimator out of contract: bias={row['bias']}, mae={row['mae']}"
+        )
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_pairs bigint, mae double, bias double, mean_exact_jaccard double",
+    )
