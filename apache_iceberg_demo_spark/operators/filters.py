@@ -139,3 +139,36 @@ def b2_filter_regex_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.col("c_name").rlike(r"0{3}[0-4]") & F.col("c_mktsegment").ilike("%Ware%")
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "b2_sql_named_params",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 6) AS qty
+        FROM lineitem
+        WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+)
+def b2_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: parameterized SQL (`spark.sql(query, args={...})`) — named
+    parameter markers bind as LITERALS in the parsed plan, not string
+    interpolation: injection-proof, plan-cache-friendly, and the values
+    still constant-fold into pushed filters like any literal. The front
+    door a 100 TB query service actually exposes."""
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 6) AS qty
+        FROM lineitem
+        WHERE l_quantity >= :min_qty AND l_shipdate < :cutoff
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30, "cutoff": "1997-01-01 00:00:00"},
+    )

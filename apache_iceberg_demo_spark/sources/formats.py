@@ -164,3 +164,48 @@ def b1_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_permissive bigint, rows_clean bigint, rows_quarantined bigint, "
         "rows_dropmalformed bigint, failfast_raised boolean",
     )
+
+
+@register("b1_metadata_columns")  # rows-only: engine-specific hidden columns
+def b1_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: the hidden ``_metadata`` struct every file scan carries —
+    file_name / file_size / row_index per row, surfaced only when selected
+    (lineage provenance without storing it; the file-source analogue of
+    Iceberg's ``_file`` metadata column).
+
+    Self-verified: per-file row counts recomputed FROM the metadata column
+    must equal the parquet footers' own row counts, and row_index must be a
+    dense 0..n-1 sequence within each file (min 0, max n-1, n distinct)."""
+    import os
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("row_index").alias("min_idx"),
+            F.max("row_index").alias("max_idx"),
+            F.countDistinct("row_index").cast("bigint").alias("n_distinct_idx"),
+        )
+    )
+    rows = per_file.collect()
+    footer_rows = pq.ParquetFile(path).metadata.num_rows
+    got_total = sum(r["n_rows"] for r in rows)
+    if got_total != footer_rows:
+        raise AssertionError(
+            f"_metadata-derived rows {got_total} != parquet footer {footer_rows}"
+        )
+    for r in rows:
+        if not (
+            r["min_idx"] == 0
+            and r["max_idx"] == r["n_rows"] - 1
+            and r["n_distinct_idx"] == r["n_rows"]
+        ):
+            raise AssertionError(f"row_index not dense in {r['file_name']}: {r}")
+    return per_file.orderBy("file_name")
