@@ -820,3 +820,80 @@ def b4_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_seen bigint, qty_total double, returned_rows bigint, metrics_match boolean",
     )
+
+
+@register(
+    "b4_data_profile",
+    oracle="""
+        SELECT 'o_custkey' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(o_custkey) AS BIGINT) AS n_non_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_custkey) AS DOUBLE) AS min_v,
+               CAST(max(o_custkey) AS DOUBLE) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(count(*) AS BIGINT),
+               CAST(count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               round(CAST(min(o_totalprice) AS DOUBLE), 6),
+               round(CAST(max(o_totalprice) AS DOUBLE), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(count(*) AS BIGINT),
+               CAST(count(o_orderdate) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               CAST(epoch(min(o_orderdate)) AS DOUBLE),
+               CAST(epoch(max(o_orderdate)) AS DOUBLE)
+        FROM orders
+    """,
+)
+def b4_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: column profiling — the data-quality summary every ingest pipeline
+    computes before accepting a batch (null rates, cardinality, value
+    bounds; the relational core of `df.summary()` but exact and
+    oracle-verifiable, no approximate quantiles).
+
+    One scan per profiled column set — Spark computes all three profile
+    rows from grouped one-pass aggregates and unions the 1-row frames
+    plan-side (no shuffle beyond the aggregates; at 100 TB this is the
+    cheap pre-commit gate before a WAP publish)."""
+    o = load(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax_expr):
+        mn, mx = minmax_expr
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_non_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        )
+
+    return (
+        prof(
+            "o_custkey",
+            (F.min("o_custkey").cast("double"), F.max("o_custkey").cast("double")),
+        )
+        .unionByName(
+            prof(
+                "o_totalprice",
+                (
+                    F.round(F.min("o_totalprice").cast("double"), 6),
+                    F.round(F.max("o_totalprice").cast("double"), 6),
+                ),
+            )
+        )
+        .unionByName(
+            prof(
+                "o_orderdate",
+                (
+                    F.unix_timestamp(F.min("o_orderdate")).cast("double"),
+                    F.unix_timestamp(F.max("o_orderdate")).cast("double"),
+                ),
+            )
+        )
+    )

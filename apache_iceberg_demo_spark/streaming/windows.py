@@ -502,3 +502,42 @@ def b9_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("value_sum").cast("double"), 6).alias("value_sum"),
     ).orderBy("event_type")
+
+
+@register(
+    "b9_stream_static_enrichment",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 6) AS seg_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type IN ('purchase', 'click')
+        GROUP BY c.c_mktsegment
+    """,
+)
+def b9_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: stream-static join — each micro-batch of the event stream enriches
+    against a STATIC dimension table (customer segment). Spark re-plans the
+    static side per micro-batch, so a dimension updated in place (an
+    Iceberg table the sink merges into) is picked up on the next trigger —
+    the poor man's slowly-changing-dimension join, no stream-stream state at
+    all. Batch form here (identical semantics per Spark's guarantee); the
+    genuine streamed run with equality assert is
+    tests/test_streaming.py::test_stream_static_join_matches_batch.
+
+    Scale: the static side is dimension-sized → broadcast; the stream never
+    shuffles for the join, and aggregation state is bounded by segment
+    cardinality."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("seg_value"),
+        )
+    )

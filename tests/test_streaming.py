@@ -364,3 +364,30 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     ).write.mode("append").parquet(src)
     # cumulative output is 140, not 240 — the first batch was not re-emitted
     assert run_once() == 140
+
+
+def test_stream_static_join_matches_batch(spark):
+    """B9: the genuine stream-static join run — file-replay stream joined to
+    the static customer dim per micro-batch must equal the batch result."""
+    from apache_iceberg_demo_spark.io import load as _load
+    from apache_iceberg_demo_spark.registry import QUERIES, load_all
+
+    load_all()
+    SFD = "/root/testdata/sf0.001"
+    src = _event_stream(spark).filter(F.col("event_type").isin("purchase", "click"))
+    dim = _load(spark, SFD, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        src.join(dim, src.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("seg_value"))
+    )
+    name = _run_to_memory(agg, mode="complete")
+    got = {
+        (r.c_mktsegment, r.n_events, r.seg_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.c_mktsegment, r.n_events, r.seg_value)
+        for r in QUERIES["b9_stream_static_enrichment"](spark, SFD).collect()
+    }
+    assert got == want
