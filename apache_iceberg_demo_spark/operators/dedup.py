@@ -666,3 +666,75 @@ def c2_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(row)],
         "n_pairs bigint, mae double, bias double, mean_exact_jaccard double",
     )
+
+
+@register("c1_dedup_incremental_index")  # rows-only: stateful index roundtrip
+def c1_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1×C6: INCREMENTAL dedup — the production shape: a persisted
+    content-hash index (a versioned warehouse table) absorbs batches over
+    time; each new batch anti-joins the index, only novel documents pass,
+    and their hashes append as a new snapshot. Re-delivered documents are
+    dropped by the INDEX, not by an in-batch window — dedup state survives
+    across pipeline runs, which a one-shot dropDuplicates cannot do.
+
+    Self-verified: a batch containing planted re-deliveries of indexed docs
+    passes exactly its novel members; the index grows by exactly that many
+    hashes; and the whole operation is IDEMPOTENT — re-running the same
+    batch passes 0 documents and commits 0 new hashes.
+
+    Scale: the index stores 32-byte hashes + ids (not documents); the
+    anti-join shuffles hashes only, and in production the index table is
+    bucketed by hash so the join co-locates."""
+    from apache_iceberg_demo_spark.io import load as _load, scratch_dir
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse, _check
+
+    fp = F.sha2(F.concat(F.col("text"), F.lit("|"), F.col("lang")), 256)
+    docs = _load(spark, sf_dir, "documents").withColumn("fp", fp)
+    seed = docs.filter(F.col("doc_id") % 5 != 0)  # 80% bootstrap corpus
+    batch = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        # planted re-deliveries: 30 already-indexed docs arrive again
+        seed.limit(30).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+
+    wh = Warehouse(spark, scratch_dir("dedup_idx_wh_", unique=True))
+    t = "content_index"
+    wh.create_or_replace(t, seed.select("fp", F.col("doc_id").alias("first_doc_id")))
+    idx_before = wh.read(t).count()
+
+    def ingest(b):
+        index = wh.read(t).select("fp")
+        novel = (
+            b.join(index, "fp", "left_anti")
+            .dropDuplicates(["fp"])  # in-batch dups collapse too
+        )
+        n = novel.count()
+        if n:
+            wh.append(t, novel.select("fp", F.col("doc_id").alias("first_doc_id")))
+        return n
+
+    n_seed_dupes = 30
+    n_batch_novel = batch.join(
+        wh.read(t).select("fp"), "fp", "left_anti"
+    ).select("fp").distinct().count()
+
+    passed1 = ingest(batch)
+    idx_after1 = wh.read(t).count()
+    _check(passed1 == n_batch_novel, "novel count != expected distinct new hashes")
+    _check(
+        idx_after1 == idx_before + passed1, "index growth != passed documents"
+    )
+    _check(
+        batch.count() - passed1 >= n_seed_dupes,
+        "planted re-deliveries were not dropped",
+    )
+    # idempotency: the same batch again adds nothing
+    passed2 = ingest(batch)
+    idx_after2 = wh.read(t).count()
+    _check(passed2 == 0, f"re-ingest passed {passed2} docs")
+    _check(idx_after2 == idx_after1, "re-ingest grew the index")
+
+    return spark.createDataFrame(
+        [(idx_before, int(passed1), idx_after1, int(passed2), idx_after2)],
+        "index_seed bigint, first_pass bigint, index_after bigint, "
+        "rerun_pass bigint, index_final bigint",
+    )
