@@ -38,6 +38,8 @@ EXEMPT: dict[str, str] = {
     "b4_agg_stats.variance": "variance rounds to 2 by the float rule; not a sum",
     "b4_agg_stats.stddev": "sqrt of variance; same rule",
     "b4_corr_regression.var_price": "variance; rounds to 2",
+    "b4_data_profile.min_v": "MIN is order-insensitive selection, not a sum",
+    "b4_data_profile.max_v": "MAX is order-insensitive selection, not a sum",
 }
 
 
