@@ -270,3 +270,37 @@ def b5_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "b5_named_window_clause",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE), 6) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def b5_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: the SQL ``WINDOW w AS (...)`` named-window clause — one window
+    definition shared by several functions (the parser surface; Catalyst
+    collapses same-window functions into one Window operator either way,
+    so this registers the front door, not a new plan). Running money sum
+    accumulates in DECIMAL per the float discipline."""
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE), 6) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -306,6 +306,23 @@ class Warehouse:
         )
         return snap
 
+    def tag_snapshot(self, name: str, tag: str, snapshot_id: Optional[int] = None) -> None:
+        """Iceberg named ref: pin a human-readable tag to a snapshot id
+        (default: current). Tags survive later commits — `read(ref=...)`
+        resolves them for release-pinned reads ("train on v1.2 forever")."""
+        meta = self._load_meta(name)
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        self._snapshot(meta, sid)  # must exist
+        meta.setdefault("refs", {})[tag] = sid
+        self._store_meta(name, meta)
+
+    def resolve_ref(self, name: str, ref: str) -> int:
+        meta = self._load_meta(name)
+        refs = meta.get("refs", {})
+        if ref not in refs:
+            raise KeyError(f"table {name!r} has no ref {ref!r} (refs: {sorted(refs)})")
+        return refs[ref]
+
     def stage_append(self, name: str, df: DataFrame) -> dict:
         """Write-Audit-Publish step 1 (Iceberg's ``wap.id`` staging): the
         batch is fully written and committed as a snapshot, but the current
@@ -1531,4 +1548,41 @@ def c6_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "layout string, n_files bigint, kept_partkey_range bigint, "
         "kept_suppkey_range bigint",
+    )
+
+
+@register("c6_named_refs")  # rows-only: engine-specific ref surface
+def c6_named_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: named refs (Iceberg tags) — pin a release tag to a snapshot and
+    read through it forever, regardless of later commits. The reproducibility
+    primitive for training data: "the v1 corpus" stays byte-identical while
+    the table keeps ingesting.
+
+    Self-verified: the tagged read reproduces the EXACT content fingerprint
+    of the pre-append snapshot after two later commits; re-tagging moves the
+    pin; an unknown tag raises instead of silently reading current."""
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    v1_hash = _content_hash(wh.read(t, snapshot_id=1))
+    wh.tag_snapshot(t, "v1.0", snapshot_id=1)
+    # table keeps moving: two more commits after the tag
+    extra = wh.read(t).limit(200)
+    wh.append(t, extra)
+    wh.append(t, extra.limit(50))
+    tagged = wh.read(t, snapshot_id=wh.resolve_ref(t, "v1.0"))
+    _check(_content_hash(tagged) == v1_hash, "tagged read drifted from snapshot 1")
+    _check(
+        _content_hash(wh.read(t)) != v1_hash,
+        "current read should differ after appends",
+    )
+    wh.tag_snapshot(t, "v1.0", snapshot_id=2)  # re-tag moves the pin
+    _check(wh.resolve_ref(t, "v1.0") == 2, "re-tag did not move the ref")
+    try:
+        wh.resolve_ref(t, "nope")
+        raise AssertionError("unknown ref resolved")
+    except KeyError:
+        pass
+    snaps = wh.snapshots(t).count()
+    return spark.createDataFrame(
+        [("v1.0", 2, snaps, True)],
+        "tag string, pinned_snapshot bigint, n_snapshots bigint, exact_replay boolean",
     )
