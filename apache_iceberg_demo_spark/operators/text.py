@@ -752,3 +752,84 @@ def c5_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+@register("pipeline_corpus_release")  # rows-only: multi-stage stateful pipeline
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CORPUS RELEASE — the round-5 feature set composed into the
+    workflow a training-data team actually ships: exact dedup (quality
+    keep-rule) → quality gate → hash split assignment → write-audit-publish
+    into the versioned table → release tag. The result is a pinned,
+    auditable corpus version ("train on release-1 forever") rather than a
+    DataFrame that evaporates with the session.
+
+    Self-verified at every stage: dedup output has unique fingerprints; the
+    audit (run against the STAGED snapshot, pre-publish) checks row count,
+    split coverage, and no empty text; publish makes exactly the audited
+    state current; the release tag replays it byte-identically afterwards.
+
+    Scale: each stage is one declarative pass (hash shuffle for dedup, scan
+    filters for quality, pure-function splits); WAP publish is a metadata
+    swap — the pipeline adds zero data movement beyond the dedup shuffle
+    and the final write."""
+    from pyspark.sql import Window as W
+
+    from apache_iceberg_demo_spark.io import load as _load, scratch_dir
+    from apache_iceberg_demo_spark.operators.sampling import hash_bucket
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse, _check, _content_hash
+
+    d = _load(spark, sf_dir, "documents")
+
+    # 1. exact dedup, keep-best copy per content hash
+    fp = F.sha2(F.concat(F.col("text"), F.lit("|"), F.col("lang")), 256)
+    w = W.partitionBy(fp).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    deduped = (
+        d.withColumn("fp", fp)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    # 2. quality gate: length band + nonempty tokens
+    gated = deduped.filter(
+        (F.col("n_chars") >= 60)
+        & (F.col("n_chars") <= 520)
+        & (F.size(F.split("text", " ")) >= 10)
+    )
+    # 3. deterministic split assignment
+    b = hash_bucket(F.col("doc_id"))
+    release = gated.withColumn(
+        "split", F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+
+    # 4. WAP: stage, audit the staged snapshot, publish, tag
+    wh = Warehouse(spark, scratch_dir("release_wh_", unique=True))
+    t = "corpus"
+    wh.create_or_replace(t, release.limit(0))  # declared schema, empty base
+    snap = wh.stage_append(t, release)
+    staged = wh.read(t, snapshot_id=snap["snapshot_id"])
+    n_expected = release.count()
+    _check(staged.count() == n_expected, "staged row count != pipeline output")
+    _check(
+        staged.filter(F.length("text") == 0).count() == 0, "audit: empty text"
+    )
+    _check(
+        staged.select("split").distinct().count() == 3, "audit: missing a split"
+    )
+    dup = staged.groupBy("fp").count().filter(F.col("count") > 1).count()
+    _check(dup == 0, "audit: duplicate fingerprints survived dedup")
+
+    wh.publish(t, snap["snapshot_id"])
+    wh.tag_snapshot(t, "release-1")
+    pinned = wh.read(t, snapshot_id=wh.resolve_ref(t, "release-1"))
+    _check(
+        _content_hash(pinned) == _content_hash(staged),
+        "release tag does not replay the audited state",
+    )
+    return (
+        staged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
