@@ -197,6 +197,50 @@ def c4_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CDC gear-hash parameters. Sliding-WINDOW gear (outgoing byte subtracted):
+#: the boundary decision depends on the last W=16 bytes ONLY, independent of
+#: chunk start — that bounded memory is what re-syncs boundaries after an
+#: insert. Three designs measured on this corpus before this one: plain gear
+#: + low-bit mask never fires on repetitive text (low bits cycle — FastCDC's
+#: reason for high-bit masks); gear + high-bit mask fires but never re-syncs
+#: (unbounded memory per chunk: shared chunks ≈ 0); windowed gear shares
+#: n-1..n-3 of n chunks across an insert mutation.
+CDC_W, CDC_SHIFT, CDC_MIN, CDC_MAX = 16, 59, 16, 256  # p(boundary)≈1/32 per byte
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _gear_table() -> list:
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+        & 0x7FFFFFFFFFFFFFFF
+        for b in range(256)
+    ]
+
+
+_GEAR = _gear_table()
+
+
+def gear_chunks(data: bytes) -> list:
+    """Content-defined chunk list [(offset, length, sha1_hex), ...] for a
+    blob — pure function, property-tested in tests/test_properties.py."""
+    import hashlib
+
+    out, start, h = [], 0, 0
+    for i, byte in enumerate(data):
+        h = ((h << 1) + _GEAR[byte]) & _M64
+        if i >= CDC_W:
+            h = (h - ((_GEAR[data[i - CDC_W]] << CDC_W) & _M64)) & _M64
+        clen = i + 1 - start
+        if (clen >= CDC_MIN and (h >> CDC_SHIFT) == 0) or clen >= CDC_MAX:
+            out.append((start, clen, hashlib.sha1(data[start : i + 1]).hexdigest()))
+            start = i + 1
+    if start < len(data) or not data:
+        out.append((start, len(data) - start, hashlib.sha1(data[start:]).hexdigest()))
+    return out
+
+
 @register("c4_content_defined_chunking")  # rows-only: rolling-hash kernel in Arrow batches
 def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: content-defined chunking (CDC) over binary blobs — gear rolling
@@ -213,8 +257,6 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields the identical chunk-hash sequence; a planted INSERT-corrupted
     copy still shares most chunk hashes with its original (the locality
     property fixed-size chunking lacks)."""
-    import hashlib
-
     from apache_iceberg_demo_spark.io import load as _load
 
     d = _load(spark, sf_dir, "documents").select(
@@ -231,42 +273,13 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = d.unionByName(planted)
 
-    # deterministic 256-entry gear table (hash-seeded, no RNG)
-    gear = [
-        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
-        for b in range(256)
-    ]
-    # Sliding-WINDOW gear hash (outgoing byte subtracted): the boundary
-    # decision depends on the last W=16 bytes ONLY, independent of chunk
-    # start — that bounded memory is what re-syncs boundaries after an
-    # insert. Three designs measured on this corpus before this one: plain
-    # gear + low-bit mask never fires on repetitive text (low bits cycle —
-    # FastCDC's reason for high-bit masks); gear + high-bit mask fires but
-    # never re-syncs (unbounded memory per chunk: shared chunks ≈ 0);
-    # windowed gear shares n-1..n-3 of n chunks across an insert mutation.
-    W, SHIFT, MIN_C, MAX_C = 16, 59, 16, 256  # p(boundary)≈1/32 per byte
-    M64 = 0xFFFFFFFFFFFFFFFF
-
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, offs, lens, hashes = [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                data = bytes(blob)
-                start, h, idx = 0, 0, 0
-                for i, byte in enumerate(data):
-                    h = ((h << 1) + gear[byte]) & M64
-                    if i >= W:
-                        h = (h - ((gear[data[i - W]] << W) & M64)) & M64
-                    clen = i + 1 - start
-                    if (clen >= MIN_C and (h >> SHIFT) == 0) or clen >= MAX_C:
-                        ids.append(doc_id); idxs.append(idx)
-                        offs.append(start); lens.append(clen)
-                        hashes.append(hashlib.sha1(data[start : i + 1]).hexdigest())
-                        start, idx = i + 1, idx + 1
-                if start < len(data) or not data:
+                for idx, (off, clen, digest) in enumerate(gear_chunks(bytes(blob))):
                     ids.append(doc_id); idxs.append(idx)
-                    offs.append(start); lens.append(len(data) - start)
-                    hashes.append(hashlib.sha1(data[start:]).hexdigest())
+                    offs.append(off); lens.append(clen); hashes.append(digest)
             yield pd.DataFrame(
                 {"doc_id": ids, "chunk_idx": idxs, "offset": offs,
                  "length": lens, "chunk_hash": hashes}

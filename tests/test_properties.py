@@ -96,3 +96,56 @@ def test_shuffle_sizing_monotone_and_bounded(nbytes, cpus):
     assert 8 <= p <= 200_000
     # more data never means fewer partitions
     assert sized_shuffle_partitions(nbytes * 2, cpus) >= p
+
+
+# --- CDC gear-chunking properties (hypothesis over random blobs) -------------
+
+from hypothesis import given, settings, strategies as st
+
+from apache_iceberg_demo_spark.operators.multimodal import (
+    CDC_MAX,
+    CDC_MIN,
+    gear_chunks,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_cdc_chunks_reassemble_exactly(data):
+    chunks = gear_chunks(data)
+    assert chunks, "even the empty blob yields one (empty) chunk"
+    pos = 0
+    for off, length, _h in chunks:
+        assert off == pos
+        pos += length
+    assert pos == len(data)
+    for off, length, _h in chunks[:-1]:
+        assert CDC_MIN <= length <= CDC_MAX
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_cdc_deterministic(data):
+    assert gear_chunks(data) == gear_chunks(bytes(data))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=600, max_size=2000),
+    st.data(),
+)
+def test_cdc_insert_prefix_determinism(data, draw):
+    """Chunks ENTIRELY before an insert are guaranteed to survive it: their
+    boundaries derive from hash windows and chunk starts wholly inside the
+    unchanged prefix. (Suffix re-sync is probabilistic — a >MAX_C run with
+    no natural boundary cascades forced cuts, so it is asserted on the real
+    corpus inside the registered op, not as a universal property.)"""
+    pos = draw.draw(st.integers(min_value=0, max_value=len(data)))
+    mutated = data[:pos] + b"\x00INSERT\xff" + data[pos:]
+    mut_hashes = {h for _o, _l, h in gear_chunks(mutated)}
+    orig = gear_chunks(data)
+    # the FINAL chunk ends by tail-flush, not a content boundary — an insert
+    # at/after its start legitimately extends it, so it carries no guarantee
+    prefix = [h for o, l, h in orig[:-1] if o + l <= pos]
+    missing = [h for h in prefix if h not in mut_hashes]
+    assert not missing, f"{len(missing)}/{len(prefix)} prefix chunks lost"
