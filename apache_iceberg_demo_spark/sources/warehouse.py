@@ -306,6 +306,94 @@ class Warehouse:
         )
         return snap
 
+    def _partial_rewrite(
+        self, name: str, touched_vals: set, new_rows: DataFrame, operation: str
+    ) -> dict:
+        """Copy-on-write commit rewriting only the TOUCHED partitions:
+        untouched partitions' file entries carry into the new manifest
+        byte-identical (the Iceberg row-level-op shape shared by MERGE /
+        DELETE / UPDATE)."""
+        meta = self._load_meta(name)
+        part_col = meta["partition_by"]
+        prev = self._snapshot(meta, meta["current_snapshot_id"])
+        carry = [
+            f
+            for f in prev["manifest"]
+            if str(f["partition"].get(part_col)) not in touched_vals
+        ]
+        parent = meta["current_snapshot_id"]
+        tag = f"snap-{parent + 1:05d}"
+        data_dir = self._write_data(name, new_rows, tag, part_col)
+        files = self._manifest_for_dir(name, data_dir)
+        return self._commit(
+            name, operation, carry + files, meta["schema"], part_col, parent, meta
+        )
+
+    def delete_where(self, name: str, predicate: str) -> dict:
+        """Row-level DELETE (copy-on-write): rows matching ``predicate`` are
+        removed in a new snapshot; NULL predicate results keep the row (SQL
+        DELETE semantics). On a partitioned table only partitions holding a
+        matching row are rewritten."""
+        meta = self._load_meta(name)
+        part_col = meta.get("partition_by")
+        target = self.read(name)
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        if not part_col:
+            meta2 = self._load_meta(name)
+            parent = meta2["current_snapshot_id"]
+            tag = f"snap-{parent + 1:05d}"
+            data_dir = self._write_data(name, target.filter(~cond), tag, None)
+            files = self._manifest_for_dir(name, data_dir)
+            return self._commit(
+                name, "delete", files, meta2["schema"], None, parent, meta2
+            )
+        pv = F.col(part_col).cast("string")
+        touched = {
+            r["p"] for r in target.filter(cond).select(pv.alias("p")).distinct().collect()
+        }
+        kept = target.filter(
+            pv.isin(*touched) if touched else F.lit(False)
+        ).filter(~cond)
+        return self._partial_rewrite(name, touched, kept, "delete")
+
+    def update_where(self, name: str, predicate: str, assignments: dict) -> dict:
+        """Row-level UPDATE (copy-on-write): SET ``col = sql_expr`` on rows
+        matching ``predicate``. Partition-aware like MERGE — an update that
+        moves a row across partitions rewrites both its old and new
+        partition."""
+        meta = self._load_meta(name)
+        part_col = meta.get("partition_by")
+        # mark matches BEFORE applying assignments: re-evaluating the
+        # predicate on updated rows would miss any row the update moved out
+        # of the predicate (e.g. a partition-column change)
+        marked = self.read(name).withColumn(
+            "_upd", F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        updated_all = marked
+        for col, expr in assignments.items():
+            updated_all = updated_all.withColumn(
+                col, F.when(F.col("_upd"), F.expr(expr)).otherwise(F.col(col))
+            )
+        if not part_col:
+            meta2 = self._load_meta(name)
+            parent = meta2["current_snapshot_id"]
+            tag = f"snap-{parent + 1:05d}"
+            data_dir = self._write_data(name, updated_all.drop("_upd"), tag, None)
+            files = self._manifest_for_dir(name, data_dir)
+            return self._commit(
+                name, "update", files, meta2["schema"], None, parent, meta2
+            )
+        pv = F.col(part_col).cast("string")
+        old_parts = marked.filter("_upd").select(pv.alias("p"))
+        new_parts = updated_all.filter("_upd").select(pv.alias("p"))
+        touched = {
+            r["p"] for r in old_parts.unionByName(new_parts).distinct().collect()
+        }
+        rewritten = updated_all.filter(
+            pv.isin(*touched) if touched else F.lit(False)
+        ).drop("_upd")
+        return self._partial_rewrite(name, touched, rewritten, "update")
+
     def tag_snapshot(self, name: str, tag: str, snapshot_id: Optional[int] = None) -> None:
         """Iceberg named ref: pin a human-readable tag to a snapshot id
         (default: current). Tags survive later commits — `read(ref=...)`
@@ -1585,4 +1673,60 @@ def c6_named_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("v1.0", 2, snaps, True)],
         "tag string, pinned_snapshot bigint, n_snapshots bigint, exact_replay boolean",
+    )
+
+
+@register("c6_row_level_delete_update")  # rows-only: engine-specific row-level ops
+def c6_row_level_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the row-level triad completed — standalone DELETE and UPDATE
+    (copy-on-write, partial-partition) beside MERGE. DELETE removes matching
+    rows in a new snapshot; UPDATE rewrites matching rows in place
+    (including rows whose update MOVES them across partitions — both the old
+    and new partition rewrite).
+
+    Self-verified: deleted rows are gone and nothing else changed (content
+    fingerprint of the untouched remainder is identical); updated values
+    land while untouched columns and rows survive byte-identical; time
+    travel still reads the pre-delete state; each op is its own snapshot
+    with the proper operation label."""
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    pre_n, pre_hash = _content_hash(wh.read(t))
+    base_snap = wh._load_meta(t)["current_snapshot_id"]
+
+    # DELETE: drop one linenumber slice
+    n_match = wh.read(t).filter("l_linenumber = 7").count()
+    _check(n_match > 0, "delete predicate matches nothing — test is vacuous")
+    remainder_hash = _content_hash(wh.read(t).filter("l_linenumber <> 7"))
+    wh.delete_where(t, "l_linenumber = 7")
+    _check(wh.read(t).count() == pre_n - n_match, "delete removed wrong count")
+    _check(
+        _content_hash(wh.read(t)) == remainder_hash,
+        "delete disturbed non-matching rows",
+    )
+    # time travel still sees the pre-delete state
+    _check(
+        _content_hash(wh.read(t, snapshot_id=base_snap)) == (pre_n, pre_hash),
+        "time travel lost the pre-delete state",
+    )
+
+    # UPDATE: zero out tax on one returnflag, leave everything else alone
+    upd_match = wh.read(t).filter("l_returnflag = 'R'").count()
+    untouched_hash = _content_hash(wh.read(t).filter("l_returnflag <> 'R'"))
+    wh.update_where(t, "l_returnflag = 'R'", {"l_tax": "0.0"})
+    after = wh.read(t)
+    _check(
+        after.filter("l_returnflag = 'R' AND l_tax <> 0.0").count() == 0,
+        "update missed matching rows",
+    )
+    _check(after.count() == pre_n - n_match, "update changed row count")
+    _check(
+        _content_hash(after.filter("l_returnflag <> 'R'")) == untouched_hash,
+        "update disturbed non-matching rows",
+    )
+    ops = [s["operation"] for s in wh._load_meta(t)["snapshots"]]
+    _check(ops[-2:] == ["delete", "update"], f"snapshot ops {ops[-2:]}")
+    return spark.createDataFrame(
+        [(pre_n, int(n_match), int(upd_match), after.count(), True)],
+        "rows_before bigint, rows_deleted bigint, rows_updated bigint, "
+        "rows_after bigint, untouched_identical boolean",
     )

@@ -450,3 +450,24 @@ def test_zorder_registered_query(spark):
     load_all()
     rows = {r.layout: r for r in QUERIES["c6_zorder_clustering"](spark, SF).collect()}
     assert rows["zorder"].kept_suppkey_range < rows["linear_partkey"].kept_suppkey_range
+
+
+def test_update_moves_row_across_partitions(spark, wh):
+    """UPDATE that changes the partition column rewrites both the old and
+    the new partition; DELETE removes only matching rows."""
+    li = load(spark, SF, "lineitem").limit(400)
+    base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
+    months = [r.ship_day for r in base.select("ship_day").distinct().collect()]
+    src, dst = sorted(months)[0], sorted(months)[-1]
+    wh.create_or_replace("rl_t", base, "ship_day")
+
+    n_src = wh.read("rl_t").filter(F.col("ship_day") == src).count()
+    n_dst = wh.read("rl_t").filter(F.col("ship_day") == dst).count()
+    wh.update_where("rl_t", f"ship_day = '{src}'", {"ship_day": f"'{dst}'"})
+    after = wh.read("rl_t")
+    assert after.filter(F.col("ship_day") == src).count() == 0
+    assert after.filter(F.col("ship_day") == dst).count() == n_dst + n_src
+    assert after.count() == 400
+
+    wh.delete_where("rl_t", f"ship_day = '{dst}'")
+    assert wh.read("rl_t").count() == 400 - n_dst - n_src
