@@ -1,0 +1,183 @@
+"""Corpus-curation operators added late in round 5 — cross-document span
+dedup, per-source caps, and source-vs-corpus distribution drift.
+
+These extend the C5/S1 LLM-pipeline surface (SURVEY.md §2 part C) with the
+three curation passes a production pretraining pipeline runs between "docs
+are deduplicated" and "docs are packed": exact repeated-span detection
+(Lee et al., "Deduplicating Training Data Makes Language Models Better" —
+public paper; the reference's own dedup story stops at whole-file Iceberg
+snapshots), per-domain volume caps, and per-source distribution monitoring.
+
+This module is imported LAST by ``registry.load_all`` on purpose: its
+entries rank after every previously-registered driver-unverified query, so
+adding surface here never displaces the queries the round-5 driver budget
+was sequenced to verify (registry.py::_reorder).
+
+Scale notes are per-operator; none of these collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.registry import register
+
+#: tokens per span for exact-substring dedup (Lee et al. use 50 BPE tokens;
+#: the synthetic corpus's docs are 10-120 words, so 8 keeps spans frequent
+#: enough to exercise the cross-doc group-by at every scale factor).
+SPAN_W = 8
+
+
+@register(
+    "c5_span_dedup_exact",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - {SPAN_W - 1}),
+                       i -> array_to_string(toks[i:i + {SPAN_W - 1}], ' '))) AS span
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+        SELECT span,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT)               AS n_occurrences
+        FROM spans
+        GROUP BY span
+        HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def c5_span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: exact repeated-span detection — every {SPAN_W}-token window that
+    occurs in more than one document, with its document- and occurrence-
+    counts. This is the signal exact-substring dedup (Lee et al.) cuts on.
+
+    Plan: posexplode tokens → one window pass per doc (7 ``lead`` exprs over
+    a single (doc_id, pos) frame — Catalyst collapses them into one
+    WindowExec) → hash aggregate on the span string with map-side partial
+    aggregation. One shuffle on doc_id (window) + one on span (group-by).
+
+    Scale: the span strings are materialized only because the DuckDB oracle
+    must see identical keys; at 100 TB you group on ``xxhash64(span)`` so
+    the agg shuffle carries 8 bytes per span instead of ~50, and verify the
+    rare colliding groups exactly — same plan shape, smaller payload.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, SPAN_W)
+    ]
+    spans = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("span"),
+        # concat_ws silently skips NULLs, so an end-of-doc window of <8
+        # tokens would otherwise masquerade as a short span
+        F.lead("token", SPAN_W - 1).over(w).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "s1_cap_per_source",
+    oracle="""
+        SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 50
+    """,
+)
+def s1_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: deterministic per-source volume cap — keep at most 50 documents
+    per source, chosen by md5(doc_id) order (a stable uniform shuffle, so
+    the kept set is an unbiased sample yet identical across runs, engines,
+    and partitionings — same discipline as the rest of operators/sampling).
+
+    Plan: one shuffle on source + in-partition sort by the md5 rank;
+    row_number is a running counter, no buffering. Skew note: a 100 TB
+    corpus has heavy-hitter domains, but rank-then-filter still needs only
+    the per-partition sort — Spark's WindowExec spills sorted runs, and a
+    top-k-per-key rewrite (window-limit pushdown in Spark 3.5+/4 pushes
+    ``rn <= 50`` into the sort as a per-key limit) bounds memory.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "c5_source_divergence",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        st AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+               FROM tok GROUP BY source, token),
+        sn AS (SELECT source, sum(c) AS src_n FROM st GROUP BY source),
+        ct AS (SELECT token, sum(c) AS cc FROM st GROUP BY token),
+        cn AS (SELECT sum(cc) AS corp_n FROM ct)
+        SELECT st.source,
+               round(sum((c / src_n) * ln((c / src_n) / (cc / corp_n))), 6)
+                   AS kl_divergence,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM st
+        JOIN sn USING (source)
+        JOIN ct USING (token)
+        CROSS JOIN cn
+        GROUP BY st.source
+    """,
+)
+def c5_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: per-source distribution drift — KL(source unigram LM ‖ corpus
+    unigram LM) per source, the monitoring statistic that flags a crawl
+    slice whose vocabulary is drifting from the corpus mix.
+
+    Plan: one explode + hash aggregate builds (source, token, c); everything
+    downstream re-aggregates or joins that frame. src totals (|sources|
+    rows) and the corpus total (1 row) are broadcast; the token-marginal
+    join is vocabulary-sized — broadcast here, and still only vocab-sized
+    (not corpus-sized) at 100 TB, which is why the whole statistic needs
+    exactly one full-data shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    sn = st.groupBy("source").agg(F.sum("c").alias("src_n"))
+    ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    cn = ct.agg(F.sum("cc").alias("corp_n"))
+    p = F.col("c") / F.col("src_n")
+    q = F.col("cc") / F.col("corp_n")
+    return (
+        st.join(F.broadcast(sn), "source")
+        .join(F.broadcast(ct), "token")
+        .crossJoin(F.broadcast(cn))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+            F.count("*").alias("n_terms"),
+        )
+    )

@@ -299,3 +299,63 @@ def test_pq_adc_search_recall(spark):
     # re-ranked output must be ordered by exact distance
     l2s = [r.exact_l2 for r in rows]
     assert l2s == sorted(l2s)
+
+
+# --- round-5 corpus-curation additions (operators/corpus.py) ---------------
+
+
+def test_span_dedup_planted_shared_span(spark, tmp_path):
+    """A span copied verbatim into two otherwise-distinct docs is reported."""
+    import pandas as pd
+
+    planted = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "one two " + planted + " nine ten",
+                planted + " eleven twelve thirteen",
+                "totally unrelated words with no shared window at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(sf + "/documents.parquet")
+    out = registry.QUERIES["c5_span_dedup_exact"](spark, sf).collect()
+    spans = {r.span: (r.n_docs, r.n_occurrences) for r in out}
+    assert spans[planted] == (2, 2)
+    # every reported span is exactly SPAN_W tokens and genuinely cross-doc
+    from apache_iceberg_demo_spark.operators.corpus import SPAN_W
+
+    assert all(len(s.split(" ")) == SPAN_W for s in spans)
+    assert all(nd >= 2 and occ >= nd for nd, occ in spans.values())
+
+
+def test_cap_per_source_invariants(spark):
+    out = registry.QUERIES["s1_cap_per_source"](spark, SF)
+    per_src = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("rn").alias("max_rn")
+    )
+    rows = per_src.collect()
+    assert rows, "expected at least one source"
+    # cap respected, and rn is a contiguous 1..n ranking per source
+    assert all(r.n <= 50 and r.max_rn == r.n for r in rows)
+    # hash-deterministic: a second run keeps the identical doc set
+    a = {(r.doc_id, r.source) for r in out.collect()}
+    b = {
+        (r.doc_id, r.source)
+        for r in registry.QUERIES["s1_cap_per_source"](spark, SF).collect()
+    }
+    assert a == b
+
+
+def test_source_divergence_nonnegative(spark):
+    rows = registry.QUERIES["c5_source_divergence"](spark, SF).collect()
+    assert rows, "expected one row per source"
+    # sum p·ln(p/q) over the source's own support is ≥ 0 (Gibbs, with q a
+    # sub-probability after restriction to that support)
+    assert all(r.kl_divergence >= 0.0 for r in rows)
+    assert all(r.n_terms > 0 for r in rows)
