@@ -541,3 +541,95 @@ def b9_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("seg_value"),
         )
     )
+
+
+@register("b9_stream_dedup_watermark")  # rows-only: genuine streaming run + self-verify
+def b9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: streaming deduplication under at-least-once delivery —
+    ``dropDuplicatesWithinWatermark`` keys the stream on event_id and keeps
+    per-key state only until the watermark passes, so duplicate deliveries
+    inside the lateness bound collapse while state stays bounded (the
+    unbounded-state trap of plain streaming ``dropDuplicates``).
+
+    The replay injects a deterministic ~10% duplicate set (md5-bucketed
+    event_ids — same hash-membership discipline as operators/sampling) next
+    to the originals in a time-ordered multi-file replay, so duplicates
+    always land within the 1-hour watermark of their first delivery — the
+    at-least-once redelivery a Kafka consumer restart produces.
+
+    Self-verifying: the streamed output must contain exactly the base
+    event_id set, each exactly once — dedup recall AND precision 1.0 against
+    the batch answer, asserted before returning.
+
+    Scale: state is O(keys inside the watermark window), not O(stream);
+    eviction is automatic at watermark advance. One shuffle on event_id —
+    the same partitioning a 1000-executor cluster dedups on.
+    """
+    import os
+    import uuid
+
+    from apache_iceberg_demo_spark.io import scratch_dir
+    from apache_iceberg_demo_spark.operators.sampling import hash_bucket
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+
+    replay = scratch_dir(f"dedup_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        dups = ev.filter(hash_bucket(F.col("event_id")) < 10)
+        (
+            ev.unionByName(dups)
+            # range-partition by ts: part-file names follow partition ids,
+            # so the file source replays in event-time order and a duplicate
+            # (same ts) sits in the same or adjacent micro-batch
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        open(marker, "w").close()
+
+    deduped = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    # scope shuffle partitions around the WHOLE run: the stream thread clones
+    # the session conf asynchronously after start(), so the scope must stay
+    # open through awaitTermination() for the clone to see it — a plain
+    # 200-partition driver session would otherwise give every micro-batch
+    # 200 state-store tasks over a few thousand rows. Fresh checkpoint per
+    # invocation, so the state-store partition count is free to follow.
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("dedup_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name)
+
+        # --- self-check: exactly the base id set, each id exactly once -----
+        n_base = ev.count()
+        n_injected = ev.filter(hash_bucket(F.col("event_id")) < 10).count()
+        n_streamed = streamed.count()
+        n_unique = streamed.select("event_id").distinct().count()
+        n_matched = streamed.join(ev.select("event_id"), "event_id", "semi").count()
+    if not (n_streamed == n_unique == n_matched == n_base):
+        raise AssertionError(
+            f"stream dedup diverged: streamed={n_streamed} unique={n_unique} "
+            f"matched={n_matched} base={n_base} (injected {n_injected} dups)"
+        )
+    return spark.createDataFrame(
+        [(n_base, n_injected, n_streamed, True)],
+        "n_base bigint, n_dups_injected bigint, n_streamed bigint, dedup_exact boolean",
+    )

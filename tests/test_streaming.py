@@ -391,3 +391,14 @@ def test_stream_static_join_matches_batch(spark):
         for r in QUERIES["b9_stream_static_enrichment"](spark, SFD).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_watermark_exact(spark):
+    """At-least-once replay with injected duplicates dedups to exactly the
+    base event set (the operator raises internally on any divergence)."""
+    row = registry.QUERIES["b9_stream_dedup_watermark"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.dedup_exact
+    assert row.n_dups_injected > 0  # the replay genuinely contained dups
+    assert row.n_streamed == row.n_base
