@@ -1730,3 +1730,115 @@ def c6_row_level_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_before bigint, rows_deleted bigint, rows_updated bigint, "
         "rows_after bigint, untouched_identical boolean",
     )
+
+
+@register("c6_snapshot_diff_cdc")  # rows-only: engine-specific changelog surface
+def c6_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: row-level change-data-feed between two snapshots — the changelog
+    view Iceberg exposes as ``table_changes`` (Delta: CDF): every row
+    deleted, inserted, or rewritten between snapshot A and snapshot B,
+    labeled as pre/post images.
+
+    ``read_incremental`` handles append-only windows by manifest diff; this
+    is its complement for windows containing copy-on-write DELETE/UPDATE
+    commits. The manifest symmetric difference names the files that changed,
+    and only rows from CHANGED files enter the ``exceptAll`` row diff —
+    untouched partitions' entries carry into B's manifest byte-identical and
+    are excluded for free. Multiset identity: with U the common files,
+    (U + a) ∖ (U + b) = a ∖ b, so the pruned diff IS the full diff at churn
+    cost, not table cost — the property that makes row-level CDC feasible on
+    a 100 TB table where a commit touches a handful of partitions.
+
+    Self-verifying: (1) the file-pruned diff equals the full two-snapshot
+    exceptAll diff by content fingerprint; (2) pre/post images equal the
+    relationally-recomputed expected sets EXACTLY (deletes = predicate
+    matches, updates = survivors with the assignment applied); (3) the
+    manifest diff really pruned (untouched files carried); (4) row-count
+    bookkeeping: count(B) = count(A) - deletes.
+    """
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    # private table, year-partitioned: the CDC shape needs FEW, coarse
+    # partitions (churn hits one, the rest carry) — the shared month-
+    # partitioned demo table would spend the whole budget writing 80+
+    # one-file partitions
+    wh = Warehouse(spark, scratch_dir("wh_cdc_", unique=True))
+    t = "lineitem_cdc"
+    li = load(spark, sf_dir, "lineitem").limit(1500)
+    wh.create_or_replace(
+        t,
+        li.withColumn("ship_year", F.date_format("l_shipdate", "yyyy")),
+        "ship_year",
+    )
+    meta0 = wh._load_meta(t)
+    sid_a = meta0["current_snapshot_id"]
+
+    # partition-correlated predicates, derived from the MANIFEST alone (no
+    # data scan): retention-delete the oldest year, correct tax in the
+    # newest — the shape of real row-level churn on a partitioned table
+    years = sorted(
+        {
+            str(f["partition"]["ship_year"])
+            for f in wh._snapshot(meta0, sid_a)["manifest"]
+        }
+    )
+    lo, hi = years[0], years[-1]
+    del_pred = f"ship_year = '{lo}'"
+    upd_pred = f"ship_year = '{hi}'"
+    wh.delete_where(t, del_pred)
+    wh.update_where(t, upd_pred, {"l_tax": "l_tax + 1.0"})
+
+    meta = wh._load_meta(t)
+    sid_b = meta["current_snapshot_id"]
+    snap_a, snap_b = wh._snapshot(meta, sid_a), wh._snapshot(meta, sid_b)
+    paths_a = {f["path"] for f in snap_a["manifest"]}
+    paths_b = {f["path"] for f in snap_b["manifest"]}
+    changed_a = [f for f in snap_a["manifest"] if f["path"] not in paths_b]
+    changed_b = [f for f in snap_b["manifest"] if f["path"] not in paths_a]
+    _check(
+        len(changed_a) < len(snap_a["manifest"]),
+        "manifest diff pruned nothing — untouched partitions were rewritten",
+    )
+
+    a_changed = wh._scan_files(t, meta, snap_a, changed_a, None)
+    b_changed = wh._scan_files(t, meta, snap_b, changed_b, None)
+    pre = a_changed.exceptAll(b_changed)
+    post = b_changed.exceptAll(a_changed)
+
+    # (1) pruned diff == full diff
+    full_a, full_b = wh.read(t, snapshot_id=sid_a), wh.read(t)
+    _check(
+        _content_hash(pre) == _content_hash(full_a.exceptAll(full_b)),
+        "file-pruned pre-image diff != full-table diff",
+    )
+    _check(
+        _content_hash(post) == _content_hash(full_b.exceptAll(full_a)),
+        "file-pruned post-image diff != full-table diff",
+    )
+
+    # (2) images equal the relationally-recomputed expectation
+    exp_del = full_a.filter(del_pred)
+    exp_upd_pre = full_a.filter(upd_pred)
+    _check(
+        _content_hash(pre) == _content_hash(exp_del.unionByName(exp_upd_pre)),
+        "pre-images != deletes ∪ update pre-images",
+    )
+    _check(
+        _content_hash(post)
+        == _content_hash(exp_upd_pre.withColumn("l_tax", F.col("l_tax") + 1.0)),
+        "post-images != update survivors with assignment applied",
+    )
+
+    # (4) bookkeeping
+    n_del, n_upd = exp_del.count(), exp_upd_pre.count()
+    _check(n_del > 0 and n_upd > 0, "vacuous CDC test — predicates matched nothing")
+    _check(
+        full_b.count() == full_a.count() - n_del,
+        "row-count delta != inserts - deletes",
+    )
+
+    keep = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"]
+    return (
+        pre.select(F.lit("delete_or_pre_update").alias("change_type"), *keep)
+        .unionByName(post.select(F.lit("post_update").alias("change_type"), *keep))
+    )

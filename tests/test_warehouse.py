@@ -471,3 +471,17 @@ def test_update_moves_row_across_partitions(spark, wh):
 
     wh.delete_where("rl_t", f"ship_day = '{dst}'")
     assert wh.read("rl_t").count() == 400 - n_dst - n_src
+
+
+def test_snapshot_diff_cdc_images(spark):
+    """The CDC changelog carries both pre- and post-images and its own
+    internal invariants (full-diff equality, expected sets, bookkeeping)
+    hold — the operator raises on any divergence."""
+    from apache_iceberg_demo_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["c6_snapshot_diff_cdc"](spark, "/root/testdata/sf0.001")
+    by_type = {r["change_type"]: r["count"] for r in out.groupBy("change_type").count().collect()}
+    assert by_type.get("post_update", 0) > 0
+    # every post-image has a matching pre-image (updates rewrite, not insert)
+    assert by_type["delete_or_pre_update"] > by_type["post_update"]
