@@ -1,5 +1,6 @@
 """Corpus-curation operators added late in round 5 — cross-document span
-dedup, per-source caps, and source-vs-corpus distribution drift.
+dedup, per-source caps, source-vs-corpus distribution drift, and the
+runtime-Bloom-filter join demonstration (a B3 resident; see its docstring).
 
 These extend the C5/S1 LLM-pipeline surface (SURVEY.md §2 part C) with the
 three curation passes a production pretraining pipeline runs between "docs
@@ -181,3 +182,72 @@ def c5_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms"),
         )
     )
+
+
+@register(
+    "b3_join_runtime_bloom_prune",
+    oracle="""
+        SELECT p_brand,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS promo_revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type LIKE 'PROMO%'
+        GROUP BY p_brand
+    """,
+)
+def b3_join_runtime_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (lives here so late registration keeps driver order intact —
+    module docstring): shuffle join under Spark's runtime Bloom-filter
+    rewrite (InjectRuntimeFilter). The selective dim-side predicate
+    (``p_type LIKE 'PROMO%'``) is condensed into a ``bloom_filter_agg`` over
+    the surviving join keys and applied as ``might_contain`` on the fact
+    side BEFORE the join's shuffle — at 100 TB the difference between
+    shuffling every lineitem row and shuffling only the ~1-in-8 that can
+    match.
+
+    Broadcast is disabled inside the scope on purpose: a dim this small
+    would normally broadcast (b3_join_star_revenue shows that plan); this
+    operator demonstrates the plan Spark picks when NEITHER side broadcasts
+    (fact-fact joins at cluster scale), where the runtime Bloom filter is
+    what keeps the shuffle survivable. The scan-size threshold is zeroed
+    only because the local test parquet is ~MBs — on a real 100 TB scan the
+    default (10 GB) triggers by itself.
+
+    Materialized INSIDE the conf scope (a lazily-returned frame would
+    execute after the scope restores broadcast); the grouped result is
+    brand-cardinality-sized, so re-wrapping it driver-side is O(brands).
+    """
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.shuffle.partitions": input_sized_shuffle(li),
+        },
+    ):
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        if "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime Bloom filter was not injected into the shuffle-join plan"
+            )
+        rows = joined.collect()
+    return spark.createDataFrame(rows, joined.schema)
