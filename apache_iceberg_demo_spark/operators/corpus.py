@@ -251,3 +251,92 @@ def b3_join_runtime_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         rows = joined.collect()
     return spark.createDataFrame(rows, joined.schema)
+
+
+@register("b4_countmin_heavy_hitters")  # rows-only: hash-sketch internals not DuckDB-expressible
+def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (late registration, see module docstring): mergeable Count-Min
+    sketch over the token stream — the frequency counterpart of the HLL
+    cardinality rollup (operators/aggregates: b4_hll_sketch_mergeable).
+    d=4 hash rows × w=256 buckets of plain counters; ``est(token) =
+    min_i counter[i][h_i(token)]``.
+
+    Why a sketch at 100 TB: exact token counts need a corpus-wide shuffle
+    keyed on token; the sketch is a FIXED 1024-counter aggregate that
+    partial-aggregates map-side and merges by addition — per-shard sketches
+    sum into the global one with no row-level recombination. Linearity is
+    asserted in-query: the per-source sketches, summed, equal the global
+    sketch counter-for-counter.
+
+    Accuracy contract (also in-query): est ≥ exact for EVERY token (hard
+    CMS invariant), and the worst overestimate obeys the ε·N bound with
+    ε = e/w at the standard confidence. Exact counts are computed here only
+    to audit the sketch — production keeps the 1024 counters and drops the
+    shuffle.
+    """
+    D, WID = 4, 256
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    keyed = toks.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(D)]))
+    ).withColumn("bucket", F.pmod(F.xxhash64("token", "i"), F.lit(WID)))
+
+    sketch = keyed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+
+    # --- linearity: per-source sketches sum to the global sketch -----------
+    by_source = keyed.groupBy("source", "i", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    summed = by_source.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    mismatch = (
+        sketch.join(summed, ["i", "bucket"], "full")
+        .where(
+            sketch["c"].isNull()
+            | summed["c"].isNull()
+            | (sketch["c"] != summed["c"])
+        )
+        .count()
+    )
+    if mismatch:
+        raise AssertionError(
+            f"CMS linearity violated: {mismatch} counters differ between "
+            "the global sketch and the sum of per-source sketches"
+        )
+
+    # --- accuracy: est >= exact everywhere; worst error within eps*N -------
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    est = (
+        exact.select("token")
+        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(D)])))
+        .withColumn("bucket", F.pmod(F.xxhash64("token", "i"), F.lit(WID)))
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_count"))
+    )
+    audit = exact.join(est, "token")
+    n_total = toks.count()
+    bad = audit.where(F.col("est_count") < F.col("exact_count")).count()
+    if bad:
+        raise AssertionError(f"CMS underestimated {bad} tokens — impossible")
+    import math
+
+    eps_n = math.e / WID * n_total
+    worst = audit.agg(
+        F.max(F.col("est_count") - F.col("exact_count")).alias("w")
+    ).collect()[0]["w"]
+    if worst > eps_n:
+        raise AssertionError(
+            f"CMS worst overestimate {worst} exceeds eps*N = {eps_n:.1f}"
+        )
+    return (
+        audit.orderBy(F.desc("exact_count"), "token")
+        .limit(10)
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+    )

@@ -359,3 +359,14 @@ def test_source_divergence_nonnegative(spark):
     # sub-probability after restriction to that support)
     assert all(r.kl_divergence >= 0.0 for r in rows)
     assert all(r.n_terms > 0 for r in rows)
+
+
+def test_countmin_sketch_contract(spark):
+    """CMS self-asserts linearity + one-sided error internally; externally
+    the top tokens' estimates must be near-exact (heavy hitters are where
+    CMS is accurate by design)."""
+    rows = registry.QUERIES["b4_countmin_heavy_hitters"](spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.overestimate >= 0 for r in rows)
+    # heavy hitters dominate their buckets: tiny relative error
+    assert all(r.overestimate <= 0.05 * r.exact_count for r in rows)
