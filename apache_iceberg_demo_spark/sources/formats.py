@@ -209,3 +209,82 @@ def b1_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             raise AssertionError(f"row_index not dense in {r['file_name']}: {r}")
     return per_file.orderBy("file_name")
+
+
+@register("b1_binaryfile_ingest")  # rows-only: paths/mtimes are environment-specific
+def b1_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+C4: ingest loose binary files (a crawler's image drop) with the
+    ``binaryFile`` source — (path, modificationTime, length, content) rows,
+    the front door of every multimodal pipeline before blobs land in a
+    columnar table.
+
+    The fixture files are written EXECUTOR-SIDE via ``mapInPandas`` (on a
+    cluster the directory is an object-store prefix; nothing routes through
+    the driver), then read back with ``binaryFile`` + ``pathGlobFilter``.
+    The source pushes filters on path/length/modificationTime down to the
+    file listing — at 100 TB the listing, not the bytes, is the first
+    bottleneck, which is why the blob content is lazy-loaded per matched
+    file and a ``length < x`` predicate never opens a single oversized blob.
+
+    Self-verifying: every written blob is read back byte-identical (binary
+    equality, not just length), ids round-trip through the filename, and
+    the file count matches exactly.
+    """
+    import os
+
+    import pandas as pd
+
+    from apache_iceberg_demo_spark.operators.multimodal import multimodal_table
+
+    src = multimodal_table(spark, sf_dir).filter(F.col("doc_id") < 200)
+
+    drop_dir = scratch_dir(f"binfiles_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(drop_dir, "_ready")
+    if not os.path.exists(marker):
+
+        def dump(batches):
+            n = 0
+            for pdf in batches:
+                for did, blob in zip(pdf["doc_id"], pdf["image"]):
+                    with open(
+                        os.path.join(drop_dir, f"img_{did}.bin"), "wb"
+                    ) as f:
+                        f.write(blob)
+                n += len(pdf)
+            yield pd.DataFrame({"n": [n]})
+
+        src.select("doc_id", "image").mapInPandas(dump, "n bigint").agg(
+            F.sum("n")
+        ).collect()
+        open(marker, "w").close()
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img_*.bin")
+        .load(drop_dir)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"img_(\d+)\.bin", 1
+            ).cast("bigint"),
+        )
+    )
+
+    n_src = src.count()
+    joined = files.join(src, "doc_id", "full")
+    n_bad = joined.where(
+        F.col("content").isNull()
+        | F.col("image").isNull()
+        | (F.col("content") != F.col("image"))
+        | (F.col("length") != F.col("n_bytes"))
+    ).count()
+    if n_bad or files.count() != n_src:
+        raise AssertionError(
+            f"binaryFile roundtrip diverged: {n_bad} mismatched blobs, "
+            f"{files.count()} files vs {n_src} sources"
+        )
+    return files.select(
+        "doc_id",
+        "length",
+        F.substring(F.sha2("content", 256), 1, 16).alias("sha256_prefix"),
+    )

@@ -37,3 +37,15 @@ def test_csv_roundtrip_matches_source(spark, tmp_path):
     assert dtypes["l_orderkey"] == "bigint"
     assert dtypes["l_quantity"] == "double"
     assert dtypes["l_shipdate"] == "timestamp"
+
+
+def test_binaryfile_ingest_roundtrip(spark):
+    """binaryFile source reads back executor-written blobs byte-identical
+    (the operator raises internally on any mismatch)."""
+    from apache_iceberg_demo_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["b1_binaryfile_ingest"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r.length > 0 and len(r.sha256_prefix) == 16 for r in rows)
