@@ -306,6 +306,55 @@ class Warehouse:
         )
         return snap
 
+    def evolve_partition_spec(self, name: str, spec: Optional[str]) -> dict:
+        """Iceberg partition-spec evolution: a METADATA-ONLY commit — not one
+        data file moves. Writes after this commit lay out under the new spec
+        (plain column or hidden transform, as in create_or_replace); files
+        written under earlier specs stay live with their old layout and scans
+        merge both vintages. Row-level DELETE/UPDATE remains exact across
+        vintages: old-spec files a predicate might touch are lazily rewritten
+        under the current spec (_partial_rewrite).
+
+        At 100 TB this is the feature that lets a table repartition (e.g.
+        days(ts) → hours(ts) as volume grows) without a table-sized rewrite —
+        the whole point of spec evolution in the Iceberg spec.
+        """
+        meta = self._load_meta(name)
+        parent = meta["current_snapshot_id"]
+        prev = self._snapshot(meta, parent)
+        if spec is None:
+            new_pcol = None
+        elif "(" not in spec:
+            new_pcol = spec.strip()
+        else:
+            fn, arg = spec.split("(", 1)
+            arg = arg.rstrip(")").strip()
+            fn = fn.strip()
+            new_pcol = (
+                f"{arg.split(',')[1].strip()}_bucket"
+                if fn == "bucket"
+                else f"{arg}_{fn}"
+            )
+        meta.setdefault("spec_history", []).append(
+            {
+                "spec": meta.get("partition_spec") or meta.get("partition_by"),
+                "until_snapshot_id": parent,
+            }
+        )
+        meta["partition_by"] = new_pcol
+        meta["partition_spec"] = spec
+        # carry the manifest untouched — read_incremental already recognizes
+        # manifest-identical commits as metadata-only
+        return self._commit(
+            name,
+            "evolve-spec",
+            list(prev["manifest"]),
+            meta["schema"],
+            new_pcol,
+            parent,
+            meta,
+        )
+
     def _partial_rewrite(
         self, name: str, touched_vals: set, new_rows: DataFrame, operation: str
     ) -> dict:
@@ -316,11 +365,29 @@ class Warehouse:
         meta = self._load_meta(name)
         part_col = meta["partition_by"]
         prev = self._snapshot(meta, meta["current_snapshot_id"])
-        carry = [
-            f
-            for f in prev["manifest"]
-            if str(f["partition"].get(part_col)) not in touched_vals
-        ]
+        if touched_vals:
+            # files written under an EARLIER partition spec (evolve_partition_
+            # spec) have no entry for the current part col — they can hide
+            # matching rows in any partition, so they are conservatively
+            # rewritten under the current spec (lazy migration, the
+            # copy-on-write answer to Iceberg's mixed-spec manifests). Their
+            # untouched-partition rows re-enter via the scan below; their
+            # touched-partition rows are already in the caller's new_rows.
+            legacy = [f for f in prev["manifest"] if part_col not in f["partition"]]
+            carry = [
+                f
+                for f in prev["manifest"]
+                if part_col in f["partition"]
+                and str(f["partition"][part_col]) not in touched_vals
+            ]
+            if legacy:
+                pv = F.col(part_col).cast("string")
+                keep_legacy = self._scan_files(
+                    name, meta, prev, legacy, None
+                ).filter(~pv.isin(*touched_vals))
+                new_rows = new_rows.unionByName(keep_legacy)
+        else:
+            carry = list(prev["manifest"])
         parent = meta["current_snapshot_id"]
         tag = f"snap-{parent + 1:05d}"
         data_dir = self._write_data(name, new_rows, tag, part_col)
@@ -1841,4 +1908,80 @@ def c6_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pre.select(F.lit("delete_or_pre_update").alias("change_type"), *keep)
         .unionByName(post.select(F.lit("post_update").alias("change_type"), *keep))
+    )
+
+
+@register("c6_partition_evolution")  # rows-only: engine-specific metadata surface
+def c6_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: partition-spec evolution — the table starts partitioned by
+    ship_year, evolves to l_returnflag with a METADATA-ONLY commit, and new
+    writes land under the new layout while the old files stay put. The scan
+    merges both vintages (each dir group restores its own partition column
+    from paths; the other vintage carries it as data), and row-level DELETE
+    across the spec boundary lazily rewrites only the old-spec files it
+    might touch.
+
+    Self-verifying: (1) the evolve commit carries its parent's manifest
+    byte-identical (no data moved); (2) the mixed-vintage scan equals the
+    union of both input batches by content fingerprint; (3) old manifest
+    entries are keyed by ship_year, new ones by l_returnflag; (4) DELETE on
+    the NEW spec column stays exact across vintages (content fingerprint
+    equals the relationally-recomputed remainder); (5) the snapshot log
+    reads replace → evolve-spec → append → delete.
+    """
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    wh = Warehouse(spark, scratch_dir("wh_spec_", unique=True))
+    t = "lineitem_spec"
+    li = load(spark, sf_dir, "lineitem").limit(1200)
+    year = F.date_format("l_shipdate", "yyyy")
+    a = li.filter("l_orderkey % 2 = 0").withColumn("ship_year", year)
+    b = li.filter("l_orderkey % 2 = 1").withColumn("ship_year", year)
+
+    wh.create_or_replace(t, a, "ship_year")
+    evolve_snap = wh.evolve_partition_spec(t, "l_returnflag")
+    wh.append(t, b)
+
+    meta = wh._load_meta(t)
+    parent_manifest = wh._snapshot(meta, evolve_snap["parent_id"])["manifest"]
+    _check(
+        [f["path"] for f in evolve_snap["manifest"]]
+        == [f["path"] for f in parent_manifest],
+        "evolve-spec moved data files — must be metadata-only",
+    )
+    cur = wh._snapshot(meta, meta["current_snapshot_id"])
+    old_files = [f for f in cur["manifest"] if "ship_year" in f["partition"]]
+    new_files = [f for f in cur["manifest"] if "l_returnflag" in f["partition"]]
+    _check(
+        old_files and new_files and len(old_files) + len(new_files) == len(cur["manifest"]),
+        "manifest does not hold both partition-spec vintages",
+    )
+    _check(
+        _content_hash(wh.read(t)) == _content_hash(a.unionByName(b)),
+        "mixed-vintage scan != union of both written batches",
+    )
+
+    # row-level DELETE keyed on the NEW spec column, spanning both vintages
+    expected = a.unionByName(b).filter("l_returnflag <> 'R'")
+    wh.delete_where(t, "l_returnflag = 'R'")
+    _check(
+        _content_hash(wh.read(t)) == _content_hash(expected),
+        "cross-vintage delete lost or duplicated rows",
+    )
+    ops = [s["operation"] for s in wh._load_meta(t)["snapshots"]]
+    _check(
+        ops == ["replace", "evolve-spec", "append", "delete"],
+        f"unexpected snapshot log {ops}",
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(old_files),
+                len(new_files),
+                wh.read(t).count(),
+                True,
+            )
+        ],
+        "n_old_spec_files bigint, n_new_spec_files bigint, rows_after_delete bigint, "
+        "exact_across_vintages boolean",
     )

@@ -485,3 +485,36 @@ def test_snapshot_diff_cdc_images(spark):
     assert by_type.get("post_update", 0) > 0
     # every post-image has a matching pre-image (updates rewrite, not insert)
     assert by_type["delete_or_pre_update"] > by_type["post_update"]
+
+
+def test_partition_evolution_update_and_incremental(spark, tmp_path):
+    """UPDATE across a partition-spec boundary stays exact (old-spec files
+    lazily rewritten), and incremental read treats the evolve commit as
+    metadata-only."""
+    from apache_iceberg_demo_spark.sources.warehouse import _content_hash
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").limit(400)
+    year = F.date_format("l_shipdate", "yyyy")
+    a = li.filter("l_orderkey % 2 = 0").withColumn("ship_year", year)
+    b = li.filter("l_orderkey % 2 = 1").withColumn("ship_year", year)
+
+    wh.create_or_replace("t", a, "ship_year")
+    first = wh._load_meta("t")["current_snapshot_id"]
+    wh.evolve_partition_spec("t", "l_returnflag")
+    wh.append("t", b)
+
+    # incremental read across the evolve commit sees ONLY the appended batch
+    inc = wh.read_incremental("t", first)
+    assert _content_hash(inc) == _content_hash(b)
+
+    # cross-vintage UPDATE keyed on the new spec column
+    wh.update_where("t", "l_returnflag = 'A'", {"l_tax": "9.9"})
+    expected = (
+        a.unionByName(b)
+        .withColumn(
+            "l_tax",
+            F.when(F.col("l_returnflag") == "A", 9.9).otherwise(F.col("l_tax")),
+        )
+    )
+    assert _content_hash(wh.read("t")) == _content_hash(expected)
