@@ -340,3 +340,60 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "b4_parquet_agg_pushdown",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+               CAST(min(l_orderkey) AS BIGINT) AS okmin,
+               CAST(max(l_orderkey) AS BIGINT) AS okmax
+        FROM lineitem
+    """,
+)
+def b4_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (late registration, see module docstring): MIN/MAX/COUNT pushed
+    INTO the parquet scan — the answer comes from footer statistics, no data
+    pages decoded. At 100 TB this turns a full-table aggregate into a
+    metadata read: cost proportional to file count, not byte count (the
+    DataFrame-API equivalent of the warehouse manifest-stats path that
+    c6_file_skipping exercises).
+
+    Requires the v2 parquet source; the plan is asserted to contain
+    ``PushedAggregation`` before execution, and the result is materialized
+    inside the conf scope (the driver collects AFTER the scope restores, so
+    a lazy frame would silently run without pushdown — the exact trap
+    CLAUDE.md's scoped-conf note names).
+
+    Direct ``spark.read.parquet`` on purpose: pushdown only fires on a bare
+    scan-aggregate (any filter, cast, or added column keeps data pages in
+    play), which is also why this matters — it is the common "profile a
+    table you just landed" query.
+    """
+    import os
+
+    from apache_iceberg_demo_spark.tuning import scoped_conf
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.sources.useV1SourceList": "",
+        },
+    ):
+        df = spark.read.parquet(path).agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+            F.min("l_orderkey").alias("okmin"),
+            F.max("l_orderkey").alias("okmax"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: [COUNT(*)" not in plan:
+            raise AssertionError(
+                "aggregate was not pushed into the parquet scan"
+            )
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
