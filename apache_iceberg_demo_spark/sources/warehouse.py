@@ -306,6 +306,59 @@ class Warehouse:
         )
         return snap
 
+    def rollback_to(self, name: str, snapshot_id: int) -> dict:
+        """Iceberg ``rollback_to_snapshot``: a NEW commit whose manifest (and
+        schema) is the target snapshot's — the bad commits stay in history
+        (auditable, still time-travelable) but readers see the restored
+        state. Metadata-only: no data files move or rewrite."""
+        meta = self._load_meta(name)
+        target = self._snapshot(meta, snapshot_id)
+        parent = meta["current_snapshot_id"]
+        snap = self._commit(
+            name,
+            "rollback",
+            list(target["manifest"]),
+            target["schema"],
+            meta.get("partition_by"),
+            parent,
+            meta,
+        )
+        meta = self._load_meta(name)
+        meta["field_map"] = dict(target.get("field_map", {}))
+        self._store_meta(name, meta)
+        return snap
+
+    def cherry_pick(self, name: str, snapshot_id: int) -> dict:
+        """Iceberg ``cherrypick_snapshot``: re-apply ONE append commit's
+        added files onto the current state — the recovery path for a good
+        commit stranded on an abandoned line (e.g. it landed after a batch
+        that was later rolled back). Append-only, like Iceberg's: the picked
+        snapshot's delta must be purely additive."""
+        meta = self._load_meta(name)
+        picked = self._snapshot(meta, snapshot_id)
+        if picked.get("operation") != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only, "
+                f"got {picked.get('operation')!r}"
+            )
+        parent_of_picked = self._snapshot(meta, picked["parent_id"])
+        before = {f["path"] for f in parent_of_picked["manifest"]}
+        added = [f for f in picked["manifest"] if f["path"] not in before]
+        cur = self._snapshot(meta, meta["current_snapshot_id"])
+        live = {f["path"] for f in cur["manifest"]}
+        dup = [f["path"] for f in added if f["path"] in live]
+        if dup:
+            raise ValueError(f"cherry-pick would double-apply files: {dup[:3]}")
+        return self._commit(
+            name,
+            "cherry-pick",
+            cur["manifest"] + added,
+            meta["schema"],
+            meta.get("partition_by"),
+            meta["current_snapshot_id"],
+            meta,
+        )
+
     def evolve_partition_spec(self, name: str, spec: Optional[str]) -> dict:
         """Iceberg partition-spec evolution: a METADATA-ONLY commit — not one
         data file moves. Writes after this commit lay out under the new spec
@@ -1984,4 +2037,77 @@ def c6_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_old_spec_files bigint, n_new_spec_files bigint, rows_after_delete bigint, "
         "exact_across_vintages boolean",
+    )
+
+
+@register("c6_rollback_cherry_pick")  # rows-only: engine-specific metadata surface
+def c6_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the bad-commit recovery drill — a poisoned batch lands, a good
+    batch lands on top of it, the table ROLLS BACK to the pre-poison
+    snapshot (metadata-only; the bad data stays on disk, auditable by
+    time travel), and the stranded good batch is CHERRY-PICKED onto the
+    restored line. Net state: base + good, no trace of bad in the readable
+    table, full trace in history.
+
+    Self-verifying: (1) rollback restores the pre-poison content
+    fingerprint exactly; (2) the poisoned snapshot remains time-travelable
+    after rollback; (3) cherry-pick lands exactly base ∪ good by
+    fingerprint; (4) cherry-picking a non-append (the rollback itself)
+    raises; (5) re-picking the same snapshot raises (double-apply guard);
+    (6) the snapshot log reads replace → append(bad) → append(good) →
+    rollback → cherry-pick.
+    """
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+
+    wh = Warehouse(spark, scratch_dir("wh_rb_", unique=True))
+    t = "events_rb"
+    ev = load(spark, sf_dir, "events").limit(2000).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = ev.filter("event_id % 3 = 0")
+    bad = ev.filter("event_id % 3 = 1").withColumn("value", F.lit(-1e9))
+    good = ev.filter("event_id % 3 = 2")
+
+    wh.create_or_replace(t, base, "day")
+    base_sid = wh._load_meta(t)["current_snapshot_id"]
+    base_fp = _content_hash(wh.read(t))
+
+    bad_snap = wh.append(t, bad)
+    good_snap = wh.append(t, good)
+
+    wh.rollback_to(t, base_sid)
+    _check(_content_hash(wh.read(t)) == base_fp, "rollback lost the base state")
+    _check(
+        wh.read(t, snapshot_id=bad_snap["snapshot_id"])
+        .filter("value = -1e9")
+        .count()
+        > 0,
+        "poisoned snapshot no longer time-travelable after rollback",
+    )
+
+    pick = wh.cherry_pick(t, good_snap["snapshot_id"])
+    _check(
+        _content_hash(wh.read(t)) == _content_hash(base.unionByName(good)),
+        "cherry-pick did not land exactly base ∪ good",
+    )
+    try:
+        wh.cherry_pick(t, pick["snapshot_id"])
+        raise AssertionError("cherry-picking a cherry-pick must raise")
+    except ValueError:
+        pass
+    try:
+        wh.cherry_pick(t, good_snap["snapshot_id"])
+        raise AssertionError("double-applying a picked snapshot must raise")
+    except ValueError:
+        pass
+    ops = [s["operation"] for s in wh._load_meta(t)["snapshots"]]
+    _check(
+        ops == ["replace", "append", "append", "rollback", "cherry-pick"],
+        f"unexpected snapshot log {ops}",
+    )
+    return spark.createDataFrame(
+        [(base_sid, bad_snap["snapshot_id"], good_snap["snapshot_id"],
+          wh.read(t).count(), True)],
+        "base_snapshot bigint, bad_snapshot bigint, picked_snapshot bigint, "
+        "rows_final bigint, recovered boolean",
     )

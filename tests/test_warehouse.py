@@ -518,3 +518,22 @@ def test_partition_evolution_update_and_incremental(spark, tmp_path):
         )
     )
     assert _content_hash(wh.read("t")) == _content_hash(expected)
+
+
+def test_rollback_then_append_continues_line(spark, tmp_path):
+    """After a rollback, new appends build on the restored state, and the
+    abandoned snapshots stay in history."""
+    from apache_iceberg_demo_spark.sources.warehouse import _content_hash
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").limit(300)
+    a = li.filter("l_linenumber = 1")
+    b = li.filter("l_linenumber = 2")
+    c = li.filter("l_linenumber = 3")
+    wh.create_or_replace("t", a)
+    sid_a = wh._load_meta("t")["current_snapshot_id"]
+    wh.append("t", b)
+    wh.rollback_to("t", sid_a)
+    wh.append("t", c)
+    assert _content_hash(wh.read("t")) == _content_hash(a.unionByName(c))
+    assert len(wh._load_meta("t")["snapshots"]) == 4
