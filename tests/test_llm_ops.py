@@ -370,3 +370,29 @@ def test_countmin_sketch_contract(spark):
     assert all(r.overestimate >= 0 for r in rows)
     # heavy hitters dominate their buckets: tiny relative error
     assert all(r.overestimate <= 0.05 * r.exact_count for r in rows)
+
+
+def test_mmr_reduces_redundancy_vs_topk(spark):
+    """The MMR set's average pairwise similarity must not exceed the plain
+    relevance top-k set's — the whole point of the diversity re-rank."""
+    import numpy as np
+
+    mmr_rows = registry.QUERIES["c3_mmr_diverse_topk"](spark, SF).collect()
+    assert [r.rank for r in mmr_rows] == list(range(1, 11))
+    assert len({r.vec_id for r in mmr_rows}) == 10
+
+    e = load(spark, SF, "embeddings")
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in e.collect()}
+    for k in vecs:
+        vecs[k] /= np.linalg.norm(vecs[k])
+    qid = min(vecs)
+
+    def avg_pairwise(ids):
+        sims = [vecs[a] @ vecs[b] for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return sum(sims) / len(sims)
+
+    topk = sorted(
+        (k for k in vecs if k != qid),
+        key=lambda k: (-(vecs[k] @ vecs[qid]), k),
+    )[:10]
+    assert avg_pairwise([r.vec_id for r in mmr_rows]) <= avg_pairwise(topk) + 1e-9
