@@ -288,3 +288,58 @@ def b1_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length",
         F.substring(F.sha2("content", 256), 1, 16).alias("sha256_prefix"),
     )
+
+
+@register("b1_mergeschema_landing")  # rows-only: reads a locally written fixture
+def b1_mergeschema_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: schema-drifting landing zone — two parquet batches with different
+    column sets under one prefix, read with ``mergeSchema=true``. The
+    crawler-era batches lack later columns; the merged scan unions the
+    schemas and null-fills history, which is how a 100 TB raw zone absorbs
+    producer-side schema drift without rewriting old files (footer-level
+    merge at planning time; Spark reads each file with its own physical
+    schema).
+
+    Self-verifying: merged column set is exactly the union, row counts add,
+    early-batch rows carry NULLs for the late columns, and the merged
+    content equals the explicit ``unionByName(allowMissingColumns=True)``
+    of the two batches (exceptAll both ways empty).
+    """
+    import os
+
+    d = load(spark, sf_dir, "documents").limit(400)
+    b1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "source")
+    b2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+    zone = scratch_dir(f"mergeschema_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(zone, "_ready")
+    if not os.path.exists(marker):
+        b1.write.mode("overwrite").parquet(os.path.join(zone, "batch=1"))
+        b2.write.mode("overwrite").parquet(os.path.join(zone, "batch=2"))
+        open(marker, "w").close()
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", zone)
+        .parquet(os.path.join(zone, "batch=1"), os.path.join(zone, "batch=2"))
+        .drop("batch")
+    )
+    cols = set(merged.columns)
+    if cols != {"doc_id", "text", "source", "lang", "n_chars"}:
+        raise AssertionError(f"merged schema wrong: {sorted(cols)}")
+    n1, n2 = b1.count(), b2.count()
+    if merged.count() != n1 + n2:
+        raise AssertionError("merged row count != sum of batches")
+    if merged.where(F.col("lang").isNull()).count() != n1:
+        raise AssertionError("early-batch rows must null-fill late columns")
+    expected = b1.unionByName(b2, allowMissingColumns=True)
+    aligned = merged.select(*expected.columns)
+    if aligned.exceptAll(expected).count() or expected.exceptAll(aligned).count():
+        raise AssertionError("merged content != explicit unionByName")
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count("lang").alias("n_with_lang"),
+        F.count("n_chars").alias("n_with_chars"),
+    )

@@ -396,3 +396,49 @@ def test_mmr_reduces_redundancy_vs_topk(spark):
         key=lambda k: (-(vecs[k] @ vecs[qid]), k),
     )[:10]
     assert avg_pairwise([r.vec_id for r in mmr_rows]) <= avg_pairwise(topk) + 1e-9
+
+
+def test_span_dedup_matches_python_reference(spark, tmp_path):
+    """Spark span extraction == a pure-Python sliding-window reference on a
+    corpus built from shared template chunks (guaranteed cross-doc spans),
+    including docs shorter than the window."""
+    import collections
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    chunks = [[f"c{i}t{j}" for j in range(4)] for i in range(8)]
+    docs = []
+    for _ in range(60):
+        toks = [t for _ in range(rng.randint(0, 5)) for t in rng.choice(chunks)]
+        docs.append(" ".join(toks) if toks else "solo")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    ).to_parquet(str(tmp_path) + "/documents.parquet")
+
+    got = {
+        (r.span, r.n_docs, r.n_occurrences)
+        for r in registry.QUERIES["c5_span_dedup_exact"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    span_docs = collections.defaultdict(list)
+    for did, t in enumerate(docs):
+        toks = t.split(" ")
+        for i in range(len(toks) - 7):
+            span_docs[" ".join(toks[i : i + 8])].append(did)
+    want = {
+        (s, len(set(ds)), len(ds))
+        for s, ds in span_docs.items()
+        if len(set(ds)) > 1
+    }
+    assert want, "fixture must actually contain cross-doc spans"
+    assert got == want
