@@ -30,6 +30,16 @@ from apache_iceberg_demo_spark.registry import register
 #: enough to exercise the cross-doc group-by at every scale factor).
 SPAN_W = 8
 
+# result cache from the most recent invocation needing a reused subplan
+# (source divergence); released on the next invocation — same pattern as
+# operators/text.py / operators/dedup.py.
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
 
 @register(
     "c5_span_dedup_exact",
@@ -159,14 +169,27 @@ def c5_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) and the corpus total (1 row) are broadcast; the token-marginal
     join is vocabulary-sized — broadcast here, and still only vocab-sized
     (not corpus-sized) at 100 TB, which is why the whole statistic needs
-    exactly one full-data shuffle.
+    exactly one full-data shuffle. Catalyst does NOT share common subplans,
+    so (source, token, c) is PERSISTED and materialized before fan-out —
+    without it each of the four consumers re-scans the corpus and re-runs
+    the explode+agg (measured: 4 scans / 12 exchanges compiled lazily vs 1
+    full-data shuffle cached). Released on the next invocation.
     """
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    _release_caches()
     d = load(spark, sf_dir, "documents")
-    st = (
-        d.select("source", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count("*").cast("double").alias("c"))
-    )
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
+    ):
+        st = (
+            d.select("source", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("source", "token")
+            .agg(F.count("*").cast("double").alias("c"))
+            .persist()
+        )
+        st.count()  # materialize the shared subplan inside the conf scope
+        _live_caches.append(st)
     sn = st.groupBy("source").agg(F.sum("c").alias("src_n"))
     ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
     cn = ct.agg(F.sum("cc").alias("corp_n"))
