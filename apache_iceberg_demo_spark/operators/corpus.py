@@ -420,3 +420,31 @@ def b4_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         rows = df.collect()
     return spark.createDataFrame(rows, df.schema)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+           round(o.o_totalprice, 6) AS top_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@register("b2_lateral_topn_per_customer", oracle=_LATERAL_SQL)
+def b2_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (late registration, see module docstring): correlated LATERAL
+    subquery in FROM — each customer's two highest-value orders, the
+    for-each-row-run-a-query SQL surface (Spark 3.2+ LATERAL; identical
+    spelling runs on DuckDB as the oracle).
+
+    Catalyst de-correlates the LATERAL ORDER-BY-LIMIT into a per-key window
+    limit over a single join — not one subquery execution per outer row; the
+    same rank-then-filter shape s1_cap_per_source uses, arrived at from SQL.
+    Customers with no orders drop (inner lateral), matching the oracle.
+    """
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

@@ -182,3 +182,23 @@ def test_hll_sketch_broadcasts_dims(spark):
     strategies = join_strategies(df)
     assert "BroadcastNestedLoopJoin" not in strategies
     assert strategies.count("BroadcastHashJoin") >= 2, strategies
+
+
+def test_cap_per_source_uses_window_group_limit(spark):
+    """The rn<=50 filter must push into the sort as a per-key limit
+    (WindowGroupLimit) — rank-then-filter without it buffers whole
+    partitions at 100 TB."""
+    df = registry.QUERIES["s1_cap_per_source"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    (cols,) = read_schema_columns(df)
+    assert cols <= {"doc_id", "source"}  # 2-column scan of a 5-column table
+
+
+def test_span_dedup_two_shuffles_pruned_scan(spark):
+    """Span extraction = window pass + group-by: exactly two exchanges, and
+    only (doc_id, text) leave the scan."""
+    df = registry.QUERIES["c5_span_dedup_exact"](spark, SF)
+    assert count_exchanges(df) == 2
+    (cols,) = read_schema_columns(df)
+    assert cols <= {"doc_id", "text"}
