@@ -448,3 +448,112 @@ def b2_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "c1_dedup_url_canonical",
+    oracle=r"""
+        WITH u AS (
+            SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://src' || (doc_id % 250) || '.example.com/page/' || (doc_id % 250)
+                  WHEN 1 THEN upper('https://src' || (doc_id % 250) || '.example.com') || '/page/' || (doc_id % 250)
+                  WHEN 2 THEN 'https://src' || (doc_id % 250) || '.example.com:443/page/' || (doc_id % 250) || '?utm_source=feed'
+                  ELSE 'https://src' || (doc_id % 250) || '.example.com/page/' || (doc_id % 250) || '/#section'
+                END AS url
+            FROM documents
+        ),
+        c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(nf, '^([A-Za-z]+)://', 1))         AS scheme,
+                   lower(regexp_extract(nf, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+                   regexp_extract(nf, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+                   regexp_replace(regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+                   array_to_string(list_filter(
+                       string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+                       x -> x <> '' AND x NOT LIKE 'utm\_%' ESCAPE '\'), '&') AS q
+            FROM c
+        )
+        SELECT scheme || '://' || host ||
+               CASE WHEN port <> '' AND port <> '443' AND port <> '80'
+                    THEN ':' || port ELSE '' END ||
+               path ||
+               CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM parts
+        GROUP BY 1
+    """,
+)
+def c1_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (late registration, see module docstring): URL-canonicalization
+    dedup — the crawl-frontier pass that collapses scheme/host case, default
+    ports (:443/:80), trailing slashes, fragments, and utm_* tracking
+    params before URLs are compared. Variant URLs are synthesized
+    deterministically from doc_id (4 surface forms per canonical target) so
+    recall is checkable: every canonical group must reunite its variants.
+
+    All built-ins (regexp_extract/replace + one small-array HOF for the
+    query-param filter — a handful of params per URL, not the O(n)-array
+    interpreted-HOF trap CLAUDE.md warns about). One hash-aggregate shuffle
+    on the canonical key; at 100 TB the group-by key is
+    ``xxhash64(canonical)`` and the frontier keeps (hash → first-seen URL).
+    """
+    d = load(spark, sf_dir, "documents")
+    b = F.pmod(F.col("doc_id"), F.lit(250)).cast("string")
+    variant = F.pmod(F.col("doc_id"), F.lit(4))
+    plain = F.concat(F.lit("https://src"), b, F.lit(".example.com/page/"), b)
+    url = (
+        F.when(variant == 0, plain)
+        .when(
+            variant == 1,
+            F.concat(
+                F.upper(F.concat(F.lit("https://src"), b, F.lit(".example.com"))),
+                F.lit("/page/"),
+                b,
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://src"), b, F.lit(".example.com:443/page/"), b,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .otherwise(F.concat(plain, F.lit("/#section")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    nf = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nf, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(nf, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(nf, r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(nf, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", ""
+    )
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract(nf, r"\?([^#]*)", 1), "&"),
+            lambda kv: (kv != "") & ~kv.startswith("utm_"),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            (port != "") & (port != "443") & (port != "80"),
+            F.concat(F.lit(":"), port),
+        ).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return (
+        u.select("url", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("url").alias("n_variants"),
+            F.count("*").alias("n_docs"),
+        )
+    )

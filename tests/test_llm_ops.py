@@ -442,3 +442,20 @@ def test_span_dedup_matches_python_reference(spark, tmp_path):
     }
     assert want, "fixture must actually contain cross-doc spans"
     assert got == want
+
+
+def test_url_canonical_reunites_all_variants(spark):
+    """Ground truth is known by construction: every canonical URL must
+    collect ALL its synthesized surface forms (recall 1.0), and no group
+    may mix different page ids (precision 1.0)."""
+    rows = registry.QUERIES["c1_dedup_url_canonical"](spark, SF).collect()
+    n_docs_total = load(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    import re
+
+    for r in rows:
+        m = re.fullmatch(r"https://src(\d+)\.example\.com/page/(\d+)", r.canonical)
+        assert m and m.group(1) == m.group(2), r.canonical
+        assert r.n_variants >= 1 and r.n_docs >= r.n_variants
+    # 250 canonical targets by construction (doc_id % 250)
+    assert len(rows) == min(250, n_docs_total)
