@@ -557,3 +557,52 @@ def c1_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+@register(
+    "s1_balanced_class_downsample",
+    oracle="""
+        WITH ranked AS (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ),
+        floor_n AS (
+            SELECT min(cnt) AS m
+            FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+        )
+        SELECT vec_id, label, CAST(rn AS BIGINT) AS rn
+        FROM ranked, floor_n
+        WHERE rn <= m
+    """,
+)
+def s1_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (late registration, see module docstring): class-balancing
+    downsample — every label keeps exactly min-class-count rows, chosen by
+    md5(vec_id) rank (deterministic, engine-portable, unbiased within
+    class). The majority-class trim a classifier-training pipeline applies
+    when it can't afford loss re-weighting.
+
+    Plan: one shuffle on label for the rank window (WindowGroupLimit does
+    NOT apply — the limit is a runtime scalar — but the window is a running
+    counter, no buffering); the floor is a label-cardinality aggregate
+    broadcast as a 1-row frame. Skewed majority classes cost one
+    per-partition sort, the same bound as s1_cap_per_source.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.select("vec_id", "label").withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    )
+    floor_n = (
+        e.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return ranked.crossJoin(F.broadcast(floor_n)).where(
+        F.col("rn") <= F.col("m")
+    ).select("vec_id", "label", "rn")

@@ -459,3 +459,15 @@ def test_url_canonical_reunites_all_variants(spark):
         assert r.n_variants >= 1 and r.n_docs >= r.n_variants
     # 250 canonical targets by construction (doc_id % 250)
     assert len(rows) == min(250, n_docs_total)
+
+
+def test_balanced_downsample_equalizes_classes(spark):
+    out = registry.QUERIES["s1_balanced_class_downsample"](spark, SF)
+    counts = {r.label: r.cnt for r in out.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    orig = {
+        r.label: r.cnt
+        for r in load(spark, SF, "embeddings").groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    m = min(orig.values())
+    assert set(counts) == set(orig)          # no class lost
+    assert set(counts.values()) == {m}       # every class exactly at the floor
