@@ -298,3 +298,32 @@ def b10_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     uplift = F.udf(lambda p: round(p * 1.1, 6), T.DoubleType(), useArrow=True)
     p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     return p.select("p_partkey", uplift("p_retailprice").alias("uplift_price"))
+
+
+@register(
+    "b10_pandas_udf_scalar_iter",
+    oracle="""
+        SELECT doc_id, round(ln(1 + n_chars), 6) AS model_score
+        FROM documents
+    """,
+)
+def b10_pandas_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: the ITERATOR-form pandas UDF (Iterator[Series] → Iterator[Series])
+    — completes the tier matrix. Its reason to exist: expensive per-worker
+    init (a model, a tokenizer) runs ONCE per partition's batch stream, not
+    once per Arrow batch — the shape every embed/score stage at 100 TB uses.
+    Here the "model" is the pre-loop constant; everything after it streams
+    Arrow batches through the already-initialized state.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def model_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        model_bias = np.float64(1.0)  # "load the model" — once per stream
+        for s in batches:
+            yield np.round(np.log(model_bias + s.astype("float64")), 6)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", model_score(F.col("n_chars")).alias("model_score"))
