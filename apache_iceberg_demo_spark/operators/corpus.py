@@ -606,3 +606,84 @@ def s1_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(floor_n)).where(
         F.col("rn") <= F.col("m")
     ).select("vec_id", "label", "rn")
+
+
+@register(
+    "c5_chunk_surgery_dedup",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        chunks AS (
+          SELECT doc_id, u.i AS cidx,
+                 array_to_string(t[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+          FROM toks, LATERAL unnest(generate_series(0,
+               CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i)
+        ),
+        marked AS (
+          SELECT doc_id, cidx, chunk,
+                 min(doc_id*100 + cidx) OVER (PARTITION BY chunk) AS first_key
+          FROM chunks
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN doc_id*100+cidx = first_key THEN chunk END,
+                          ' ' ORDER BY cidx) AS cleaned_text,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(CASE WHEN doc_id*100+cidx <> first_key THEN 1 END)
+                    AS BIGINT) AS n_removed
+        FROM marked
+        GROUP BY doc_id
+    """,
+)
+def c5_chunk_surgery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: surgical span REMOVAL — the companion to c5_span_dedup_exact's
+    detection. Documents split into consecutive 10-token chunks; every chunk
+    seen earlier in the corpus (first-occurrence order: (doc_id, position))
+    is cut, and each document is REASSEMBLED from its surviving chunks in
+    original order — the Lee-et-al "deduplicate the training data, keep the
+    documents" operation, not just a report.
+
+    Plan: chunking is array-side per row (≤12 slice+join lambda steps per
+    doc — per-CHUNK interpreted-HOF cost, not per-token); one shuffle
+    partitions chunks by text for the first-occurrence window; one shuffle
+    groups survivors back by doc_id where an array_sort(collect_list(struct))
+    restores chunk order without a second sort pass. Fully-excised documents
+    yield NULL cleaned_text (both engines).
+
+    At 100 TB the window key becomes xxhash64(chunk) (8-byte shuffle) and
+    first-occurrence switches to a two-pass min-aggregate + broadcast-join
+    to avoid windowing the whole corpus by raw text.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(chunks).alias("cidx", "chunk")
+    )
+    key = F.col("doc_id") * 100 + F.col("cidx")
+    marked = exploded.withColumn(
+        "first_key", F.min(key).over(W.partitionBy("chunk"))
+    ).withColumn("is_first", key == F.col("first_key"))
+    return marked.groupBy("doc_id").agg(
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct("cidx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(~F.col("is_first"), 1)).alias("n_removed"),
+    )

@@ -471,3 +471,26 @@ def test_balanced_downsample_equalizes_classes(spark):
     m = min(orig.values())
     assert set(counts) == set(orig)          # no class lost
     assert set(counts.values()) == {m}       # every class exactly at the floor
+
+
+def test_chunk_surgery_conservation(spark):
+    """Removed-chunk count == total chunks − distinct chunks (each distinct
+    chunk survives exactly once, corpus-wide), and no cleaned doc grows."""
+    out = registry.QUERIES["c5_chunk_surgery_dedup"](spark, SF).collect()
+    total = sum(r.n_chunks for r in out)
+    removed = sum(r.n_removed for r in out)
+
+    d = load(spark, SF, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    distinct_chunks = (
+        d.select(F.explode(chunks).alias("c")).select("c").distinct().count()
+    )
+    assert removed == total - distinct_chunks
+    for r in out:
+        kept = 0 if r.cleaned_text is None else len(r.cleaned_text.split(" "))
+        assert kept <= r.n_chunks * 10
