@@ -588,6 +588,14 @@ def b9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(replay)
         )
+        # deterministic batch order: FileStreamSource sorts by mtime and the
+        # parallel write leaves ties (see b9_stream_left_outer_interval_join)
+        import glob
+        import time
+
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(replay, "part-*")))):
+            os.utime(f, (base + i, base + i))
         open(marker, "w").close()
 
     deduped = (
@@ -632,4 +640,170 @@ def b9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_base, n_injected, n_streamed, True)],
         "n_base bigint, n_dups_injected bigint, n_streamed bigint, dedup_exact boolean",
+    )
+
+
+@register("b9_stream_left_outer_interval_join")  # rows-only: genuine streaming run
+def b9_stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: stream-stream LEFT OUTER interval join — click→purchase
+    attribution that also emits the clicks that converted to NOTHING.
+    Matches emit as they arrive; a null-padded row for an unmatched click
+    emits only once the watermark proves no future purchase can pair with
+    it (c_ts + 1 h interval behind the 1 h watermark) — the semantics plain
+    outer joins cannot give on unbounded inputs.
+
+    Self-verifying against the batch answer, respecting exactly that
+    watermark contract: (1) the streamed MATCHED pairs equal the batch
+    inner join as a multiset, keyed by click event_id; (2) every streamed
+    null row's click is older than max_ts − interval − watermark (nothing
+    emitted early); (3) within that settled region, streamed null clicks
+    equal the batch anti-join exactly — nulls are neither lost nor
+    duplicated. The un-settled tail (clicks younger than the cutoff) is
+    still in state at shutdown, BY DESIGN; a live pipeline emits them as
+    the watermark advances.
+
+    Scale: per-side state bounded by watermark + interval; one shuffle per
+    side on user_id. The time-ordered multi-file replay makes the watermark
+    advance monotonically during the run, as a Kafka source would.
+    """
+    import os
+    import uuid
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value", "event_type")
+    replay = scratch_dir(f"loj_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            ev.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        # FileStreamSource batches files by MODIFICATION TIME, and the
+        # parallel write leaves ties — a later time-range file picked into
+        # an earlier batch silently drops its rows as late. Stamp strictly
+        # increasing mtimes in range-partition (= event-time) order so the
+        # replay is deterministic, batch after batch.
+        import glob
+        import time
+
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(replay, "part-*")))):
+            os.utime(f, (base + i, base + i))
+        open(marker, "w").close()
+
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(replay)
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                "value",
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        name = f"loj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("loj_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name)
+
+        # --- batch reference -------------------------------------------------
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+        )
+        cond = (
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        batch_matched = c.join(p, cond)
+        batch_unmatched = c.join(p, cond, "left_anti")
+
+        def pair_set(df: DataFrame) -> set:
+            return {
+                (r["c_id"], r["us"]) for r in
+                df.select("c_id", F.unix_micros("p_ts").alias("us")).collect()
+            }
+
+        s_match = streamed.where(F.col("p_ts").isNotNull())
+        if pair_set(s_match) != pair_set(batch_matched):
+            raise AssertionError("streamed matched pairs != batch inner join")
+
+        # Null-emission frontier. Two non-obvious facts (both measured):
+        # the global watermark is the MIN over the two sides' watermarks —
+        # each fed only by ITS OWN rows, so the last click can never settle
+        # itself — and availableNow runs one final NO-DATA batch that
+        # evicts with the fully-advanced watermark. Settled ⇔
+        # c_ts + interval < min(max click ts, max purchase ts) − delay.
+        mm = {
+            r["event_type"]: r["m"]
+            for r in ev.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(F.max(F.unix_micros("ts")).alias("m"))
+            .collect()
+        }
+        HOUR_US = 3600 * 1_000_000
+        wm_us = min(mm["click"], mm["purchase"]) - HOUR_US  # delay
+        cutoff_us = wm_us - HOUR_US  # join interval
+        s_null = streamed.where(F.col("p_ts").isNull())
+        early = s_null.where(F.unix_micros("c_ts") >= cutoff_us).count()
+        if early:
+            raise AssertionError(
+                f"{early} null rows emitted before the watermark settled them"
+            )
+        s_null_ids = {r["c_id"] for r in s_null.select("c_id").collect()}
+        want_null_ids = {
+            r["c_id"]
+            for r in batch_unmatched.where(
+                F.unix_micros("c_ts") < cutoff_us
+            ).select("c_id").collect()
+        }
+        if s_null_ids != want_null_ids:
+            raise AssertionError(
+                f"settled-region null clicks diverge: "
+                f"{len(s_null_ids - want_null_ids)} extra, "
+                f"{len(want_null_ids - s_null_ids)} missing"
+            )
+        n_matched = s_match.count()
+        n_null = len(s_null_ids)
+    return spark.createDataFrame(
+        [(n_matched, n_null, batch_unmatched.count(), True)],
+        "n_matched bigint, n_null_emitted bigint, n_unmatched_batch_total bigint, "
+        "outer_semantics_exact boolean",
     )

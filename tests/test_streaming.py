@@ -402,3 +402,17 @@ def test_stream_dedup_watermark_exact(spark):
     assert row.dedup_exact
     assert row.n_dups_injected > 0  # the replay genuinely contained dups
     assert row.n_streamed == row.n_base
+
+
+def test_stream_left_outer_interval_join_exact(spark):
+    """Genuine streamed left-outer interval join: matches equal batch,
+    settled-region nulls exact, nothing emitted early (the operator raises
+    internally on any divergence)."""
+    row = registry.QUERIES["b9_stream_left_outer_interval_join"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.outer_semantics_exact
+    assert row.n_matched > 0
+    # at most the watermark-defining tail stays unsettled
+    assert row.n_null_emitted <= row.n_unmatched_batch_total
+    assert row.n_null_emitted >= row.n_unmatched_batch_total - 5
