@@ -494,3 +494,12 @@ def test_chunk_surgery_conservation(spark):
     for r in out:
         kept = 0 if r.cleaned_text is None else len(r.cleaned_text.split(" "))
         assert kept <= r.n_chunks * 10
+
+
+def test_binary_hamming_rerank_recall(spark):
+    rows = registry.QUERIES["c3_binary_hamming_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    assert rows[0].recall_at_10 >= 0.5
+    # re-ranked order is by true cosine, descending
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
