@@ -330,3 +330,64 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         chunks.unpersist()
+
+
+@register("c4_patch_extraction")  # rows-only: binary fan-out is engine-specific
+def c4_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: patch/tile extraction — each blob fans out into fixed 64-byte
+    patches with (patch_idx, offset), the ViT-style tiling stage run as
+    ``mapInPandas`` (Arrow batches in, MORE rows out than in — the fan-out
+    shape). The pixel-decode step is the documented stub (no codec libs in
+    this container); byte ranges stand in for pixel tiles, and every piece
+    of Spark plumbing — schema with BinaryType, Arrow transfer, fan-out
+    cardinality, ordered reassembly — is real and verified.
+
+    Self-verifying: patches reassembled in patch_idx order are
+    md5-identical to the source blob for EVERY document, and the patch
+    count equals ceil(n_bytes/64) exactly.
+
+    Scale: fan-out happens executor-side per Arrow batch; patches carry
+    their provenance (doc_id, offset) so downstream shuffles can route by
+    doc or by patch; nothing returns to the driver but the audit counts.
+    """
+    PATCH = 64
+    from collections.abc import Iterator as _It
+
+    mm = multimodal_table(spark, sf_dir)
+
+    def tile(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "patch_idx": [], "offset": [], "patch": []}
+            for did, blob in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(blob)
+                for i in range(0, len(b), PATCH):
+                    out["doc_id"].append(did)
+                    out["patch_idx"].append(i // PATCH)
+                    out["offset"].append(i)
+                    out["patch"].append(b[i : i + PATCH])
+            yield pd.DataFrame(out)
+
+    patches = mm.select("doc_id", "image").mapInPandas(
+        tile, "doc_id bigint, patch_idx bigint, offset bigint, patch binary"
+    )
+    reassembled = patches.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("patch_idx", "patch"))),
+                lambda x: x["patch"],
+            ),
+            F.lit(b""),
+            lambda acc, p: F.concat(acc, p),
+        ).alias("rebuilt"),
+        F.count("*").alias("n_patches"),
+    )
+    audit = reassembled.join(mm.select("doc_id", "image", "n_bytes"), "doc_id")
+    bad = audit.where(
+        (F.md5("rebuilt") != F.md5("image"))
+        | (F.col("n_patches") != F.ceil(F.col("n_bytes") / PATCH))
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} documents failed byte-exact reassembly")
+    return patches.select(
+        "doc_id", "patch_idx", "offset", F.length("patch").alias("patch_len")
+    )

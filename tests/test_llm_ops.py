@@ -503,3 +503,23 @@ def test_binary_hamming_rerank_recall(spark):
     # re-ranked order is by true cosine, descending
     sims = [r.sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_patch_extraction_covers_blob_exactly(spark):
+    """Patches partition each blob: offsets stride by 64, lengths sum to
+    n_bytes, only the last patch may be short (reassembly md5 is asserted
+    inside the operator)."""
+    out = registry.QUERIES["c4_patch_extraction"](spark, SF)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("patch_len").alias("total"),
+        F.count("*").alias("n"),
+        F.max("offset").alias("max_off"),
+    )
+    docs = load(spark, SF, "documents").select("doc_id", F.length(F.encode("text", "utf-8")).alias("n_bytes"))
+    j = per_doc.join(docs, "doc_id")
+    assert j.where(F.col("total") != F.col("n_bytes")).count() == 0
+    assert j.where(F.col("max_off") != (F.col("n") - 1) * 64).count() == 0
+    short = out.where(F.col("patch_len") < 64)
+    # short patches only at the end of a blob
+    tail = out.groupBy("doc_id").agg(F.max("patch_idx").alias("last"))
+    assert short.join(tail, "doc_id").where(F.col("patch_idx") != F.col("last")).count() == 0
