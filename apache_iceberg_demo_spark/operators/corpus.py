@@ -687,3 +687,44 @@ def c5_chunk_surgery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.count(F.when(~F.col("is_first"), 1)).alias("n_removed"),
     )
+
+
+@register(
+    "b5_distinct_count_window",
+    oracle="""
+        SELECT event_id,
+               event_type,
+               CAST(count(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS distinct_users_50
+        FROM events
+    """,
+)
+def b5_distinct_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 (late registration, see module docstring): DISTINCT count over a
+    sliding row frame — rolling "unique users in the last 50 events" per
+    event type. Spark's window aggregates reject DISTINCT, so the
+    Spark-first rewrite is collect_list over the frame → array_distinct →
+    size, identical semantics (DuckDB runs the native spelling as the
+    oracle).
+
+    Scale: frame state is the 50-element list per row — bounded by the
+    frame, not the partition. For unbounded ("distinct users to date")
+    frames the rewrite becomes a running HLL sketch merge
+    (b4_hll_sketch_mergeable's estimator), since exact distinct state would
+    grow without bound.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+        .cast("bigint")
+        .alias("distinct_users_50"),
+    )
