@@ -728,3 +728,45 @@ def b5_distinct_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_users_50"),
     )
+
+
+@register(
+    "b8_url_funcs",
+    oracle="""
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id ||
+                 '?lang=' || lang || '&q=' || replace(substr(text,1,12),' ','+') AS url,
+               source || '.example.com'                      AS host,
+               '/docs/' || doc_id                            AS path,
+               lang                                          AS lang_param,
+               replace(substr(text,1,12), ' ', '+')          AS q_param,
+               TRUE                                          AS roundtrip_ok
+        FROM documents
+    """,
+)
+def b8_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 (late registration, see module docstring): URL scalar functions —
+    ``parse_url`` component extraction (HOST/PATH/named QUERY param) and the
+    ``url_encode``/``url_decode`` roundtrip. The oracle cannot parse URLs,
+    so it RECOMPUTES every expected component from the same source columns —
+    a construct-then-parse contract: parsing must invert construction
+    exactly. (Corpus text is [a-z ]+, so form-encoding is the single
+    space→'+' rewrite on both sides; parse_url returns query params still
+    encoded, as java.net does.)
+    """
+    d = load(spark, sf_dir, "documents")
+    q_raw = F.substring("text", 1, 12)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&q="),
+        F.url_encode(q_raw),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        (F.url_decode(F.url_encode(q_raw)) == q_raw).alias("roundtrip_ok"),
+    )
