@@ -770,3 +770,83 @@ def b8_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
         (F.url_decode(F.url_encode(q_raw)) == q_raw).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "b4_ohlc_bars",
+    oracle="""
+        SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+               round(arg_min(value, ts), 6) AS open,
+               round(max(value), 6)         AS high,
+               round(min(value), 6)         AS low,
+               round(arg_max(value, ts), 6) AS close,
+               CAST(count(*) AS BIGINT)     AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def b4_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (late registration, see module docstring): OHLC bars — the
+    canonical timeseries downsample: per (series, day), the first/max/min/
+    last value by event time. ``min_by``/``max_by`` fold ordered-first/last
+    into ONE hash aggregate — no window, no sort, map-side partial
+    aggregation carries (candidate value, candidate ts) pairs only.
+    Deterministic because event timestamps are unique at every SF
+    (verified); with tie-prone timestamps the key becomes
+    struct(ts, event_id).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("day"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+
+
+@register(
+    "b4_time_weighted_avg",
+    oracle="""
+        WITH step AS (
+            SELECT user_id, value, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS nxt
+            FROM events)
+        SELECT user_id,
+               round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS twap,
+               CAST(count(*) AS BIGINT) AS n_steps
+        FROM step WHERE nxt IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def b4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (late registration, see module docstring): time-weighted average —
+    each observation holds until the next one, so the mean weights each
+    value by its holding duration (the metrics/finance aggregation a plain
+    AVG silently gets wrong on irregular samples). One window pass for the
+    next-timestamp lead (µs-exact integer arithmetic, per the events float
+    discipline), then a hash aggregate; the series' last point has no
+    duration and drops on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros("ts")
+    step = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return step.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+        F.count("*").alias("n_steps"),
+    )
