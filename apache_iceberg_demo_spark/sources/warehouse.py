@@ -2111,3 +2111,46 @@ def c6_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_snapshot bigint, bad_snapshot bigint, picked_snapshot bigint, "
         "rows_final bigint, recovered boolean",
     )
+
+
+@register("c6_partitions_metadata")  # rows-only: engine-specific metadata table
+def c6_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the ``<table>.partitions`` metadata table — per-partition file
+    count, byte size, and row count straight from the manifest (zero data
+    files opened; the planning-time view an operator uses to spot skewed or
+    over-fragmented partitions before compaction).
+
+    Self-verifying: the manifest-derived per-partition row counts must equal
+    a groupBy over the actual data — metadata and data in exact agreement —
+    and totals must match the snapshot summary.
+    """
+    wh, t = _demo_warehouse(spark, sf_dir)
+    parts = (
+        wh.files(t)
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.sum("row_count").alias("total_rows"),
+        )
+    )
+    meta_counts = {
+        r["partition"]: r["total_rows"] for r in parts.collect()
+    }
+    part_col = wh._load_meta(t)["partition_by"]
+    data_counts = {
+        json.dumps({part_col: r["p"]}): r["n"]
+        for r in wh.read(t)
+        .groupBy(F.col(part_col).cast("string").alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    _check(
+        meta_counts == data_counts,
+        "manifest partition rows != data partition rows",
+    )
+    _check(
+        sum(meta_counts.values()) == wh.read(t).count(),
+        "partition totals != table count",
+    )
+    return parts
