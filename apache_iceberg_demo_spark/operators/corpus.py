@@ -850,3 +850,40 @@ def b4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
         F.count("*").alias("n_steps"),
     )
+
+
+@register(
+    "b4_skew_diagnosis",
+    oracle="""
+        WITH kc AS (
+            SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT)              AS n_keys,
+               CAST(max(c) AS BIGINT)                AS max_rows,
+               round(avg(c), 6)                      AS avg_rows,
+               round(CAST(max(c) AS DOUBLE)/avg(c), 6) AS skew_factor,
+               round(quantile_cont(c, 0.99), 6)      AS p99_rows
+        FROM kc
+    """,
+)
+def b4_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 (late registration, see module docstring): join/agg-key skew
+    diagnosis — per-key row counts reduced to the numbers that decide a
+    shuffle strategy: key cardinality, heaviest key, p99, and the
+    max/mean skew factor. This is the planning query you run BEFORE picking
+    salting (b3_join_salted_skew / b4_salted_skew_agg) or trusting AQE's
+    skew-join split at 100 TB.
+
+    Plan: two chained hash aggregates — per-key counts (map-side combined,
+    the only full-data shuffle), then a single-row reduction over the
+    key-cardinality-sized frame.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    return kc.agg(
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_rows"),
+        F.round(F.avg("c"), 6).alias("avg_rows"),
+        F.round(F.max("c").cast("double") / F.avg("c"), 6).alias("skew_factor"),
+        F.round(F.percentile("c", 0.99), 6).alias("p99_rows"),
+    )

@@ -391,3 +391,101 @@ def c4_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patches.select(
         "doc_id", "patch_idx", "offset", F.length("patch").alias("patch_len")
     )
+
+
+@register("pipeline_multimodal_prep")  # rows-only: binary CAS is engine-specific
+def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline capstone for the C4 surface: blobs → fixed 64-byte patches →
+    content-addressed store. The store keeps ONE copy of every distinct
+    patch (first occurrence); each document keeps only its (patch_idx →
+    hash) index. This is the dedup storage layout a multimodal corpus uses
+    so shared tiles/headers/frames are stored once.
+
+    End-to-end verification — the property that makes a CAS trustworthy:
+    EVERY document, reassembled purely from its index joined against the
+    deduplicated store, is md5-identical to its source blob. Plus
+    bookkeeping: store size == distinct patch-hash count, and bytes saved
+    == total patch bytes − store bytes.
+
+    Scale: patching fans out executor-side (mapInPandas); the store build is
+    one hash-aggregate on the 16-byte content hash (min_by keeps the
+    first-occurrence bytes); reassembly is an index→store equi-join on the
+    hash — every stage shuffles hashes and indices, never whole blobs
+    except the single stored copy per distinct patch.
+    """
+    PATCH = 64
+    from collections.abc import Iterator as _It
+
+    mm = multimodal_table(spark, sf_dir)
+
+    def tile(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "patch_idx": [], "patch": []}
+            for did, blob in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(blob)
+                for i in range(0, len(b), PATCH):
+                    out["doc_id"].append(did)
+                    out["patch_idx"].append(i // PATCH)
+                    out["patch"].append(b[i : i + PATCH])
+            yield pd.DataFrame(out)
+
+    patches = mm.select("doc_id", "image").mapInPandas(
+        tile, "doc_id bigint, patch_idx bigint, patch binary"
+    ).withColumn("h", F.sha2("patch", 256))
+
+    # content-addressed store: one copy per distinct hash (first occurrence
+    # by (doc_id, patch_idx) for determinism)
+    store = patches.groupBy("h").agg(
+        F.min_by("patch", F.struct("doc_id", "patch_idx")).alias("patch"),
+        F.count("*").alias("refs"),
+    )
+    index = patches.select("doc_id", "patch_idx", "h")
+
+    # reassemble EVERY document through the store and compare to the source
+    rebuilt = (
+        index.join(store.select("h", "patch"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("patch_idx", "patch"))),
+                    lambda x: x["patch"],
+                ),
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p),
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        rebuilt.join(mm.select("doc_id", "image"), "doc_id")
+        .where(F.md5("rebuilt") != F.md5("image"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"{bad} documents failed CAS reassembly")
+
+    stats = patches.agg(
+        F.count("*").alias("n_patches"),
+        F.sum(F.length("patch")).alias("total_bytes"),
+    ).collect()[0]
+    st = store.agg(
+        F.count("*").alias("n_stored"),
+        F.sum(F.length("patch")).alias("stored_bytes"),
+    ).collect()[0]
+    distinct_hashes = patches.select("h").distinct().count()
+    if st["n_stored"] != distinct_hashes:
+        raise AssertionError("store size != distinct patch hashes")
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_patches"]),
+                int(st["n_stored"]),
+                int(stats["total_bytes"]),
+                int(st["stored_bytes"]),
+                round(1 - st["stored_bytes"] / stats["total_bytes"], 6),
+                True,
+            )
+        ],
+        "n_patches bigint, n_stored bigint, total_bytes bigint, stored_bytes bigint, "
+        "bytes_saved_ratio double, cas_roundtrip_exact boolean",
+    )

@@ -523,3 +523,11 @@ def test_patch_extraction_covers_blob_exactly(spark):
     # short patches only at the end of a blob
     tail = out.groupBy("doc_id").agg(F.max("patch_idx").alias("last"))
     assert short.join(tail, "doc_id").where(F.col("patch_idx") != F.col("last")).count() == 0
+
+
+def test_multimodal_cas_pipeline(spark):
+    row = registry.QUERIES["pipeline_multimodal_prep"](spark, SF).collect()[0]
+    assert row.cas_roundtrip_exact
+    assert row.n_stored <= row.n_patches
+    assert 0.0 <= row.bytes_saved_ratio < 1.0
+    assert row.stored_bytes <= row.total_bytes
