@@ -887,3 +887,93 @@ def b4_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c").cast("double") / F.avg("c"), 6).alias("skew_factor"),
         F.round(F.percentile("c", 0.99), 6).alias("p99_rows"),
     )
+
+
+@register(
+    "c5_passage_chunking",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, u.i AS passage_idx,
+                 1 + u.i*24 AS start_tok,
+                 array_to_string(t[(u.i*24+1):(u.i*24+32)], ' ') AS passage,
+                 len(t[(u.i*24+1):(u.i*24+32)]) AS n_tokens
+          FROM toks, LATERAL unnest(generate_series(0,
+               greatest(CAST(ceil((len(t)-32)/24.0) AS INT), 0))) AS u(i)
+        )
+        SELECT doc_id, CAST(passage_idx AS BIGINT) AS passage_idx,
+               CAST(start_tok AS BIGINT) AS start_tok, passage,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM spans WHERE n_tokens > 0
+    """,
+)
+def c5_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (late registration, see module docstring): RAG passage chunking —
+    32-token windows at stride 24 (8-token overlap) with provenance
+    (doc_id, passage_idx, start_tok), the retrieval-prep stage between
+    "documents" and "embeddings". The trailing partial window survives (a
+    retriever must be able to reach a document's tail), and sub-window docs
+    yield themselves as one passage.
+
+    Plan: window construction is array-side per row (a handful of
+    slice+join lambda steps per doc — per-PASSAGE cost); posexplode fans
+    out; no shuffle at all — chunking is embarrassingly parallel, which is
+    the point at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    last = F.greatest(
+        F.ceil((n - 32) / F.lit(24.0)).cast("int"), F.lit(0)
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            (i * 24 + 1).alias("start_tok"),
+            F.array_join(F.slice(toks, i * 24 + 1, 32), " ").alias("passage"),
+            F.size(F.slice(toks, i * 24 + 1, 32)).alias("n_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.posexplode(passages).alias("passage_idx", "p"))
+        .where(F.col("p.n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("passage_idx").cast("bigint"),
+            F.col("p.start_tok").cast("bigint").alias("start_tok"),
+            F.col("p.passage").alias("passage"),
+            F.col("p.n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "s1_epoch_shuffle",
+    oracle="""
+        SELECT epoch, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch
+                   ORDER BY md5(epoch || '-' || doc_id), doc_id) AS BIGINT)
+                   AS position
+        FROM documents
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch)
+    """,
+)
+def s1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (late registration, see module docstring): per-epoch deterministic
+    training order — epoch e's order is the md5(e ⊕ doc_id) rank: a fresh,
+    uniform, RNG-free permutation per epoch that any engine (and any rerun,
+    resume, or re-shard) reproduces bit-for-bit. The data-ordering
+    discipline a resumable trainer needs: position is a pure function of
+    (epoch, doc_id).
+
+    Plan: one explode by 3 epochs + one rank window per epoch partition —
+    the sort is the cost, which is exactly the cost of shuffling a corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    epochs = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    de = d.select("doc_id").select(epochs, "doc_id")
+    w = W.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws("-", "epoch", "doc_id")), F.col("doc_id")
+    )
+    return de.withColumn("position", F.row_number().over(w).cast("bigint"))

@@ -531,3 +531,43 @@ def test_multimodal_cas_pipeline(spark):
     assert row.n_stored <= row.n_patches
     assert 0.0 <= row.bytes_saved_ratio < 1.0
     assert row.stored_bytes <= row.total_bytes
+
+
+def test_passage_chunking_coverage_and_overlap(spark):
+    """Every token position is covered by ≥1 passage; consecutive passages
+    overlap by exactly 8 tokens (except the clamped tail)."""
+    out = registry.QUERIES["c5_passage_chunking"](spark, SF)
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    last = out.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("n_tokens") - 1).alias("covered_to"),
+        F.count("*").alias("n_passages"),
+    )
+    j = last.join(docs, "doc_id")
+    assert j.where(F.col("covered_to") != F.col("n_tok")).count() == 0
+    strides = out.select("doc_id", "passage_idx", "start_tok")
+    a = strides.alias("a")
+    b = strides.alias("b")
+    gaps = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.passage_idx") == F.col("a.passage_idx") + 1),
+        )
+        .where(F.col("b.start_tok") - F.col("a.start_tok") != 24)
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_epoch_shuffle_permutations_differ(spark):
+    out = registry.QUERIES["s1_epoch_shuffle"](spark, SF).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    n_docs = load(spark, SF, "documents").count()
+    for e, perm in by_epoch.items():
+        assert sorted(perm.values()) == list(range(1, n_docs + 1))  # true permutation
+    # different epochs produce genuinely different orders
+    assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
