@@ -154,8 +154,9 @@ def load_all() -> None:
     from apache_iceberg_demo_spark.sources import formats, warehouse  # noqa: F401
     from apache_iceberg_demo_spark.streaming import windows as swindows  # noqa: F401
 
-    # imported last ON PURPOSE: corpus.py's oracle-paired entries must rank
-    # after every earlier driver-unverified query (see its module docstring)
-    from apache_iceberg_demo_spark.operators import corpus  # noqa: F401
+    # imported last ON PURPOSE: corpus.py's / mlprep.py's oracle-paired
+    # entries must rank after every earlier driver-unverified query (see
+    # their module docstrings)
+    from apache_iceberg_demo_spark.operators import corpus, mlprep  # noqa: F401
 
     _reorder()
