@@ -475,3 +475,320 @@ def b4_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("spend").cast("double"), 6).alias("total_spend"),
         )
     )
+
+
+#: embedding dimensionality of the synthetic corpus (TESTDATA.md)
+_DIM = 64
+
+
+@register(
+    "c3_covariance_matrix",
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id,
+                   CAST(unnest(embedding) AS DOUBLE) AS v,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
+            FROM embeddings
+        )
+        SELECT a.i AS i, b.i AS j,
+               round((sum(a.v * b.v)
+                      - sum(a.v) * sum(b.v) / count(*))
+                     / (count(*) - 1), 6) AS cov
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    """,
+)
+def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: the data-parallel half of PCA — the exact d×d covariance matrix
+    of the embedding corpus (upper triangle, 0-based indices), computed as
+    per-partition Gram partials (numpy ``XᵀX`` per Arrow batch via
+    ``mapInPandas``) that reduce with a plain groupBy-sum. The driver-side
+    eigendecomposition of a 64×64 matrix is O(d³) trivial — tested against
+    ``numpy.cov`` in tests/test_mlprep.py.
+
+    This is the canonical "matrix statistic at 100 TB" pattern: each
+    executor folds its rows into an O(d²) partial (one 4096-float row per
+    partition — NOT per input row), so the shuffle moves
+    partitions×d² floats regardless of corpus size; the oracle's
+    unnest-self-join formulation would shuffle rows×d² and is exactly what
+    NOT to run at scale (it's here as the independent correctness check).
+
+    Numeric note: float32 embeddings widen to float64 before any product;
+    partials use numpy's pairwise summation; cov = (C − s·sᵀ/n)/(n−1) from
+    merged (n, s, C) state — algebraic, so partition count never changes
+    the result beyond the round-6 contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        n = 0
+        s = np.zeros(_DIM)
+        c = np.zeros((_DIM, _DIM))
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n += x.shape[0]
+                s += x.sum(axis=0)
+                c += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "c": [c.reshape(-1).tolist()]}
+            )
+
+    parts = emb.mapInPandas(
+        gram_partials, "n bigint, s array<double>, c array<double>"
+    )
+    # one narrow reuse point: the partial frame feeds three reductions
+    parts = parts.persist()
+    total = parts.agg(F.sum("n").alias("n"))
+    svec = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    cmat = (
+        parts.select(F.posexplode("c").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("c"))
+    )
+    out = (
+        cmat.select(
+            (F.col("p") / _DIM).cast("int").alias("i"),
+            (F.col("p") % _DIM).cast("int").alias("j"),
+            "c",
+        )
+        .where(F.col("i") <= F.col("j"))
+        .join(F.broadcast(svec.selectExpr("i AS i2", "s AS s_i")), F.col("i") == F.col("i2"))
+        .join(F.broadcast(svec.selectExpr("i AS j2", "s AS s_j")), F.col("j") == F.col("j2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("c") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    return out
+
+
+#: BM25 free parameters (the universal defaults from Robertson et al.)
+_BM25_K1, _BM25_B = 1.2, 0.75
+#: the keyword query this entry scores — common corpus terms so every SF
+#: produces a populated ranking
+_BM25_TERMS = ("join", "filter", "vector")
+
+
+@register(
+    "c5_bm25_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+            FROM toks WHERE tok IN ('join', 'filter', 'vector')
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   avg(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS avgdl
+            FROM documents
+        )
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM (
+            SELECT tf.doc_id,
+                   sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * ({_BM25_K1} + 1)
+                       / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                                + {_BM25_B} * tf.dl / stats.avgdl))
+                   ) AS score
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        ORDER BY round(score, 6) DESC, doc_id
+        LIMIT 20
+    """,
+)
+def c5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: BM25 keyword retrieval over the document corpus (Robertson &
+    Zaragoza's probabilistic ranking function — the lexical baseline every
+    embedding retriever is benchmarked against; pairs with c3's ANN surface
+    to make this a hybrid-search engine).
+
+    Spark-first: one explode pass builds (doc, term) frequencies for the
+    query terms only (the IN filter lands before the groupBy, so non-query
+    tokens never shuffle); document frequency and corpus stats are
+    broadcast 3-row/1-row frames; the score is a closed-form JVM expression
+    and the ranking is TakeOrderedAndProject. Top-k ties break on the
+    ROUNDED score then doc_id — bit-identical selection on both engines.
+
+    At 100 TB: the per-(doc,term) shuffle carries only hits of the 3 query
+    terms; for a full search index you'd invert once (term → postings,
+    the same explode groupBy keyed by term) and serve many queries from it.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    with_dl = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"), "toks"
+    )
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "s1_stratified_exact_split",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE WHEN rn <= floor(0.8 * cnt) THEN 'train' ELSE 'val' END AS split
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        )
+    """,
+)
+def s1_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: stratified train/val split with EXACT per-stratum proportions —
+    rank each document inside its language stratum by a deterministic
+    pseudo-random key (md5 of the id — the repo's cross-engine RNG trick)
+    and cut at floor(0.8·n). Unlike ``sampleBy`` (seeded Bernoulli,
+    rows-only verifiable, ±binomial noise per stratum), this split is
+    reproducible bit-for-bit across engines AND hits the 80/20 target
+    exactly per stratum — what you want when strata are small and a
+    binomial draw could starve validation.
+
+    Scale: one hash-partition by stratum + in-partition sort on the md5
+    key. For a jumbo stratum the same cut works from a two-pass
+    percentile-of-md5-key threshold instead of a full sort — the key is
+    uniform, so the rank cut IS a key-range cut.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("cnt"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") <= F.floor(0.8 * F.col("cnt")), "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
+@register(
+    "b4_winsorized_robust_stats",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.01) AS p01,
+                   quantile_cont(l_extendedprice, 0.50) AS med,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               round(q.p01, 6) AS p01,
+               round(q.med, 6) AS median,
+               round(q.p99, 6) AS p99,
+               round(CAST(sum(CAST(round(greatest(q.p01, least(q.p99, l.l_extendedprice)), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS winsorized_mean,
+               round(quantile_cont(abs(l.l_extendedprice - q.med), 0.5), 6) AS mad
+        FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        GROUP BY l.l_returnflag, q.p01, q.med, q.p99
+    """,
+)
+def b4_winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: robust statistics per group — exact p01/median/p99, the
+    winsorized mean (outliers clipped to the percentile fence before
+    averaging), and the median absolute deviation. The outlier-resistant
+    summary a data-quality gate prefers over mean/stddev, which one fat-
+    finger row can drag arbitrarily.
+
+    Two-pass plan: pass 1 reduces each group to a 3-number percentile
+    state; pass 2 re-scans with the per-group fences joined back via
+    BROADCAST (3 groups — at 100 TB still just one row per group) and
+    aggregates clip/deviation expressions JVM-side. Spark's exact
+    `percentile` builds a value→count map per group (memory ∝ distinct
+    values); the bounded-memory 100 TB form swaps in `approx_percentile`
+    with the same plan shape (that sketch's accuracy contract is
+    b4_percentile_approx).
+
+    Float discipline: clipped values round to 6 decimals and accumulate in
+    DECIMAL(18,6) on both sides before the division — a winsorized sum is
+    ~1e9 at sf0.1, above the 1e8 float-reassociation threshold.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("med"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clipped = F.round(
+        F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))), 6
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("p01"), 6).alias("p01"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("p99"), 6).alias("p99"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )

@@ -102,6 +102,72 @@ def test_weighted_sample_is_weight_biased(spark):
     assert sample_mean > pop_mean * 1.1
 
 
+def test_covariance_matches_numpy_and_pca_works(spark):
+    """The distributed Gram-partial covariance must equal numpy.cov on the
+    collected corpus (round-6), and its eigendecomposition — the driver-
+    side step of PCA — must reproduce the true top eigenvalue."""
+    import numpy as np
+
+    out = registry.QUERIES["c3_covariance_matrix"](spark, SF).collect()
+    X = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        ]
+    )
+    ref = np.cov(X, rowvar=False)
+    C = np.zeros_like(ref)
+    for r in out:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    assert len(out) == 64 * 65 // 2
+    assert np.allclose(C, ref, atol=5e-6)
+    ev_ours = np.linalg.eigvalsh(C)[-1]
+    ev_ref = np.linalg.eigvalsh(ref)[-1]
+    assert ev_ours == pytest.approx(ev_ref, rel=1e-4)
+
+
+def test_bm25_ranks_term_bearing_docs(spark):
+    """Every returned doc must actually contain at least one query term,
+    scores are positive and non-increasing."""
+    rows = registry.QUERIES["c5_bm25_search"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    ids = [r["doc_id"] for r in rows]
+    docs = {
+        r["doc_id"]: r["text"].lower()
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    for i in ids:
+        assert any(t in docs[i].split() for t in ("join", "filter", "vector"))
+
+
+def test_stratified_split_exact_proportions(spark):
+    out = registry.QUERIES["s1_stratified_exact_split"](spark, SF)
+    per = (
+        out.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r["tr"] == int(0.8 * r["n"])  # floor — exact per stratum
+
+
+def test_winsorized_mean_between_fences(spark):
+    rows = registry.QUERIES["b4_winsorized_robust_stats"](spark, SF).collect()
+    for r in rows:
+        assert r["p01"] <= r["median"] <= r["p99"]
+        assert r["p01"] <= r["winsorized_mean"] <= r["p99"]
+        assert r["mad"] >= 0
+
+
 def test_session_window_agrees_with_handrolled(spark):
     """Native session_window must produce the same number of sessions and
     the same total event count as the lag+cumsum sessionizer semantics."""
