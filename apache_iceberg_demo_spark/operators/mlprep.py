@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 from apache_iceberg_demo_spark.io import load
 from apache_iceberg_demo_spark.registry import register
 
+# result caches from the most recent invocation needing a reused subplan
+# (PageRank's per-iteration edge frame); released on the next invocation —
+# same pattern as operators/text.py / operators/corpus.py.
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
 
 @register(
     "b4_target_encoding_loo",
@@ -791,4 +801,212 @@ def b4_winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 6
             ).alias("mad"),
         )
+    )
+
+
+#: PageRank hyperparameters (the canonical Brin & Page values) and a fixed
+#: iteration count so both engines compute the identical deterministic result
+_PR_DAMP, _PR_ITERS = 0.85, 10
+
+
+@register(
+    "b3_pagerank_copurchase",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        ),
+        edges AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY s),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        pr(iter, node, rank) AS (
+            SELECT 0, s, (SELECT 1.0 / n FROM nn) FROM deg
+            UNION ALL
+            SELECT iter + 1, e.d,
+                   (SELECT {1 - _PR_DAMP} / n FROM nn)
+                   + {_PR_DAMP} * sum(pr.rank / deg.outd)
+            FROM pr
+            JOIN edges e ON e.s = pr.node
+            JOIN deg ON deg.s = pr.node
+            WHERE iter < {_PR_ITERS}
+            GROUP BY iter + 1, e.d
+        )
+        SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_x_n
+        FROM pr WHERE iter = {_PR_ITERS}
+    """,
+)
+def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: PageRank over the co-purchase part graph — {_PR_ITERS}
+    power iterations at damping 0.85, reported as rank x N (so a uniformly
+    unimportant node reads 1.0). The undirected graph is symmetrized, every
+    node has degree >= 1, hence no dangling-mass term and total rank is
+    conserved exactly.
+
+    Spark-first iterative pattern: the edge+outdegree frame is built once,
+    PERSISTED (Catalyst does not share common subplans — without the persist
+    each of the {_PR_ITERS} iterations would rebuild the lineitem self-join),
+    and each iteration is contributions = ranks ⋈ edges, groupBy(dst),
+    sum(rank/outdeg) — one hash shuffle of (node, double) pairs per
+    iteration, never payload data. The teleport constant comes from a
+    broadcast 1-row frame (the repo's scalar-subquery pattern; no driver
+    collect anywhere). At 100 TB this is the exact Pregel-style plan GraphX
+    runs, expressed in DataFrames so AQE handles skewed hubs.
+
+    The oracle recomputes the identical iteration in DuckDB's recursive CTE
+    (Spark 4 forbids aggregates over the recursive reference, so the Spark
+    side HAS to be the loop — a genuine engine-capability divergence worth
+    pinning in a test).
+    """
+    _release_caches()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = e0.selectExpr("a AS s", "b AS d").unionAll(
+        e0.selectExpr("b AS s", "a AS d")
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("outd"))
+    ew = edges.join(deg, "s").persist()
+    _live_caches.append(ew)
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes = deg.select(F.col("s").alias("node")).persist()
+    _live_caches.append(nodes)
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["s"])
+            .groupBy("d")
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")
+    )
+
+
+@register(
+    "b3_join_strategy_hints",
+    oracle="""
+        SELECT strategy, c_mktsegment, n_orders, revenue FROM (
+            SELECT 'broadcast' AS strategy, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'merge', c_mktsegment, CAST(count(*) AS BIGINT),
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'shuffle_hash', c_mktsegment, CAST(count(*) AS BIGINT),
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+    """,
+)
+def b3_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/optimizer surface: the SAME join computed under three physical
+    join strategies forced by hints — BROADCAST (build side shipped to every
+    task, zero shuffle of the fact side), MERGE (sort-merge: both sides
+    shuffled+sorted on the key — the safe default for two big tables), and
+    SHUFFLE_HASH (shuffle both, hash-build the smaller — cheaper than merge
+    when the build side fits per-task memory but dims outgrow broadcast).
+
+    All three must produce byte-identical aggregates — that physical
+    strategy never changes results is the optimizer contract this entry
+    turns into a hashed oracle row set. tests/test_mlprep.py additionally
+    asserts each branch's physical plan actually contains its forced
+    operator (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin), so a
+    silently-ignored hint fails loudly.
+
+    At 100 TB the choice is the single biggest join cost lever: broadcast
+    for dims < ~1 GB, shuffle-hash for mid dims with AQE guarding the build
+    size, sort-merge for fact-fact.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def agg(strategy: str) -> DataFrame:
+        return (
+            o.join(c.hint(strategy), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("revenue"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "c_mktsegment",
+                "n_orders",
+                "revenue",
+            )
+        )
+
+    return (
+        agg("broadcast").unionByName(agg("merge")).unionByName(agg("shuffle_hash"))
+    )
+
+
+@register(
+    "b4_zscore_anomalies",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   avg(value) AS m,
+                   stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, round((e.value - s.m) / s.sd, 6) AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE abs((e.value - s.m) / s.sd) > 3.0
+    """,
+)
+def b4_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: z-score anomaly detection on the event stream — flag events whose
+    value sits more than 3 sample standard deviations from its event-type
+    mean (the first-line outlier screen of any metrics pipeline; the robust
+    MAD-based variant for fat-tailed data is b4_winsorized_robust_stats).
+
+    Two-pass: per-type (mean, stddev) reduces to one row per event type,
+    BROADCASTS back, and the flag is a JVM-side predicate on the second
+    scan — no window function, so no per-type sort and no skew exposure;
+    at 100 TB both passes are full-scan + tiny-shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )

@@ -168,6 +168,78 @@ def test_winsorized_mean_between_fences(spark):
         assert r["mad"] >= 0
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The distributed loop must reproduce dense numpy power iteration on
+    the same co-purchase graph (built independently in pandas)."""
+    import numpy as np
+    import pandas as pd
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pdf = li.toPandas()
+    edges = set()
+    for _, grp in pdf.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for ix, a in enumerate(parts):
+            for b in parts[ix + 1 :]:
+                edges.add((a, b))
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    outd = A.sum(axis=1)
+    P = A / outd[:, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    ours = {
+        row["node"]: row["rank_x_n"]
+        for row in registry.QUERIES["b3_pagerank_copurchase"](spark, SF).collect()
+    }
+    assert len(ours) == n
+    assert abs(sum(ours.values()) / n - 1.0) < 1e-6  # rank mass conserved
+    for node in nodes:
+        assert ours[node] == pytest.approx(r[idx[node]] * n, abs=2e-6)
+
+
+def test_join_hints_force_physical_strategies(spark):
+    """Each hinted branch must actually use its forced physical join."""
+    from apache_iceberg_demo_spark.io import load
+
+    o = load(spark, SF, "orders")
+    c = load(spark, SF, "customer")
+    for hint, marker in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        plan = (
+            o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert marker in plan, f"{hint} did not produce {marker}"
+
+
+def test_zscore_anomalies_are_actual_outliers(spark):
+    """Every flagged event must be > 3 sigma from its type mean, recomputed
+    independently in pandas."""
+    rows = registry.QUERIES["b4_zscore_anomalies"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    stats = ev.groupby("event_type")["value"].agg(["mean", "std"])
+    flagged = {r["event_id"] for r in rows}
+    expect = set()
+    for _, r in ev.iterrows():
+        m, s = stats.loc[r["event_type"]]
+        if abs((r["value"] - m) / s) > 3.0:
+            expect.add(r["event_id"])
+    assert flagged == expect
+
+
 def test_session_window_agrees_with_handrolled(spark):
     """Native session_window must produce the same number of sessions and
     the same total event count as the lag+cumsum sessionizer semantics."""
