@@ -1010,3 +1010,199 @@ def b4_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 3.0)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "b5_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 6) AS rolling_med
+        FROM events
+    """,
+)
+def b5_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: rolling MEDIAN over a 7-event frame per user — robust smoothing
+    of the event-value series (a rolling mean chases every spike; the
+    rolling median ignores isolated outliers, which is why monitoring
+    pipelines prefer it — pairs with b4_zscore_anomalies as screen+smooth).
+
+    Spark's exact `percentile` aggregate runs as a WINDOW function over the
+    row frame (not just in groupBy) — same interpolation as DuckDB's
+    `quantile_cont`, proven by the hash. Frame order ties break on
+    event_id, deterministically on both engines.
+
+    Scale: one hash-partition by user + in-partition sort; the frame holds
+    ≤7 values so per-row cost is O(7 log 7) and state never exceeds the
+    frame — no quadratic window blowup.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_med"),
+    )
+
+
+#: α^k decay weights for the 8-event EWMA frame, written as exact double
+#: literals so both engines parse bit-identical constants
+_EWMA_POWERS = [repr(0.7**k) for k in range(8)]
+
+
+@register(
+    "b5_ewma_smoothing",
+    oracle=f"""
+        WITH framed AS (
+            SELECT event_id, user_id,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                   ) AS vals
+            FROM events
+        )
+        SELECT event_id, user_id,
+               round(list_dot_product(list_reverse(vals),
+                                      ([{', '.join(_EWMA_POWERS)}])[1:len(vals)])
+                     / list_sum(([{', '.join(_EWMA_POWERS)}])[1:len(vals)]),
+                     6) AS ewma
+        FROM framed
+    """,
+)
+def b5_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: exponentially-weighted moving average (α = 0.7) over the last 8
+    events per user — the decay-weighted smoother feature pipelines use for
+    "recent behavior" signals (an 8-deep truncation of the classic
+    recursive EWMA; weights are renormalized over however many events
+    exist, so early rows aren't biased toward zero).
+
+    The recursion s_t = αs_{t-1} + (1-α)x_t is inherently sequential — the
+    WRONG shape for a distributed engine. The truncated form re-expresses
+    it as a dot product of the window frame with a CONSTANT weight vector:
+    collect_list over a 8-row frame, reverse (newest first), zip with the
+    α^k literal array, fold. All JVM-side; HOF lambdas are interpreted
+    (CLAUDE.md) but touch ≤8 elements per row — arithmetic, not
+    string-building, per the measured guidance.
+
+    The α^k constants are spelled as exact double literals (repr
+    round-trip) so Spark and DuckDB parse bit-identical weights.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    powers = ", ".join(f"{p}D" for p in _EWMA_POWERS)
+    framed = ev.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("vals")
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with(reverse(vals), slice(array({powers}), 1, size(vals)),"
+                f" (x, y) -> x * y), 0D, (a, x) -> a + x)"
+                f" / aggregate(slice(array({powers}), 1, size(vals)), 0D, (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "c2_fuzzy_join_blocked",
+    oracle="""
+        WITH probes AS (
+            SELECT p_partkey AS probe_key,
+                   concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+            FROM part WHERE p_partkey % 97 = 3
+        )
+        SELECT probe_key, probe_name, p_partkey AS matched_key,
+               CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+        FROM probes JOIN part
+          ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
+         AND abs(len(probe_name) - len(p_name)) <= 2
+         AND levenshtein(probe_name, p_name) <= 2
+    """,
+)
+def c2_fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: fuzzy (approximate-string) JOIN with blocking — the entity-
+    resolution primitive: match a probe set of corrupted part names (3rd
+    character deleted — a deterministic typo model, so both engines build
+    the identical probes) back to the catalog at edit distance ≤ 2.
+
+    The all-pairs fuzzy join is O(N·M) edit-distance calls — never viable.
+    Blocking makes it tractable: candidates must share the 2-char name
+    prefix AND have length within ±2. Both keys are INVARIANT under the
+    typo model (a deletion at position 3 never touches chars 1-2, and
+    changes length by exactly 1), so blocking provably loses no true match
+    — recall 1.0 by construction, the property a blocking scheme must
+    argue, not assume. In production the typo model isn't known, so you
+    union several redundant blocking keys (prefix, length band, shared
+    q-grams) — same plan shape, more block joins.
+
+    Scale: the equi-join on the prefix block key is an ordinary hash
+    shuffle; Levenshtein runs JVM-side only within blocks. Probe side is
+    tiny → broadcast.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = p.where(F.col("p_partkey") % 97 == 3).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)")
+        ).alias("probe_name"),
+    )
+    dist = F.levenshtein("probe_name", "p_name")
+    return (
+        F.broadcast(probes)
+        .join(
+            p,
+            (F.substring("probe_name", 1, 2) == F.substring("p_name", 1, 2))
+            & (
+                F.abs(F.length("probe_name") - F.length("p_name")) <= 2
+            )
+            & (dist <= 2),
+        )
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("p_partkey").alias("matched_key"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
+@register(
+    "b2_group_by_all",
+    oracle="""
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+    """,
+)
+def b2_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 SQL-surface: ``GROUP BY ALL`` — the modern-SQL convenience (every
+    non-aggregate select item becomes a grouping key) that Spark 4 and
+    DuckDB both implement; the oracle runs the IDENTICAL dialect-free text,
+    pinning that the two engines resolve the implicit grouping the same
+    way. Executed through ``spark.sql`` on a registered view (the SQL entry
+    point, not the DataFrame API), like b2_sql_pipe_syntax.
+    """
+    from apache_iceberg_demo_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from apache_iceberg_demo_spark import registry
@@ -238,6 +239,47 @@ def test_zscore_anomalies_are_actual_outliers(spark):
         if abs((r["value"] - m) / s) > 3.0:
             expect.add(r["event_id"])
     assert flagged == expect
+
+
+def test_fuzzy_join_full_recall(spark):
+    """Every corrupted probe must match back to its own source part at
+    edit distance exactly 1 (the typo model deletes one char) — blocking
+    lost nothing."""
+    out = registry.QUERIES["c2_fuzzy_join_blocked"](spark, SF)
+    self_matches = out.where(F.col("probe_key") == F.col("matched_key"))
+    n_probes = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .where(F.col("p_partkey") % 97 == 3)
+        .count()
+    )
+    assert self_matches.count() == n_probes
+    assert self_matches.where(F.col("dist") != 1).count() == 0
+
+
+def test_ewma_first_event_equals_value(spark):
+    """A user's first event has a single-element frame — EWMA must equal
+    the raw value exactly (renormalization check)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("event_id", F.round("value", 6).alias("expect"))
+    )
+    out = registry.QUERIES["b5_ewma_smoothing"](spark, SF)
+    j = out.join(first, "event_id")
+    assert j.where(F.abs(F.col("ewma") - F.col("expect")) > 1e-6).count() == 0
+
+
+def test_rolling_median_within_frame_bounds(spark):
+    out = registry.QUERIES["b5_rolling_median"](spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lo_hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bad = out.where(
+        (F.col("rolling_med") < lo_hi[0] - 1e-9)
+        | (F.col("rolling_med") > lo_hi[1] + 1e-9)
+    ).count()
+    assert bad == 0
 
 
 def test_session_window_agrees_with_handrolled(spark):
