@@ -202,3 +202,39 @@ def test_span_dedup_two_shuffles_pruned_scan(spark):
     assert count_exchanges(df) == 2
     (cols,) = read_schema_columns(df)
     assert cols <= {"doc_id", "text"}
+
+
+def test_bm25_broadcasts_stats_and_takes_topk(spark):
+    """BM25: df (3 rows) and corpus stats (1 row) broadcast; the ranking is
+    TakeOrderedAndProject, never a global sort of all scored docs."""
+    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+
+    df = registry.QUERIES["c5_bm25_search"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert join_strategies(df).count("BroadcastHashJoin") >= 1
+
+
+def test_weighted_sample_no_global_sort(spark):
+    """Efraimidis-Spirakis top-k must plan as per-partition heaps
+    (TakeOrderedAndProject), not a full shuffle sort of the table."""
+    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+
+    df = registry.QUERIES["s1_weighted_sample_topk"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_covariance_scan_prunes_to_embedding(spark):
+    """The Gram-partial pass must read ONLY the embedding column."""
+    df = registry.QUERIES["c3_covariance_matrix"](spark, SF)
+    for cols in read_schema_columns(df):
+        assert "vec_id" not in cols and "label" not in cols
+
+
+def test_triangle_count_broadcasts_degree(spark):
+    """Degree frames (one row per node) broadcast back onto edges; the
+    wedge join is the only big self-join."""
+    df = registry.QUERIES["b3_triangle_count_copurchase"](spark, SF)
+    assert join_strategies(df).count("BroadcastHashJoin") >= 2
