@@ -1206,3 +1206,222 @@ def b2_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "b5_interval_union_length",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nt
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN nt IS NULL THEN 900000000
+                             ELSE least(900000000, nt - t) END) AS BIGINT)
+                   AS covered_us,
+               CAST(1 + sum(CASE WHEN nt IS NOT NULL AND nt - t > 900000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+        FROM x GROUP BY user_id
+    """,
+)
+def b5_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: interval-union coverage (gaps-and-islands, measure form) — each
+    event opens a 15-minute activity interval; report per user the total
+    UNION length of those overlapping intervals and the island count (the
+    "minutes actually active" metric billing/engagement pipelines need,
+    where naive n_events x 15min double-counts overlap).
+
+    The union never materializes intervals: sorted by time, each event
+    contributes min(gap_to_next, 15min) and the last a full 15min — a
+    single lead() window plus a sum, O(n) with one user-partitioned
+    shuffle. Duplicate timestamps contribute zero regardless of tie order,
+    so the result is deterministic even under equal-ts events. All
+    arithmetic in integer microseconds (events float discipline).
+    """
+    g_us = 900_000_000  # 15 minutes
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    x = ev.select(
+        "user_id", t.alias("t"), F.lead(t).over(w).alias("nt")
+    )
+    return x.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("nt").isNull(), g_us).otherwise(
+                F.least(F.lit(g_us), F.col("nt") - F.col("t"))
+            )
+        )
+        .cast("bigint")
+        .alias("covered_us"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("nt").isNotNull() & (F.col("nt") - F.col("t") > g_us), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_islands"),
+    )
+
+
+@register(
+    "c3_nearest_centroid_confusion",
+    oracle="""
+        WITH x AS (
+            SELECT vec_id, label,
+                   CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS clabel, i, avg(v) AS c FROM x GROUP BY label, i
+        ),
+        d AS (
+            SELECT x.vec_id, x.label, cent.clabel,
+                   sum((x.v - cent.c) * (x.v - cent.c)) AS d2
+            FROM x JOIN cent ON x.i = cent.i
+            GROUP BY x.vec_id, x.label, cent.clabel
+        ),
+        r AS (
+            SELECT label, clabel,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+            FROM d
+        )
+        SELECT label AS true_label, clabel AS pred_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r WHERE rk = 1
+        GROUP BY label, clabel
+    """,
+)
+def c3_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: nearest-centroid classification + confusion matrix over the
+    labeled embedding corpus — the eval-side primitive of every clustering
+    / labeling pipeline ("how separable are my classes in embedding
+    space?"). Per-label centroids from one posexplode+groupBy pass; each
+    vector is assigned to its squared-L2-nearest centroid (ties break on
+    label — deterministic); the confusion matrix counts (true, predicted).
+
+    Scale shape: centroids are k×d rows → reassembled into k arrays and
+    BROADCAST; assignment is a map-side zip_with fold over each vector
+    against k centroid arrays (never a shuffle of the corpus), and the
+    confusion matrix is a k² aggregate. This is one Lloyd iteration's
+    E-step with supervised centroids — the same plan our k-means/SemDeDup
+    surface runs, here made oracle-checkable end to end.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    centroids = (
+        pos.groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(sc, s -> s.c)").alias("cvec"),
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, cvec,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "label", "clabel", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel")),
+        )
+        .where("rk = 1")
+    )
+    return assigned.groupBy(
+        F.col("label").alias("true_label"), F.col("clabel").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+#: synthetic source size — fixed (not SF-scaled) so the oracle is closed-form
+_PYDS_ROWS, _PYDS_PARTS = 10_000, 4
+
+
+@register(
+    "b1_python_datasource",
+    oracle=f"""
+        SELECT CAST(id % 7 AS INTEGER) AS category,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum((CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+                               AS BIGINT) + 0.5) / 4294967296.0), 6) AS value_sum
+        FROM generate_series(0, {_PYDS_ROWS - 1}) t(id)
+        GROUP BY 1
+    """,
+)
+def b1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/Spark-4 front: a CUSTOM CONNECTOR via the Python Data Source API
+    (pyspark.sql.datasource, new in Spark 4) — the extension point for
+    reading systems Spark has no built-in source for. This source generates
+    a deterministic synthetic user table: `partitions()` plans 4 input
+    splits (real parallelism — each split generates its id range on its own
+    task), `read(partition)` yields rows whose `value` is the repo's
+    md5-uniform (sampling.py:25) of the id.
+
+    Because the generator is a pure function of the row id, the connector
+    is ORACLE-CHECKABLE: DuckDB rebuilds the identical table from
+    generate_series + the same md5 arithmetic and must agree on the grouped
+    aggregate — connector correctness proven without any golden file.
+
+    Scale notes: splits are planned driver-side but generated
+    executor-side (nothing materializes on the driver); a production
+    connector adds `pushFilters` for scan-level predicate pushdown — the
+    API hook is on DataSourceReader.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Range(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", _PYDS_ROWS))
+            self.nparts = int(options.get("partitions", _PYDS_PARTS))
+
+        def partitions(self):
+            step = self.rows // self.nparts
+            return [
+                _Range(p * step, self.rows if p == self.nparts - 1 else (p + 1) * step)
+                for p in range(self.nparts)
+            ]
+
+        def read(self, part):
+            import hashlib
+
+            for i in range(part.start, part.end):
+                h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                yield (i, i % 7, (h + 0.5) / 4294967296.0)
+
+    class SyntheticUsers(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_users"
+
+        def schema(self):
+            return "id bigint, category int, value double"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(SyntheticUsers)
+    df = (
+        spark.read.format("synthetic_users")
+        .option("rows", str(_PYDS_ROWS))
+        .option("partitions", str(_PYDS_PARTS))
+        .load()
+    )
+    return df.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )

@@ -282,6 +282,45 @@ def test_rolling_median_within_frame_bounds(spark):
     assert bad == 0
 
 
+def test_python_datasource_plans_real_partitions(spark):
+    """The custom source must actually split into 4 input partitions (the
+    generator runs executor-side, not as one driver task)."""
+    registry.QUERIES["b1_python_datasource"](spark, SF)  # registers the source
+    df = (
+        spark.read.format("synthetic_users")
+        .option("rows", "10000")
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 10000
+
+
+def test_interval_union_bounds(spark):
+    """Union length is bounded by [15min, n_events * 15min] per user."""
+    g = 900_000_000
+    out = registry.QUERIES["b5_interval_union_length"](spark, SF)
+    ev_counts = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    j = out.join(ev_counts, "user_id")
+    assert j.where((F.col("covered_us") < g) | (F.col("covered_us") > F.col("count") * g)).count() == 0
+    assert j.where(F.col("n_islands") > F.col("count")).count() == 0
+
+
+def test_nearest_centroid_confusion_totals(spark):
+    """Confusion matrix totals must equal the corpus size, and the row
+    sums must match per-label corpus counts."""
+    out = registry.QUERIES["c3_nearest_centroid_confusion"](spark, SF)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert out.agg(F.sum("n")).collect()[0][0] == emb.count()
+    per_true = {r["true_label"]: r["s"] for r in out.groupBy("true_label").agg(F.sum("n").alias("s")).collect()}
+    per_corpus = {r["label"]: r["c"] for r in emb.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    assert per_true == per_corpus
+
+
 def test_session_window_agrees_with_handrolled(spark):
     """Native session_window must produce the same number of sessions and
     the same total event count as the lag+cumsum sessionizer semantics."""
