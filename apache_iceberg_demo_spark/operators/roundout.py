@@ -1,0 +1,301 @@
+"""Round-5 final surface round-out — the remaining Spark-4-native fronts and
+graph/sequence operators the earlier modules did not cover:
+
+- native XML source/sink roundtrip (Spark 4 ships the former spark-xml
+  package in-core — a B1 format beside parquet/ORC/JSON/CSV/binaryFile),
+- collation-aware string semantics (Spark 4 collations: UTF8_LCASE
+  comparisons, grouping, and prefix predicates vs binary collation),
+- MATCH_RECOGNIZE-style sequential pattern detection over event streams
+  (neither engine has MATCH_RECOGNIZE; both can express ordered-sequence
+  regex matching — the portable formulation),
+- multi-source BFS reachability (iterative frontier expansion — the graph
+  traversal primitive beside mlprep's PageRank and triangle count).
+
+Reference basis: the reference demo's query surface is engine-portable SQL
+over shared files (``/root/reference/README.md:85-211``); these entries keep
+that property — every oracle is plain ANSI SQL DuckDB runs on the same
+parquet.
+
+This module is imported LAST by ``registry.load_all`` (after corpus/mlprep)
+so its entries append after every previously-registered driver-unverified
+query and never displace the driver-budget sequencing (registry._reorder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_iceberg_demo_spark.io import load, scratch_dir
+from apache_iceberg_demo_spark.registry import register
+
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
+
+@register(
+    "b1_xml_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def b1_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: native XML sink + source (Spark 4 absorbed spark-xml in-core:
+    ``spark.read.format("xml")`` with a ``rowTag``). Write the full orders
+    table as one XML document per partition, read it back with an EXPLICIT
+    schema (inference would cost a second full scan — never at 100 TB),
+    and aggregate; the oracle computes the same aggregate straight from the
+    parquet, so equality proves the XML write/read preserved every row and
+    value exactly.
+
+    Scale: XML is an interchange edge format, not a lake format — the point
+    of the entry is landing-zone ingest (vendor feeds). The read is
+    splittable per file; keep files ~128 MB at scale via
+    ``maxRecordsPerFile`` exactly as this write does.
+    """
+    tmp = scratch_dir("xml_rt_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .option("maxRecordsPerFile", 50_000)
+        .save(tmp)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.format("xml").option("rowTag", "order").schema(schema).load(tmp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("total_price"),
+    )
+
+
+@register(
+    "b8_collation_compare",
+    oracle="""
+        WITH v AS (
+            SELECT p_brand, p_type,
+                   unnest([p_type, lower(p_type),
+                           upper(substring(p_type, 1, 1)) ||
+                               lower(substring(p_type, 2))]) AS variant
+            FROM part
+        )
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT)                          AS n_variants,
+               CAST(count(DISTINCT variant) AS BIGINT)           AS distinct_binary,
+               CAST(count(DISTINCT lower(variant)) AS BIGINT)    AS distinct_ci,
+               CAST(count(*) FILTER (WHERE lower(variant) LIKE 'pro%') AS BIGINT)
+                   AS n_promo_ci
+        FROM v
+        GROUP BY p_brand
+    """,
+)
+def b8_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: Spark 4 collation semantics — the same strings counted DISTINCT
+    under binary collation vs UTF8_LCASE, plus a collation-aware prefix
+    predicate. Three case variants of every p_type (as-stored upper, lower,
+    sentence case) are exploded; case-insensitive DISTINCT must collapse
+    them 3:1 while binary DISTINCT keeps all three, and the ``startswith``
+    over a UTF8_LCASE-collated column must hit all casings of PROMO types.
+
+    DuckDB has no column collations in its 1.x SQL surface, so the oracle
+    expresses the identical semantics via ``lower()`` — for the ASCII data
+    involved the two formulations are exactly equivalent, which is itself
+    the portability statement.
+
+    Scale: collation-aware equality hashes the collation key, so the
+    distinct/group-by shuffles exactly as a binary string would — no
+    pre-normalization pass needed at 100 TB.
+    """
+    p = load(spark, sf_dir, "part")
+    sentence = F.concat(
+        F.upper(F.substring("p_type", 1, 1)), F.lower(F.expr("substring(p_type, 2)"))
+    )
+    v = p.select(
+        "p_brand",
+        F.explode(
+            F.array(F.col("p_type"), F.lower("p_type"), sentence)
+        ).alias("variant"),
+    )
+    ci = F.collate(F.col("variant"), "UTF8_LCASE")
+    return v.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.countDistinct("variant").cast("bigint").alias("distinct_binary"),
+        F.countDistinct(ci).cast("bigint").alias("distinct_ci"),
+        F.count_if(F.startswith(ci, F.lit("pro"))).cast("bigint").alias("n_promo_ci"),
+    )
+
+
+@register(
+    "b5_event_pattern_match",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               (seq LIKE '%signup%purchase%')                       AS has_signup_then_purchase,
+               CAST((length(seq) - length(regexp_replace(seq, 'view>purchase', '', 'g')))
+                    // length('view>purchase') AS BIGINT)           AS n_view_purchase_adjacent
+        FROM seqs
+    """,
+)
+def b5_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: MATCH_RECOGNIZE-style sequential pattern detection — per user,
+    the time-ordered event-type sequence is assembled once and patterns are
+    evaluated on it: "signup eventually followed by purchase" (subsequence
+    pattern) and "view immediately followed by purchase" (adjacency
+    pattern, counted). Neither Spark nor DuckDB has SQL:2016
+    MATCH_RECOGNIZE; serializing the ordered sequence per key and running
+    anchored regex/substring predicates is the portable plan — and at scale
+    it is ONE shuffle (group by user) with the per-user sequence built by
+    sort_array over collected (ts, event_id, type) structs, never a window
+    sort pass.
+
+    The adjacency count uses the replace-and-measure identity
+    ``(len(s) - len(replace(s, pat, ''))) / len(pat)`` — non-overlapping
+    count semantics, identical in both engines.
+
+    Scale: per-user sequences are bounded by per-key cardinality (sessions
+    at 100 TB: cap with a HAVING or time-bucket the key before collect —
+    same guard sessionize_gap30m documents).
+    """
+    ev = load(spark, sf_dir, "events")
+    pat = "view>purchase"
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            seq.alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("seq").like("%signup%purchase%").alias("has_signup_then_purchase"),
+            (
+                (F.length("seq") - F.length(F.regexp_replace("seq", pat, "")))
+                / F.lit(len(pat))
+            )
+            .cast("bigint")
+            .alias("n_view_purchase_adjacent"),
+        )
+    )
+
+
+#: BFS hop bound — deep enough to exercise multi-hop frontier expansion,
+#: bounded so the DuckDB recursive oracle terminates on the cyclic graph.
+_BFS_MAX_HOPS = 3
+
+_BFS_SQL = f"""
+    WITH RECURSIVE
+    e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    edges AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),
+    r(node, hops) AS (
+        SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#11'
+        UNION
+        SELECT e.d, r.hops + 1
+        FROM r JOIN edges e ON r.node = e.s
+        WHERE r.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM r GROUP BY node
+"""
+
+
+@register("b3_bfs_reachability", oracle=_BFS_SQL)
+def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/graph: multi-source BFS — minimum hop count from every Brand#11
+    part to each part reachable within {_BFS_MAX_HOPS} hops of the
+    co-purchase graph (parts sharing an order are adjacent). The traversal
+    primitive behind blast-radius analysis and neighborhood sampling for
+    graph-training data.
+
+    Spark-first iterative pattern (same family as b3_pagerank_copurchase):
+    the symmetrized edge list is built once and PERSISTED; each hop is
+    frontier ⋈ edges → new-node anti-join against the visited set — one
+    (node,node) hash-shuffle per hop carrying ids only. The anti-join keeps
+    the frontier strictly shrinking toward the fixpoint, so unlike a naive
+    recursive expansion no path is ever re-walked; at 100 TB this is the
+    standard Pregel BFS plan in DataFrame form.
+
+    DuckDB expresses the same computation as a bounded recursive CTE with
+    min-hops aggregated OUTSIDE the recursion (aggregating over the
+    recursive reference is illegal in Spark 4 and unnecessary here).
+    """
+    _release_caches()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = (
+        e0.selectExpr("a AS s", "b AS d")
+        .unionAll(e0.selectExpr("b AS s", "a AS d"))
+        .persist()
+    )
+    _live_caches.append(edges)
+
+    seeds = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    visited = seeds.withColumn("hops", F.lit(0).cast("bigint")).persist()
+    _live_caches.append(visited)
+    frontier = visited.select("node")
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .persist()
+        )
+        _live_caches.append(nxt)
+        visited = visited.unionAll(nxt).persist()
+        _live_caches.append(visited)
+        frontier = nxt.select("node")
+    return visited

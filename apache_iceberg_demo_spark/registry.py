@@ -159,4 +159,8 @@ def load_all() -> None:
     # their module docstrings)
     from apache_iceberg_demo_spark.operators import corpus, mlprep  # noqa: F401
 
+    # imported after corpus/mlprep for the same ordering reason (see its
+    # module docstring)
+    from apache_iceberg_demo_spark.operators import roundout  # noqa: F401
+
     _reorder()

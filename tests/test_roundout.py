@@ -1,0 +1,91 @@
+"""Unit/invariant tests for the round-out surface (operators/roundout.py):
+native XML source, collation semantics, sequential pattern match, BFS."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from apache_iceberg_demo_spark import registry
+from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.plans.explain import read_schema_columns
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_xml_roundtrip_preserves_every_order(spark):
+    df = registry.QUERIES["b1_xml_roundtrip"](spark, SF)
+    n_back = df.agg(F.sum("n")).first()[0]
+    n_src = load(spark, SF, "orders").count()
+    assert n_back == n_src
+
+
+def test_collation_ci_collapses_exactly_three_to_one(spark):
+    """Each p_type contributes 3 binary-distinct variants that are one
+    UTF8_LCASE-distinct string; PROMO% types hit the ci prefix predicate in
+    all three casings."""
+    rows = registry.QUERIES["b8_collation_compare"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.distinct_binary == 3 * r.distinct_ci
+        assert r.n_promo_ci % 3 == 0
+
+
+def test_pattern_match_agrees_with_direct_recompute(spark):
+    """Spot-check one user: the regex/adjacency answer must match a driver-
+    side recompute from the raw ordered events."""
+    df = registry.QUERIES["b5_event_pattern_match"](spark, SF)
+    sample = df.orderBy(F.desc("n_events")).limit(1).collect()[0]
+    ev = (
+        load(spark, SF, "events")
+        .where(F.col("user_id") == sample.user_id)
+        .orderBy("ts", "event_id")
+        .select("event_type")
+        .collect()
+    )
+    seq = ">".join(r.event_type for r in ev)
+    assert sample.n_events == len(ev)
+    want_funnel = "signup" in seq and "purchase" in seq.split("signup", 1)[1]
+    assert sample.has_signup_then_purchase == want_funnel
+    assert sample.n_view_purchase_adjacent == seq.count("view>purchase")
+
+
+def test_bfs_hop_levels_are_sound(spark):
+    """Hop 0 = exactly the seed set; every hop level ≤ bound; nodes unique;
+    every hop-1 node shares an order with some seed part."""
+    df = registry.QUERIES["b3_bfs_reachability"](spark, SF)
+    rows = df.collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))
+    assert max(r.hops for r in rows) <= 3
+
+    seeds = {
+        r.p_partkey
+        for r in load(spark, SF, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+        .collect()
+    }
+    assert {r.node for r in rows if r.hops == 0} == seeds
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    adj = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_partkey").isin(list(seeds)))
+        .select(F.col("y.l_partkey").alias("node"))
+        .distinct()
+    )
+    one_hop_expected = {r.node for r in adj.collect()} - seeds
+    assert {r.node for r in rows if r.hops == 1} == one_hop_expected
+
+
+def test_pattern_match_single_user_shuffle(spark):
+    """The sequence build is one group-by on user_id — no window sort pass
+    and the scan reads only the 4 referenced event columns."""
+    df = registry.QUERIES["b5_event_pattern_match"](spark, SF)
+    (cols,) = read_schema_columns(df)
+    assert cols <= {"user_id", "ts", "event_id", "event_type"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan
