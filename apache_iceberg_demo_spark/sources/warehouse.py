@@ -859,11 +859,21 @@ class Warehouse:
 
     # ---------- maintenance (C6) ----------
 
-    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
-        """Drop all but the last ``keep_last`` snapshots; GC unreferenced files."""
+    def expire_snapshots(
+        self, name: str, keep_last: int = 1, retain_refs: bool = True
+    ) -> int:
+        """Drop all but the last ``keep_last`` snapshots; GC unreferenced
+        files. Iceberg retention semantics: the CURRENT snapshot and any
+        snapshot pinned by a named ref (tag/branch) are never expired —
+        release-pinned training corpora stay readable while routine history
+        is garbage-collected around them."""
         meta = self._load_meta(name)
-        keep = meta["snapshots"][-keep_last:]
-        expired = meta["snapshots"][:-keep_last]
+        keep_ids = {s["snapshot_id"] for s in meta["snapshots"][-keep_last:]}
+        keep_ids.add(meta["current_snapshot_id"])
+        if retain_refs:
+            keep_ids |= set(meta.get("refs", {}).values())
+        keep = [s for s in meta["snapshots"] if s["snapshot_id"] in keep_ids]
+        expired = [s for s in meta["snapshots"] if s["snapshot_id"] not in keep_ids]
         live_paths = {
             self._abs_path(name, f["path"]) for s in keep for f in s["manifest"]
         }
@@ -2154,3 +2164,52 @@ def c6_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition totals != table count",
     )
     return parts
+
+
+@register("c6_expire_snapshots_retention")  # rows-only: engine-specific GC surface
+def c6_expire_snapshots_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: retention-policy snapshot expiry with named-ref protection —
+    Iceberg's ``expire_snapshots`` never drops the current snapshot or any
+    snapshot a tag/branch pins, so a release-tagged training corpus stays
+    byte-identical while routine history (and the files only it referenced)
+    is garbage-collected.
+
+    Scenario: [1 replace, 2 append] → tag snapshot 1 → 3 compaction
+    (all-new files). Expire keep_last=1 must keep exactly {1 (tagged),
+    3 (current)}, physically remove the append-only files that snapshot 2
+    alone referenced, and leave both surviving reads content-identical to
+    their pre-expiry fingerprints. A follow-up ``remove_orphan_files`` must
+    find nothing — expiry's GC is complete, not approximate.
+
+    Scale: expiry is pure metadata + file deletes; no data is read or
+    shuffled, which is why Iceberg retention runs as a cheap maintenance
+    job even on PB tables.
+    """
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    wh.tag_snapshot(t, "release-v1", snapshot_id=1)
+    v1_hash = _content_hash(wh.read(t, snapshot_id=1))
+    wh.rewrite_data_files(t, target_file_mb=128)  # snapshot 3: all-new files
+    cur_hash = _content_hash(wh.read(t))
+
+    removed = wh.expire_snapshots(t, keep_last=1)
+    remaining = sorted(r["snapshot_id"] for r in wh.snapshots(t).collect())
+    _check(remaining == [1, 3], f"retention kept {remaining}, wanted [1, 3]")
+    _check(removed > 0, "expiry removed no files (snapshot 2 owned some)")
+    _check(
+        _content_hash(wh.read(t, snapshot_id=wh.resolve_ref(t, "release-v1")))
+        == v1_hash,
+        "tagged snapshot content changed across expiry",
+    )
+    _check(_content_hash(wh.read(t)) == cur_hash, "current read changed across expiry")
+    try:
+        wh.read(t, snapshot_id=2)
+        raise AssertionError("expired snapshot 2 still readable")
+    except KeyError:
+        pass
+    orphans_after = wh.remove_orphan_files(t)
+    _check(orphans_after == 0, f"expiry left {orphans_after} orphan files")
+    return spark.createDataFrame(
+        [(removed, len(remaining), True, True)],
+        "files_removed bigint, snapshots_kept bigint, "
+        "tagged_read_exact boolean, gc_complete boolean",
+    )

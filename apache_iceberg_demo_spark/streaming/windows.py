@@ -807,3 +807,160 @@ def b9_stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
         "n_matched bigint, n_null_emitted bigint, n_unmatched_batch_total bigint, "
         "outer_semantics_exact boolean",
     )
+
+
+@register("b9_stateful_ewma_anomaly")  # rows-only: stateful streaming, verified vs batch fold
+def b9_stateful_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: custom stateful streaming operator #2 — per-event-type EWMA
+    anomaly detection with ``applyInPandasWithState``. State per key is the
+    running exponentially-weighted (mean, variance, n); each event is scored
+    BEFORE it updates the state (|z| > 3 after a 10-event warmup emits an
+    anomaly), so the detector is strictly causal — the streaming property a
+    batch z-score (b4_zscore_anomalies) cannot give you.
+
+    The exact same fold function runs twice: streamed over a 4-file
+    time-ordered replay (state persists ACROSS micro-batches — the thing
+    under test), and as a batch ``applyInPandas`` over the whole history.
+    The two anomaly sets must agree to the last float: the fold is
+    deterministic and the replay preserves (ts, event_id) order, so this is
+    an equality check, not a tolerance check.
+
+    Scale: state is 3 doubles per key; one shuffle on the key; Arrow-batched
+    transfer. At 100 TB keys are (event_type, entity-bucket) so state stays
+    O(keys), never O(events).
+    """
+    import glob
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ALPHA, THRESH, WARMUP = 0.15, 3.0, 10
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+
+    # --- time-ordered multi-file replay (state must survive batch hops) ----
+    replay = scratch_dir(f"ewma_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            ev.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(replay, "part-*")))):
+            os.utime(f, (base + i, base + i))
+        open(marker, "w").close()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("var", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: "pd.DataFrame", st: tuple) -> tuple[list[tuple], tuple]:
+        """Score-then-update EWMA over one ordered chunk. Shared verbatim by
+        the streaming and batch paths — determinism is the contract."""
+        mean, var, n = st
+        out = []
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et, eid, v in zip(
+            pdf["event_type"].tolist(),
+            pdf["event_id"].tolist(),
+            pdf["value"].tolist(),
+        ):
+            if n >= WARMUP and var > 0.0:
+                z = (v - mean) / (var**0.5)
+                if abs(z) > THRESH:
+                    out.append((et, int(eid), float(v), float(z)))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                delta = v - mean
+                mean = mean + ALPHA * delta
+                var = (1.0 - ALPHA) * (var + ALPHA * delta * delta)
+            n += 1
+        return out, (mean, var, n)
+
+    def stream_fn(key, pdfs, state: GroupState):
+        st = state.get if state.exists else (0.0, 0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            chunk, st = fold(pdf, st)
+            rows.extend(chunk)
+        state.update(st)
+        if rows:
+            yield pd.DataFrame(rows, columns=["event_type", "event_id", "value", "z"])
+
+    def batch_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows, _ = fold(pdf, (0.0, 0.0, 0))
+        return pd.DataFrame(rows, columns=["event_type", "event_id", "value", "z"])
+
+    name = f"ewma_out_{uuid.uuid4().hex[:8]}"
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        streamed_q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                stream_fn,
+                out_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            streamed_q.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("ewma_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name)
+
+        batch = ev.groupBy("event_type").applyInPandas(batch_fn, out_schema)
+        s_rows = {
+            (r["event_type"], r["event_id"], round(r["z"], 9))
+            for r in streamed.collect()
+        }
+        b_rows = {
+            (r["event_type"], r["event_id"], round(r["z"], 9))
+            for r in batch.collect()
+        }
+    if s_rows != b_rows:
+        raise AssertionError(
+            f"streaming EWMA diverged from batch fold: "
+            f"only-stream={len(s_rows - b_rows)} only-batch={len(b_rows - s_rows)} "
+            f"of {len(b_rows)}"
+        )
+    if not s_rows:
+        raise AssertionError("no anomalies at all — detector not exercised")
+    return (
+        streamed.withColumn("z", F.round("z", 6))
+        .orderBy("event_type", "event_id")
+    )

@@ -89,3 +89,36 @@ def test_pattern_match_single_user_shuffle(spark):
     assert cols <= {"user_id", "ts", "event_id", "event_type"}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan
+
+
+def test_ewma_anomaly_is_causal_and_bounded(spark):
+    """Every flagged z must exceed the threshold, and no anomaly can appear
+    within the warmup prefix of its event type."""
+    df = registry.QUERIES["b9_stateful_ewma_anomaly"](spark, SF)
+    rows = df.collect()
+    assert rows
+    assert all(abs(r.z) > 3.0 for r in rows)
+    ev = load(spark, SF, "events").orderBy("ts", "event_id").collect()
+    seen: dict[str, int] = {}
+    rank: dict[int, int] = {}
+    for e in ev:
+        rank[e.event_id] = seen.get(e.event_type, 0)
+        seen[e.event_type] = rank[e.event_id] + 1
+    assert all(rank[r.event_id] >= 10 for r in rows)
+
+
+def test_expire_snapshots_respects_refs_unit(spark, tmp_path):
+    """Unit-level: a tagged snapshot survives keep_last=1 expiry; with
+    retain_refs=False it is dropped."""
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    df = load(spark, SF, "region")
+    for retain, expect in ((True, [1, 3]), (False, [3])):
+        wh = Warehouse(spark, str(tmp_path / f"wh_{retain}"))
+        wh.create_or_replace("t", df, None)
+        wh.append("t", df.limit(2))
+        wh.append("t", df.limit(1))
+        wh.tag_snapshot("t", "pin", snapshot_id=1)
+        wh.expire_snapshots("t", keep_last=1, retain_refs=retain)
+        got = sorted(r.snapshot_id for r in wh.snapshots("t").collect())
+        assert got == expect, (retain, got)
