@@ -299,3 +299,271 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         _live_caches.append(visited)
         frontier = nxt.select("node")
     return visited
+
+
+@register(
+    "b4_hll_intersection_estimate",
+    oracle="""
+        WITH m AS (
+            SELECT l_partkey,
+                   max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS in_b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) FILTER (WHERE in_a = 1) AS BIGINT)            AS exact_a,
+               CAST(count(*) FILTER (WHERE in_b = 1) AS BIGINT)            AS exact_b,
+               CAST(count(*) FILTER (WHERE in_a = 1 AND in_b = 1) AS BIGINT)
+                   AS exact_intersection,
+               TRUE AS estimate_within_tol
+        FROM m
+    """,
+)
+def b4_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/sketches: distinct-set INTERSECTION estimated from HLL sketches by
+    inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union estimate comes from merging the two sketches (the operation plain
+    approx_count_distinct cannot do). A = parts in URGENT orders, B = parts
+    in HIGH orders.
+
+    Estimates are engine-specific, so (same contract as
+    b4_hll_sketch_mergeable) the query returns the EXACT counts for hashing
+    and asserts in-query that the sketch estimate lands within 15% of exact
+    — inclusion-exclusion adds the three estimates' errors, hence the wider
+    band than a single sketch's ~2%.
+
+    Plan: one join, one groupBy(l_partkey) membership fold, one global agg
+    computing exact counts AND all three sketches from the same pass —
+    sketches see each part once, so per-key dedup and sketch build share a
+    single shuffle. At 100 TB the sketches are the only thing that moves to
+    the driver: bytes, not keys.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    m = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    agg = m.agg(
+        F.count_if(F.col("in_a") == 1).cast("bigint").alias("exact_a"),
+        F.count_if(F.col("in_b") == 1).cast("bigint").alias("exact_b"),
+        F.count_if((F.col("in_a") == 1) & (F.col("in_b") == 1))
+        .cast("bigint")
+        .alias("exact_intersection"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("in_a") == 1, F.col("l_partkey")))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("in_b") == 1, F.col("l_partkey")))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union(
+                F.hll_sketch_agg(F.when(F.col("in_a") == 1, F.col("l_partkey"))),
+                F.hll_sketch_agg(F.when(F.col("in_b") == 1, F.col("l_partkey"))),
+            )
+        ).alias("est_union"),
+    )
+    est_int = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    ok = (
+        F.abs(est_int - F.col("exact_intersection"))
+        <= 0.15 * F.col("exact_intersection")
+    )
+    out = agg.select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        ok.alias("estimate_within_tol"),
+    )
+    row = out.first()
+    if not row["estimate_within_tol"]:
+        raise AssertionError(
+            f"HLL inclusion-exclusion off by >15%: {row.asDict()}"
+        )
+    return out
+
+
+@register(
+    "b4_ks_two_sample",
+    oracle="""
+        WITH per_value AS (
+            SELECT value,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')  AS BIGINT) AS n2
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY value
+        ),
+        cdf AS (
+            SELECT sum(n1) OVER (ORDER BY value) AS c1,
+                   sum(n2) OVER (ORDER BY value) AS c2,
+                   sum(n1) OVER () AS t1,
+                   sum(n2) OVER () AS t2
+            FROM per_value
+        )
+        SELECT CAST(max(t1) AS BIGINT) AS n_click,
+               CAST(max(t2) AS BIGINT) AS n_view,
+               round(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6)
+                   AS ks_stat
+        FROM cdf
+    """,
+)
+def b4_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/statistics: two-sample Kolmogorov–Smirnov statistic between the
+    value distributions of 'click' and 'view' events — the supremum gap
+    between the two empirical CDFs, the standard distribution-drift test a
+    data pipeline runs between a reference and a candidate source (the
+    rank-free cousin of c5_source_divergence's KL on binned histograms).
+
+    Scalable formulation: NEVER sort the raw rows — first reduce to
+    per-distinct-value counts per sample (one hash shuffle, map-side
+    combined), then take ONE ordered window pass over the distinct values
+    (orders of magnitude smaller than the event count) for the cumulative
+    sums. The default RANGE window frame makes ties-at-a-value land
+    identically in both engines.
+
+    At 100 TB: the distinct-value frame still fits a single sort; if values
+    were continuous-unique you'd quantize to ~1e6 grid points first —
+    the KS statistic degrades gracefully with grid resolution.
+    """
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    per_value = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("n1"),
+        F.count_if(F.col("event_type") == "view").alias("n2"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("value")
+    cdf = per_value.select(
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(W.partitionBy()).alias("t1"),
+        F.sum("n2").over(W.partitionBy()).alias("t2"),
+    )
+    return cdf.agg(
+        F.max("t1").cast("bigint").alias("n_click"),
+        F.max("t2").cast("bigint").alias("n_view"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("t1")
+                    - F.col("c2").cast("double") / F.col("t2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "b4_autocorrelation_lag",
+    oracle="""
+        WITH lagged AS (
+            SELECT event_type, value,
+                   lag(value)    OVER (PARTITION BY event_type ORDER BY ts, event_id) AS v1,
+                   lag(value, 5) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS v5
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)      AS n,
+               round(corr(value, v1), 6)     AS acf_lag1,
+               round(corr(value, v5), 6)     AS acf_lag5
+        FROM lagged
+        GROUP BY event_type
+    """,
+)
+def b4_autocorrelation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/time series: lag-1 and lag-5 autocorrelation of event values per
+    event type — the whiteness check behind seasonality detection and
+    anomaly-model residual validation. One window pass (both lags share the
+    single (event_type | ts, event_id) sort — Catalyst collapses same-spec
+    window functions into one WindowExec) feeding one hash aggregate of
+    streaming-mergeable correlation moments.
+
+    Scale: the sort is per-key and the aggregate is partial+final, so the
+    cost is one shuffle of (key, 3 doubles); skewed keys salt exactly like
+    any window-over-key (CLAUDE.md plan notes).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 5).over(w).alias("v5"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr("value", "v1"), 6).alias("acf_lag1"),
+        F.round(F.corr("value", "v5"), 6).alias("acf_lag5"),
+    )
+
+
+@register(
+    "c4_binary_header_sniff",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT)                     AS n_images,
+               CAST(min(p_size * 64) AS BIGINT)             AS min_width,
+               CAST(max(p_size * 48) AS BIGINT)             AS max_height,
+               CAST(sum(CAST(p_size * 64 AS BIGINT) * (p_size * 48)) AS BIGINT)
+                   AS total_pixels
+        FROM part
+        GROUP BY p_brand
+    """,
+)
+def c4_binary_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/multimodal: metadata sniffing from binary headers — the real-world
+    pattern of reading image dimensions from the first bytes of a blob
+    (PNG IHDR / JPEG SOF) without decoding the payload. A deterministic
+    12-byte header (4-byte magic + width + height as big-endian int32,
+    derived from p_size) is ENCODED into a binary column and then PARSED
+    BACK with JVM-side binary/hex functions (substring on binary → hex →
+    conv base-16); aggregates over the parsed dimensions must match the
+    oracle computing straight from the source ints — a byte-exact
+    encode→sniff roundtrip proof.
+
+    Scale: header sniffing reads O(bytes-per-row) regardless of blob size;
+    with parquet it touches only the binary column's first pages. The whole
+    pipeline is whole-stage-codegen JVM expressions — no Python, no UDF.
+    """
+    p = load(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size")
+    hex_header = F.concat(
+        F.lit("494D4730"),  # magic "IMG0"
+        F.lpad(F.hex(F.col("p_size") * 64), 8, "0"),
+        F.lpad(F.hex(F.col("p_size") * 48), 8, "0"),
+    )
+    blobs = p.select(
+        "p_brand", F.to_binary(hex_header, F.lit("hex")).alias("img")
+    )
+    sniffed = blobs.select(
+        "p_brand",
+        F.conv(F.hex(F.expr("substring(img, 5, 4)")), 16, 10)
+        .cast("bigint")
+        .alias("width"),
+        F.conv(F.hex(F.expr("substring(img, 9, 4)")), 16, 10)
+        .cast("bigint")
+        .alias("height"),
+    ).where(F.hex(F.expr("substring(img, 1, 4)")) == "494D4730")
+    return sniffed.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.sum(F.col("width") * F.col("height")).cast("bigint").alias("total_pixels"),
+    )

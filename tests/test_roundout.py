@@ -122,3 +122,49 @@ def test_expire_snapshots_respects_refs_unit(spark, tmp_path):
         wh.expire_snapshots("t", keep_last=1, retain_refs=retain)
         got = sorted(r.snapshot_id for r in wh.snapshots("t").collect())
         assert got == expect, (retain, got)
+
+
+def test_ks_statistic_matches_scipy_style_recompute(spark):
+    """KS stat equals a driver-side recompute over the raw samples."""
+    import numpy as np
+
+    df = registry.QUERIES["b4_ks_two_sample"](spark, SF)
+    row = df.first()
+    ev = load(spark, SF, "events")
+    a = np.sort(
+        np.array([r.value for r in ev.where("event_type='click'").collect()])
+    )
+    b = np.sort(
+        np.array([r.value for r in ev.where("event_type='view'").collect()])
+    )
+    grid = np.union1d(a, b)
+    d = np.max(
+        np.abs(
+            np.searchsorted(a, grid, side="right") / len(a)
+            - np.searchsorted(b, grid, side="right") / len(b)
+        )
+    )
+    assert row.n_click == len(a) and row.n_view == len(b)
+    assert abs(row.ks_stat - round(float(d), 6)) < 1e-9
+
+
+def test_autocorrelation_single_window_pass(spark):
+    """Both lags share one WindowExec; values bounded by [-1, 1]."""
+    df = registry.QUERIES["b4_autocorrelation_lag"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 1 or plan.count("WindowExec") <= 1
+    for r in df.collect():
+        assert -1.0 <= r.acf_lag1 <= 1.0 and -1.0 <= r.acf_lag5 <= 1.0
+
+
+def test_binary_sniff_is_pure_jvm(spark):
+    """No Python eval in the plan — header parse must stay codegen-side."""
+    df = registry.QUERIES["c4_binary_header_sniff"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_intersection_reports_exact_counts(spark):
+    row = registry.QUERIES["b4_hll_intersection_estimate"](spark, SF).first()
+    assert row.exact_intersection <= min(row.exact_a, row.exact_b)
+    assert row.estimate_within_tol
