@@ -567,3 +567,272 @@ def c4_binary_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("height").cast("bigint").alias("max_height"),
         F.sum(F.col("width") * F.col("height")).cast("bigint").alias("total_pixels"),
     )
+
+
+@register(
+    "pipeline_dq_expectations",
+    oracle="""
+        WITH checks AS (
+            SELECT 'orders_pk_unique' AS rule,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+                   CAST(count(*) AS BIGINT) AS n_checked
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_fk_orders',
+                   CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'totalprice_in_range',
+                   CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000)
+                        AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orderpriority_not_null',
+                   CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'quantity_positive',
+                   CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT rule, violations, n_checked, violations = 0 AS passed FROM checks
+    """,
+)
+def pipeline_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline/data quality: a declarative expectations suite (the
+    Deequ/Great-Expectations pattern) — uniqueness, referential integrity,
+    value ranges, and completeness evaluated as ONE report frame of
+    (rule, violations, n_checked, passed). DQ gates REPORT rather than
+    throw: a 100 TB ingest quarantines on `passed = false` downstream, it
+    does not kill the job mid-write.
+
+    Every rule is a full-scan aggregate (count + filtered count), so each
+    table is scanned ONCE per rule group and nothing wide ever shuffles:
+    uniqueness is count vs count-distinct; the FK check is a LEFT join
+    against the (broadcastable) parent keyed only on the key column, with
+    violations = unmatched rows — the null-safe formulation (NOT IN would
+    silently vanish on a NULL parent key; see b2_not_in_null_semantics).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame, violations, n) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            violations.cast("bigint").alias("violations"),
+            n.cast("bigint").alias("n_checked"),
+        )
+
+    cnt = F.count(F.lit(1))
+    fk = li.join(
+        o.select(F.col("o_orderkey").alias("fk_key")),
+        li["l_orderkey"] == F.col("fk_key"),
+        "left",
+    )
+    report = (
+        check("orders_pk_unique", o, cnt - F.countDistinct("o_orderkey"), cnt)
+        .unionByName(check("lineitem_fk_orders", fk, F.count_if(F.col("fk_key").isNull()), cnt))
+        .unionByName(
+            check(
+                "totalprice_in_range",
+                o,
+                F.count_if((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000)),
+                cnt,
+            )
+        )
+        .unionByName(
+            check("orderpriority_not_null", o, F.count_if(F.col("o_orderpriority").isNull()), cnt)
+        )
+        .unionByName(check("quantity_positive", li, F.count_if(F.col("l_quantity") <= 0), cnt))
+    )
+    return report.withColumn("passed", F.col("violations") == 0)
+
+
+@register(
+    "b2_relational_division",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+        ),
+        total AS (SELECT count(DISTINCT event_type) AS tot FROM events)
+        SELECT user_id, CAST(n_types AS BIGINT) AS n_types
+        FROM per_user, total
+        WHERE n_types = tot
+    """,
+)
+def b2_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: relational DIVISION — "users who performed EVERY event type" (the
+    classic ÷ operator: suppliers-who-supply-all-parts, students-who-took-
+    all-courses). SQL has no ÷; the two standard encodings are double-NOT-
+    EXISTS and the count-matching formulation used here: per-user distinct
+    count equals the global distinct count.
+
+    Plan: one hash aggregate per side; the 1-row global count joins in as a
+    broadcast cross join (the repo's scalar-subquery pattern) so the fact
+    table shuffles once on user_id and nothing else moves. The double-NOT-
+    EXISTS spelling would be two correlated anti joins — same answer, two
+    extra shuffles; count-matching is the 100 TB formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types")
+    )
+    total = ev.agg(F.countDistinct("event_type").alias("tot"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .where(F.col("n_types") == F.col("tot"))
+        .select("user_id", "n_types")
+    )
+
+
+@register(
+    "b5_point_in_time_features",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(count(*) OVER w AS BIGINT) AS prior_n_90d,
+               round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w,
+                                   0) AS DOUBLE), 6) AS prior_spend_90d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY epoch_us(o_orderdate)
+            RANGE BETWEEN 7776000000000 PRECEDING AND 1 PRECEDING
+        )
+    """,
+)
+def b5_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/feature store: POINT-IN-TIME-correct features — for every order,
+    the same customer's order count and spend over the preceding 90 days,
+    computed with a RANGE frame on the epoch-µs axis that ends 1 µs BEFORE
+    the current row. The exclusive upper bound is the leakage guard: a
+    training example must never see same-instant or future activity
+    (split-leakage's temporal cousin; s1_split_leakage_audit checks the
+    entity dimension).
+
+    One window pass = one shuffle on o_custkey + per-key sort on the time
+    axis; RANGE frames make simultaneous orders exclude each other
+    symmetrically in both engines. Money accumulates in DECIMAL within the
+    frame (float discipline), empty frames coalesce to 0.
+
+    At 100 TB this exact shape backs every "aggregate feature as of event
+    time": partition by entity, order by event-time µs, bounded RANGE
+    frame — never a self-join per row.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        # parquet may surface o_orderdate as TIMESTAMP_NTZ; under the UTC
+        # session the cast is a pure reinterpretation and unix_micros then
+        # matches DuckDB's epoch_us on the same naive values
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7_776_000_000_000, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("prior_n_90d"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double"),
+            6,
+        ).alias("prior_spend_90d"),
+    )
+
+
+@register("c3_pca_project")  # rows-only: eigendecomposition is engine-specific
+def c3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: PCA dimensionality reduction applied — covariance via distributed
+    Gram partials (the c3_covariance_matrix pattern: O(d²) per partition,
+    never per row), driver-side eigendecomposition of the 64×64 matrix
+    (O(d³), trivial — the same inherent driver step as k-means centroids),
+    then the top-2 projection pushed BACK to the executors as a broadcast
+    numpy matrix inside an Arrow-batched ``mapInPandas`` (X @ W per batch —
+    the vectorized scale path; per-element SQL would shuffle rows×d).
+
+    Self-verifying invariants (raise on failure):
+    - eigenvectors orthonormal, eigenvalues descending;
+    - sample variance of each projected component equals its eigenvalue
+      (algebraic identity wᵀΣw = λ, checked to 1e-6 relative);
+    - projection preserves row count.
+
+    Output: per-label mean of PC1/PC2 + explained-variance ratio — the
+    2-D class-separation summary an embedding-quality report shows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    d = 64
+
+    def gram(batches):
+        n, s, c = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n += x.shape[0]
+                s += x.sum(axis=0)
+                c += x.T @ x
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "c": [c.reshape(-1).tolist()]})
+
+    parts = emb.select("embedding").mapInPandas(
+        gram, "n bigint, s array<double>, c array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    c = np.sum([np.array(p["c"]).reshape(d, d) for p in parts], axis=0)
+    cov = (c - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
+    w = evecs[:, :2].copy()
+    if not np.allclose(w.T @ w, np.eye(2), atol=1e-9):
+        raise AssertionError("top-2 eigenvectors not orthonormal")
+    if not (evals[0] >= evals[1] >= evals[2]):
+        raise AssertionError("eigenvalues not sorted descending")
+    explained = float(evals[:2].sum() / evals.sum())
+    mean = s / n
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mean
+                p = x @ w
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "label": pdf["label"],
+                        "pc1": p[:, 0],
+                        "pc2": p[:, 1],
+                    }
+                )
+
+    proj = emb.mapInPandas(
+        project, "vec_id bigint, label int, pc1 double, pc2 double"
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+    ).first()
+    if stats["n"] != n:
+        raise AssertionError(f"projection dropped rows: {stats['n']} != {n}")
+    for got, want in ((stats["v1"], evals[0]), (stats["v2"], evals[1])):
+        if abs(got - want) > 1e-6 * max(1.0, abs(want)):
+            raise AssertionError(f"projected variance {got} != eigenvalue {want}")
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("pc1"), 6).alias("mean_pc1"),
+            F.round(F.avg("pc2"), 6).alias("mean_pc2"),
+        )
+        .withColumn("explained_ratio_top2", F.round(F.lit(explained), 6))
+    )

@@ -168,3 +168,85 @@ def test_hll_intersection_reports_exact_counts(spark):
     row = registry.QUERIES["b4_hll_intersection_estimate"](spark, SF).first()
     assert row.exact_intersection <= min(row.exact_a, row.exact_b)
     assert row.estimate_within_tol
+
+
+def test_dq_expectations_all_pass_on_clean_data(spark):
+    rows = {r.rule: r for r in registry.QUERIES["pipeline_dq_expectations"](spark, SF).collect()}
+    assert len(rows) == 5
+    assert all(r.passed and r.violations == 0 for r in rows.values())
+    assert rows["orders_pk_unique"].n_checked == load(spark, SF, "orders").count()
+
+
+def test_dq_expectations_catch_planted_violations(spark):
+    """The same rule logic over a corrupted frame must count violations —
+    checked via a direct recompute with a planted duplicate + orphan FK."""
+    o = load(spark, SF, "orders")
+    li = load(spark, SF, "lineitem")
+    o_bad = o.unionByName(o.limit(1))  # duplicate PK
+    li_bad = li.limit(3).withColumn(
+        "l_orderkey", F.lit(-999).cast("long")
+    ).unionByName(li)
+    dup = o_bad.count() - o_bad.select("o_orderkey").distinct().count()
+    assert dup == 1
+    orphans = (
+        li_bad.join(o.select("o_orderkey"), li_bad["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .count()
+    )
+    assert orphans == 3
+
+
+def test_relational_division_matches_set_recompute(spark):
+    """Count-matching division == literal set semantics (driver recompute).
+    (The double-NOT-EXISTS spelling is unreproducible here: Spark 4 rejects
+    correlation two subquery levels deep [UNRESOLVED_COLUMN on the outer
+    alias] — one more reason the count-matching encoding is the right one.)
+    """
+    got = {
+        r.user_id
+        for r in registry.QUERIES["b2_relational_division"](spark, SF).collect()
+    }
+    pairs = (
+        load(spark, SF, "events").select("user_id", "event_type").distinct().collect()
+    )
+    all_types = {p.event_type for p in pairs}
+    by_user: dict[int, set] = {}
+    for p in pairs:
+        by_user.setdefault(p.user_id, set()).add(p.event_type)
+    want = {u for u, ts in by_user.items() if ts == all_types}
+    assert got == want
+
+
+def test_point_in_time_features_never_leak_future(spark):
+    """Recompute one heavy customer driver-side: every feature must count
+    only strictly-earlier orders within 90 days."""
+    o = load(spark, SF, "orders")
+    heavy = (
+        o.groupBy("o_custkey").count().orderBy(F.desc("count")).first()["o_custkey"]
+    )
+    rows = (
+        o.where(F.col("o_custkey") == heavy)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    feats = {
+        r.o_orderkey: r
+        for r in registry.QUERIES["b5_point_in_time_features"](spark, SF)
+        .join(
+            o.where(F.col("o_custkey") == heavy).select("o_orderkey"), "o_orderkey"
+        )
+        .collect()
+    }
+    for me in rows:
+        prior = [
+            x
+            for x in rows
+            if x.o_orderdate < me.o_orderdate
+            and (me.o_orderdate - x.o_orderdate).total_seconds() <= 90 * 86400
+        ]
+        assert feats[me.o_orderkey].prior_n_90d == len(prior)
+
+
+def test_pca_project_runs_with_invariants(spark):
+    df = registry.QUERIES["c3_pca_project"](spark, SF)
+    rows = df.collect()
+    assert rows and 0.0 < rows[0].explained_ratio_top2 <= 1.0
