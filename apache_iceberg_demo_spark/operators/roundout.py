@@ -836,3 +836,239 @@ def c3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("explained_ratio_top2", F.round(F.lit(explained), 6))
     )
+
+
+@register(
+    "b4_bitmap_distinct_rollup",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def b4_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/sketches: EXACT distinct counting via Spark 4 bitmap aggregates —
+    per (flag, 32k-bucket) the order keys fold into a roaring-style bitmap
+    (``bitmap_construct_agg`` of ``bitmap_bit_position``), and the flag-level
+    distinct count is ``bitmap_count`` of the OR-merge. The third tier of
+    the distinct-count ladder: approx_count_distinct (cheap, ±2%) →
+    HLL sketch (mergeable, ±2%) → bitmap (mergeable AND exact).
+
+    Why it matters at 100 TB: like the HLL rollup, the per-bucket bitmaps
+    are a storable intermediate — region/global exact distincts come from
+    OR-ing bitmaps, never rescanning facts; unlike HLL the answer is exact,
+    at ~4 KB per dense 32k bucket. The oracle is plain COUNT(DISTINCT) —
+    value equality IS the exactness proof.
+    """
+    # the bitmap position functions are defined for POSITIVE inputs (key 0
+    # silently collides/drops — measured: distinct off by one wherever key 0
+    # appears); shift the 0-based keys up by one before bucketing
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.col("l_orderkey") + 1).alias("k")
+    )
+    per_bucket = li.groupBy(
+        "l_returnflag", F.expr("bitmap_bucket_number(k)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").cast("bigint").alias("distinct_orders")
+    )
+
+
+@register(
+    "b8_aes_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_roundtrip_exact,
+               CAST(min(16 * (length(c_name) // 16 + 1)) AS BIGINT) AS min_cipher_bytes
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def b8_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/governance: column-level encryption with the built-in
+    ``aes_encrypt``/``aes_decrypt`` (AES-128-ECB here for deterministic
+    ciphertext; GCM is the production mode — its random IV just defeats
+    value-hash comparison). Every customer name is encrypted and decrypted
+    back; ``n_roundtrip_exact`` counts decrypt(encrypt(x)) = x, which the
+    oracle pins to the full row count, and the minimum ciphertext size must
+    equal the PKCS#7-padded block length the oracle computes arithmetically
+    — proving the binary really is block-cipher output, not a passthrough.
+
+    Scale: both functions are JVM codegen expressions — encrypt-on-write /
+    decrypt-on-read at full scan speed, no UDF. Key management (KMS, per-
+    column keys, envelope encryption) sits outside the engine.
+    """
+    key = F.lit("0123456789abcdef")
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_name")
+    enc = c.withColumn(
+        "cipher", F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
+    ).withColumn(
+        "plain_back",
+        F.expr(
+            "cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') AS STRING)"
+        ),
+    )
+    _ = key
+    return enc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("plain_back") == F.col("c_name"))
+        .cast("bigint")
+        .alias("n_roundtrip_exact"),
+        F.min(F.length("cipher")).cast("bigint").alias("min_cipher_bytes"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@register(
+    "c5_pii_redaction",
+    oracle=f"""
+        WITH tainted AS (
+            SELECT source,
+                   text || ' contact user' || doc_id || '@example.com or 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+                   CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                   CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+            FROM documents
+        ),
+        redacted AS (
+            SELECT source, text,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g') AS clean
+            FROM tainted
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum((length(clean) - length(replace(clean, '<EMAIL>', '')))
+                        // length('<EMAIL>')) AS BIGINT) AS emails_redacted,
+               CAST(sum((length(clean) - length(replace(clean, '<PHONE>', '')))
+                        // length('<PHONE>')) AS BIGINT) AS phones_redacted,
+               CAST(sum((length(clean) - length(replace(clean, '<IP>', '')))
+                        // length('<IP>')) AS BIGINT) AS ips_redacted,
+               CAST(count(*) FILTER (WHERE regexp_matches(clean, '{_PII_EMAIL}')
+                                        OR regexp_matches(clean, '{_PII_PHONE}')
+                                        OR regexp_matches(clean, '{_PII_IP}'))
+                    AS BIGINT) AS docs_with_residual_pii
+        FROM redacted
+        GROUP BY source
+    """,
+)
+def c5_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/compliance: PII redaction — the scrub pass every public-crawl
+    corpus runs before training (emails, phone numbers, IP addresses →
+    typed placeholder tokens). The corpus is word-soup with no PII, so both
+    engines first build the SAME deterministic tainted text (synthetic
+    email/phone/IP derived from doc_id) and then redact with an identical
+    3-regex cascade; per-source counts of each redaction type must agree,
+    and ``docs_with_residual_pii`` must be 0 — the recall guarantee.
+
+    Regex portability note: patterns are written in the RE2 ∩ Java-regex
+    dialect (char classes, bounded repeats, \\b) so both engines execute
+    them byte-identically; Spark replaces globally by default, DuckDB needs
+    the explicit 'g' flag.
+
+    Scale: pure JVM regexp_replace chain in one projection — full codegen,
+    no shuffle until the per-source rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    tainted = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    red = tainted.select("source", clean.alias("clean"))
+
+    def n_tokens(tok: str):
+        return (
+            (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(tok), F.lit(""))))
+            / F.lit(len(tok))
+        ).cast("bigint")
+
+    residual = (
+        F.col("clean").rlike(_PII_EMAIL)
+        | F.col("clean").rlike(_PII_PHONE)
+        | F.col("clean").rlike(_PII_IP)
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tokens("<EMAIL>")).cast("bigint").alias("emails_redacted"),
+        F.sum(n_tokens("<PHONE>")).cast("bigint").alias("phones_redacted"),
+        F.sum(n_tokens("<IP>")).cast("bigint").alias("ips_redacted"),
+        F.count_if(residual).cast("bigint").alias("docs_with_residual_pii"),
+    )
+
+
+@register(
+    "s1_time_based_split",
+    oracle="""
+        WITH cut AS (
+            SELECT quantile_disc(epoch_us(ts), 0.8) AS c FROM events
+        )
+        SELECT CASE WHEN epoch_us(ts) <= c THEN 'train' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT)       AS n_events,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events, cut
+        GROUP BY 1
+    """,
+)
+def s1_time_based_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: temporal train/test split — cut at the discrete 80th percentile
+    of event time, train = everything at-or-before, test = strictly after.
+    The split for forecasting/recommendation data where hash or stratified
+    splits would leak the future into training; the boundary invariant
+    max(train) < min(test) is visible in the output columns themselves.
+
+    The cutoff is quantile_disc (an ACTUAL data value, not an interpolated
+    float) so both engines agree exactly; Spark computes it with
+    percentile_approx at accuracy=n (exact for discrete quantiles) on the
+    µs axis, broadcast back as a 1-row frame (scalar-subquery pattern — the
+    fact scan never collects).
+
+    Scale: two scans (cutoff + split) or one with a cached µs column; the
+    percentile reduces map-side, so the cutoff costs one tiny shuffle.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(us, 0.8, 2147483647)").alias("c")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("us") <= F.col("c"), "train").otherwise("test").alias("split"),
+            "us",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("us").cast("bigint").alias("min_ts_us"),
+            F.max("us").cast("bigint").alias("max_ts_us"),
+        )
+    )

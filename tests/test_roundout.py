@@ -250,3 +250,42 @@ def test_pca_project_runs_with_invariants(spark):
     df = registry.QUERIES["c3_pca_project"](spark, SF)
     rows = df.collect()
     assert rows and 0.0 < rows[0].explained_ratio_top2 <= 1.0
+
+
+def test_bitmap_distinct_is_exact(spark):
+    """Bitmap rollup == countDistinct on every group (exactness, not ±2%)."""
+    got = {
+        r.l_returnflag: r.distinct_orders
+        for r in registry.QUERIES["b4_bitmap_distinct_rollup"](spark, SF).collect()
+    }
+    want = {
+        r.l_returnflag: r.n
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_aes_roundtrip_full_recall(spark):
+    for r in registry.QUERIES["b8_aes_roundtrip"](spark, SF).collect():
+        assert r.n == r.n_roundtrip_exact
+        assert r.min_cipher_bytes % 16 == 0
+
+
+def test_pii_redaction_no_residuals_and_positive_counts(spark):
+    for r in registry.QUERIES["c5_pii_redaction"](spark, SF).collect():
+        assert r.docs_with_residual_pii == 0
+        assert r.emails_redacted >= r.n_docs  # ≥1 injected per doc
+        assert r.phones_redacted >= r.n_docs
+        assert r.ips_redacted >= r.n_docs
+
+
+def test_time_split_boundary_invariant(spark):
+    rows = {r.split: r for r in registry.QUERIES["s1_time_based_split"](spark, SF).collect()}
+    assert set(rows) == {"train", "test"}
+    assert rows["train"].max_ts_us < rows["test"].min_ts_us
+    total = rows["train"].n_events + rows["test"].n_events
+    assert total == load(spark, SF, "events").count()
+    assert rows["train"].n_events >= 0.75 * total  # ~80% cut
