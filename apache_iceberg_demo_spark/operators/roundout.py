@@ -1072,3 +1072,157 @@ def s1_time_based_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("us").cast("bigint").alias("max_ts_us"),
         )
     )
+
+
+@register(
+    "b6_cached_scan_reuse",
+    oracle="""
+        SELECT 'status' AS dim_kind, o_orderstatus AS dim_value,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total_price
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'priority', o_orderpriority,
+               CAST(count(*) AS BIGINT),
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def b6_cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6/caching: ``df.cache()`` — two independent aggregates served from
+    ONE in-memory columnar copy of the 3-column projection instead of two
+    parquet scans (tests/test_roundout.py asserts InMemoryTableScan appears
+    in the physical plan of the second consumer). Caching must never change
+    results — the oracle recomputes both aggregates straight from parquet.
+
+    Scale: cache AFTER projecting to the consumed columns (caching the full
+    table pins dead columns in executor memory); MEMORY_AND_DISK default
+    spills gracefully. The 100 TB rule of thumb: cache only frames consumed
+    by >1 downstream action in the same job — exactly the Catalyst no-
+    common-subplan-sharing gap (CLAUDE.md) this operator demonstrates the
+    fix for.
+    """
+    _release_caches()
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .persist()
+    )
+    _live_caches.append(base)
+
+    def agg(kind: str, col: str) -> DataFrame:
+        return base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total_price"),
+        ).select(
+            F.lit(kind).alias("dim_kind"),
+            F.col(col).alias("dim_value"),
+            "n",
+            "total_price",
+        )
+
+    return agg("status", "o_orderstatus").unionByName(
+        agg("priority", "o_orderpriority")
+    )
+
+
+_JACK_G = 10  # delete-one-group jackknife groups
+
+_JACK_SQL = f"""
+    WITH g AS (
+        SELECT l_returnflag AS f,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % {_JACK_G}
+                   AS grp,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem
+    ),
+    per_grp AS (
+        SELECT f, grp, sum(price) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY f, grp
+    ),
+    tot AS (SELECT f, sum(s) AS st, sum(n) AS nt FROM per_grp GROUP BY f),
+    reps AS (
+        SELECT p.f,
+               CAST(t.st - p.s AS DOUBLE) / CAST(t.nt - p.n AS DOUBLE) AS mean_r
+        FROM per_grp p JOIN tot t ON p.f = t.f
+    ),
+    jack AS (
+        SELECT f,
+               CAST(count(*) AS BIGINT) AS g_used,
+               avg(mean_r) AS mdot,
+               sum(mean_r * mean_r) AS ssq
+        FROM reps GROUP BY f
+    )
+    SELECT j.f AS l_returnflag,
+           CAST(t.nt AS BIGINT) AS n_rows,
+           round(CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS mean_price,
+           round(sqrt((CAST(g_used - 1 AS DOUBLE) / g_used)
+                      * (ssq - g_used * mdot * mdot)), 6) AS se_jackknife
+    FROM jack j JOIN tot t ON j.f = t.f
+"""
+
+
+@register("b4_jackknife_ci", oracle=_JACK_SQL)
+def b4_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/statistics: delete-one-GROUP jackknife standard error of the mean
+    — the distributed resampling scheme: instead of B bootstrap passes over
+    the data, ONE pass folds rows into {_JACK_G} deterministic md5 groups,
+    and every replicate mean is reconstructed algebraically as
+    (S_total − S_g)/(N_total − N_g) from the per-group partials. Resampling
+    uncertainty at 100 TB for the cost of one group-by.
+
+    Float discipline: group sums accumulate in DECIMAL and every replicate
+    mean is the double quotient of exact decimals — bit-identical in both
+    engines — so even the cancellation-prone spread of nearly-equal means
+    survives the round-6 hash. The md5 grouping is the repo's standard
+    engine-portable hash (operators/sampling.hash_bucket).
+    """
+    from apache_iceberg_demo_spark.operators.sampling import hash_bucket
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        hash_bucket(
+            F.concat_ws(
+                "-", F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            _JACK_G,
+        ).alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    per_grp = li.groupBy("f", "grp").agg(
+        F.sum("price").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per_grp.groupBy("f").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    reps = per_grp.join(tot, "f").select(
+        "f",
+        (
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n")).cast("double")
+        ).alias("mean_r"),
+    )
+    jack = reps.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g_used"),
+        F.avg("mean_r").alias("mdot"),
+        F.sum(F.col("mean_r") * F.col("mean_r")).alias("ssq"),
+    )
+    return jack.join(tot, "f").select(
+        F.col("f").alias("l_returnflag"),
+        F.col("nt").cast("bigint").alias("n_rows"),
+        F.round(F.col("st").cast("double") / F.col("nt").cast("double"), 6).alias(
+            "mean_price"
+        ),
+        F.round(
+            F.sqrt(
+                ((F.col("g_used") - 1).cast("double") / F.col("g_used"))
+                * (F.col("ssq") - F.col("g_used") * F.col("mdot") * F.col("mdot"))
+            ),
+            6,
+        ).alias("se_jackknife"),
+    )

@@ -531,6 +531,77 @@ class Warehouse:
             raise KeyError(f"table {name!r} has no ref {ref!r} (refs: {sorted(refs)})")
         return refs[ref]
 
+    # ---------- branches (Iceberg v2 named branches) ----------
+    #
+    # A branch is a MOVABLE named ref: commits land on the branch head while
+    # the main pointer (``current_snapshot_id``) stays put — the isolation
+    # primitive behind audit branches and multi-commit WAP. Tags pin, branches
+    # advance; fast-forward publishes a branch by moving main up its own
+    # ancestry line (never a merge — Iceberg branches share the snapshot log).
+
+    def create_branch(
+        self, name: str, branch: str, snapshot_id: Optional[int] = None
+    ) -> None:
+        """Create/reset a named branch at a snapshot (default: current)."""
+        meta = self._load_meta(name)
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        self._snapshot(meta, sid)  # must exist
+        meta.setdefault("branches", {})[branch] = sid
+        self._store_meta(name, meta)
+
+    def resolve_branch(self, name: str, branch: str) -> int:
+        meta = self._load_meta(name)
+        branches = meta.get("branches", {})
+        if branch not in branches:
+            raise KeyError(
+                f"table {name!r} has no branch {branch!r} (branches: {sorted(branches)})"
+            )
+        return branches[branch]
+
+    def append_to_branch(self, name: str, branch: str, df: DataFrame) -> dict:
+        """Append a snapshot whose parent is the BRANCH head; the branch
+        pointer advances, main does not (readers of the table see nothing)."""
+        head = self.resolve_branch(name, branch)
+        meta = self._load_meta(name)
+        main_cur = meta["current_snapshot_id"]
+        # chain the commit off the branch head by temporarily pointing the
+        # writer there (same pointer dance as stage_append's WAP staging)
+        meta["current_snapshot_id"] = head
+        self._store_meta(name, meta)
+        snap = None
+        try:
+            snap = self.append(name, df)
+        finally:
+            meta = self._load_meta(name)
+            meta["current_snapshot_id"] = main_cur
+            if snap is not None:
+                meta.setdefault("branches", {})[branch] = snap["snapshot_id"]
+            self._store_meta(name, meta)
+        return snap
+
+    def fast_forward(self, name: str, branch: str) -> dict:
+        """Publish a branch: move main to the branch head, allowed only when
+        main is an ANCESTOR of that head (true fast-forward; anything else
+        means main advanced independently and the branch must rebase)."""
+        target = self.resolve_branch(name, branch)
+        meta = self._load_meta(name)
+        cur = meta["current_snapshot_id"]
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        node: Optional[int] = target
+        while node is not None and node != cur:
+            node = by_id.get(node, {}).get("parent_id")
+        if node != cur:
+            raise ValueError(
+                f"cannot fast-forward to branch {branch!r} (head {target}): "
+                f"current snapshot {cur} is not an ancestor — rebase the branch"
+            )
+        tsnap = self._snapshot(meta, target)
+        meta["current_snapshot_id"] = target
+        meta["schema"] = tsnap["schema"]
+        meta["field_map"] = dict(tsnap.get("field_map", {}))
+        self._store_meta(name, meta)
+        return tsnap
+
     def stage_append(self, name: str, df: DataFrame) -> dict:
         """Write-Audit-Publish step 1 (Iceberg's ``wap.id`` staging): the
         batch is fully written and committed as a snapshot, but the current
@@ -872,6 +943,7 @@ class Warehouse:
         keep_ids.add(meta["current_snapshot_id"])
         if retain_refs:
             keep_ids |= set(meta.get("refs", {}).values())
+            keep_ids |= set(meta.get("branches", {}).values())
         keep = [s for s in meta["snapshots"] if s["snapshot_id"] in keep_ids]
         expired = [s for s in meta["snapshots"] if s["snapshot_id"] not in keep_ids]
         live_paths = {
@@ -2212,4 +2284,60 @@ def c6_expire_snapshots_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         [(removed, len(remaining), True, True)],
         "files_removed bigint, snapshots_kept bigint, "
         "tagged_read_exact boolean, gc_complete boolean",
+    )
+
+
+@register("c6_branch_fast_forward")  # rows-only: engine-specific branch surface
+def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: Iceberg v2 named BRANCHES — an audit branch takes two append
+    commits while main stays frozen (readers see nothing), then publishing
+    is a metadata-only fast-forward of main up the branch's own ancestry.
+    The multi-commit generalization of write-audit-publish
+    (c6_write_audit_publish stages exactly one snapshot).
+
+    Self-verified: main's content hash is identical before/during branch
+    writes; the branch head reads main+both batches; after fast-forward the
+    table reads exactly the branch head; a DIVERGED pointer (rollback moves
+    main independently) must refuse to fast-forward rather than silently
+    merge.
+    """
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    main_hash = _content_hash(wh.read(t))
+    main_rows = main_hash[0]
+
+    wh.create_branch(t, "audit")
+    extra = wh.read(t).limit(120)
+    wh.append_to_branch(t, "audit", extra)
+    wh.append_to_branch(t, "audit", extra.limit(30))
+
+    _check(
+        _content_hash(wh.read(t)) == main_hash,
+        "branch writes leaked into main",
+    )
+    head = wh.resolve_branch(t, "audit")
+    head_hash = _content_hash(wh.read(t, snapshot_id=head))
+    branch_rows = head_hash[0]
+    _check(
+        branch_rows == main_rows + 150,
+        f"branch head rows {branch_rows} != main {main_rows} + 150",
+    )
+
+    wh.fast_forward(t, "audit")
+    _check(
+        _content_hash(wh.read(t)) == head_hash,
+        "fast-forward did not publish the branch head",
+    )
+
+    # divergence guard: move main independently, then fast-forward must fail
+    wh.create_branch(t, "stale", snapshot_id=1)
+    wh.append_to_branch(t, "stale", extra.limit(10))
+    try:
+        wh.fast_forward(t, "stale")
+        raise AssertionError("diverged fast-forward did not refuse")
+    except ValueError:
+        pass
+    return spark.createDataFrame(
+        [(main_rows, branch_rows, head, True, True)],
+        "main_rows bigint, branch_rows bigint, published_head bigint, "
+        "isolation_held boolean, divergence_refused boolean",
     )

@@ -964,3 +964,109 @@ def b9_stateful_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         streamed.withColumn("z", F.round("z", 6))
         .orderBy("event_type", "event_id")
     )
+
+
+@register("b9_update_mode_counts")  # rows-only: genuine streaming run + self-verify
+def b9_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: UPDATE output mode — an unwindowed running aggregate (per-type
+    count + value sum) over a multi-batch replay, where each micro-batch
+    re-emits only the keys it CHANGED (append mode is illegal for an
+    aggregation with no watermark; complete mode re-emits everything —
+    update is the delta-stream the CDC-style sink wants).
+
+    Self-verifying: the memory sink accumulates every intermediate update;
+    per key, counts grow monotonically, so the row with the maximum count is
+    the final state — it must equal the batch aggregate EXACTLY (count and
+    DECIMAL-rounded sum), and the number of updates per key must be between
+    1 and the number of micro-batches.
+
+    Scale: unwindowed streaming aggregation state is O(keys); the update
+    stream is what you MERGE into a serving store (b9_foreachbatch_merge_sink
+    does exactly that downstream step).
+    """
+    import glob
+    import os
+    import time
+    import uuid
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    replay = scratch_dir(f"upd_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            ev.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(replay, "part-*")))):
+            os.utime(f, (base + i, base + i))
+        open(marker, "w").close()
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("vsum"),
+        )
+    )
+    name = f"upd_out_{uuid.uuid4().hex[:8]}"
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("upd_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        updates = spark.table(name)
+
+        batch = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("vsum"),
+        )
+        from pyspark.sql import Window as W
+
+        final_rows = {
+            r["event_type"]: (r["n"], r["vsum"])
+            for r in updates.withColumn(
+                "rk",
+                F.row_number().over(W.partitionBy("event_type").orderBy(F.desc("n"))),
+            )
+            .where(F.col("rk") == 1)
+            .collect()
+        }
+        batch_rows = {
+            r["event_type"]: (r["n"], r["vsum"]) for r in batch.collect()
+        }
+        n_updates = {
+            r["event_type"]: r["u"]
+            for r in updates.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("u"))
+            .collect()
+        }
+    if final_rows != batch_rows:
+        raise AssertionError(
+            f"update-mode final state != batch aggregate: {final_rows} vs {batch_rows}"
+        )
+    if not all(1 <= u <= 4 for u in n_updates.values()):
+        raise AssertionError(f"per-key update counts out of range: {n_updates}")
+    return spark.createDataFrame(
+        [
+            (k, int(v[0]), float(v[1]), n_updates[k], True)
+            for k, v in sorted(final_rows.items())
+        ],
+        "event_type string, n bigint, vsum double, n_updates bigint, matches_batch boolean",
+    )

@@ -289,3 +289,69 @@ def test_time_split_boundary_invariant(spark):
     total = rows["train"].n_events + rows["test"].n_events
     assert total == load(spark, SF, "events").count()
     assert rows["train"].n_events >= 0.75 * total  # ~80% cut
+
+
+def test_cached_scan_reuse_hits_memory(spark):
+    """Second consumer of the cached projection must read InMemoryTableScan."""
+    df = registry.QUERIES["b6_cached_scan_reuse"](spark, SF)
+    df.collect()  # materialize the cache through both branches
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_jackknife_se_matches_numpy_recompute(spark):
+    """SE equals a numpy recompute of the delete-one-group estimator."""
+    import hashlib
+
+    import numpy as np
+
+    rows = registry.QUERIES["b4_jackknife_ci"](spark, SF).collect()
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        grp = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 10
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (grp, round(r.l_extendedprice, 2))
+        )
+    for row in rows:
+        data = by_flag[row.l_returnflag]
+        s = np.zeros(10)
+        n = np.zeros(10)
+        for grp, price in data:
+            s[grp] += price
+            n[grp] += 1
+        st, nt = s.sum(), n.sum()
+        means = (st - s) / (nt - n)
+        mdot = means.mean()
+        se = np.sqrt((9 / 10) * np.sum((means - mdot) ** 2))
+        assert row.n_rows == int(nt)
+        assert abs(row.se_jackknife - se) < 1e-4, (row.se_jackknife, se)
+
+
+def test_branch_isolation_unit(spark, tmp_path):
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whb"))
+    df = load(spark, SF, "region")
+    wh.create_or_replace("t", df, None)
+    wh.create_branch("t", "dev")
+    wh.append_to_branch("t", "dev", df.limit(2))
+    assert wh.read("t").count() == df.count()  # main untouched
+    assert wh.read("t", snapshot_id=wh.resolve_branch("t", "dev")).count() == df.count() + 2
+    wh.fast_forward("t", "dev")
+    assert wh.read("t").count() == df.count() + 2
+    # branch heads survive retention GC
+    wh.append("t", df.limit(1))
+    wh.create_branch("t", "keepme", snapshot_id=2)
+    wh.expire_snapshots("t", keep_last=1)
+    kept = sorted(r.snapshot_id for r in wh.snapshots("t").collect())
+    assert 2 in kept
+
+
+def test_update_mode_stream_matches_batch(spark):
+    rows = registry.QUERIES["b9_update_mode_counts"](spark, SF).collect()
+    assert rows and all(r.matches_batch for r in rows)
+    assert all(1 <= r.n_updates <= 4 for r in rows)
