@@ -1226,3 +1226,217 @@ def b4_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("se_jackknife"),
     )
+
+
+@register(
+    "b8_sql_udf",
+    oracle="""
+        SELECT CASE WHEN l_extendedprice < 1000 THEN 'low'
+                    WHEN l_extendedprice < 5000 THEN 'mid'
+                    ELSE 'high' END AS price_tier,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              CAST(1 - l_discount AS DECIMAL(12,10))) AS DOUBLE), 6)
+                   AS disc_revenue
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def b8_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN <expr>``)
+    — reusable business logic declared IN SQL, so Catalyst inlines the body
+    into the calling plan and the whole query stays in codegen (unlike any
+    Python tier; this is the UDF form that costs nothing at 100 TB). Two
+    scalar functions — an exact DECIMAL discounted-price and a CASE tier
+    bucketing — drive a grouped aggregate; the oracle inlines the identical
+    expressions, so equality proves the UDF indirection is semantically
+    free. (The table-valued form, RETURNS TABLE, is exercised in
+    tests/test_roundout.py.)
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_exact(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(30,12)
+        RETURN CAST(p AS DECIMAL(18,2)) * CAST(1 - d AS DECIMAL(12,10))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(x DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN x < 1000 THEN 'low'
+                    WHEN x < 5000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_sql_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT price_tier(l_extendedprice) AS price_tier,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(disc_price_exact(l_extendedprice, l_discount))
+                          AS DOUBLE), 6) AS disc_revenue
+        FROM _sql_udf_lineitem
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "b4_ols_normal_equations",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag AS f,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sq,
+                   CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sd,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(10,2)) *
+                            CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sqq,
+                   CAST(sum(CAST(l_discount AS DECIMAL(8,4)) *
+                            CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sdd,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(10,2)) *
+                            CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sqd,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(10,2)) *
+                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+                   CAST(sum(CAST(l_discount AS DECIMAL(8,4)) *
+                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sdp
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT f AS l_returnflag, n,
+               round((((sdd - sd * sd / n) * (sqp - sq * sp / n))
+                      - ((sqd - sq * sd / n) * (sdp - sd * sp / n)))
+                     / (((sqq - sq * sq / n) * (sdd - sd * sd / n))
+                        - ((sqd - sq * sd / n) * (sqd - sq * sd / n))), 6)
+                   AS beta_qty,
+               round((((sqq - sq * sq / n) * (sdp - sd * sp / n))
+                      - ((sqd - sq * sd / n) * (sqp - sq * sp / n)))
+                     / (((sqq - sq * sq / n) * (sdd - sd * sd / n))
+                        - ((sqd - sq * sd / n) * (sqd - sq * sd / n))), 6)
+                   AS beta_disc
+        FROM m
+    """,
+)
+def b4_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/ML-in-SQL: two-feature ordinary least squares by the NORMAL
+    EQUATIONS — price ~ quantity + discount per return flag, solved in
+    closed form from one pass of sufficient statistics (9 sums), the
+    distributed-regression pattern: the shuffle carries 9 numbers per
+    group, never rows, and the 2×2 solve is Cramer's rule in the
+    projection. (``regr_slope`` [b4_corr_regression] is the 1-feature
+    special case; this is how you fit small linear models at 100 TB
+    without MLlib.)
+
+    Float discipline, the hard part: every sufficient statistic accumulates
+    in EXACT DECIMAL (quantity/discount/price are all decimal-exact), is
+    cast to double once, and the centered-moment algebra runs in double
+    with an IDENTICAL expression tree on both engines — deterministic to
+    the bit, so even the cancellation-heavy determinant survives round-6.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    d = F.col("l_discount").cast("decimal(8,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(d * p).cast("double").alias("sdp"),
+    )
+    n = F.col("n")
+    aqq = F.col("sqq") - F.col("sq") * F.col("sq") / n
+    add = F.col("sdd") - F.col("sd") * F.col("sd") / n
+    aqd = F.col("sqd") - F.col("sq") * F.col("sd") / n
+    aqy = F.col("sqp") - F.col("sq") * F.col("sp") / n
+    ady = F.col("sdp") - F.col("sd") * F.col("sp") / n
+    det = aqq * add - aqd * aqd
+    return m.select(
+        F.col("f").alias("l_returnflag"),
+        "n",
+        F.round((add * aqy - aqd * ady) / det, 6).alias("beta_qty"),
+        F.round((aqq * ady - aqd * aqy) / det, 6).alias("beta_disc"),
+    )
+
+
+@register(
+    "s1_negative_sampling",
+    oracle="""
+        WITH bought AS (
+            SELECT DISTINCT o_custkey, p_brand
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                        JOIN part ON l_partkey = p_partkey
+        ),
+        brands AS (SELECT DISTINCT p_brand FROM part),
+        cand AS (
+            SELECT c_custkey, p_brand
+            FROM customer CROSS JOIN brands
+            WHERE NOT EXISTS (
+                SELECT 1 FROM bought b
+                WHERE b.o_custkey = c_custkey AND b.p_brand = brands.p_brand
+            )
+        ),
+        scored AS (
+            SELECT c_custkey, p_brand,
+                   md5(CAST(c_custkey AS VARCHAR) || '-' || p_brand) AS h
+            FROM cand
+        )
+        SELECT c_custkey, p_brand, CAST(rk AS BIGINT) AS neg_rank
+        FROM (
+            SELECT c_custkey, p_brand, h,
+                   row_number() OVER (PARTITION BY c_custkey ORDER BY h, p_brand) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
+    """,
+)
+def s1_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/recommender prep: deterministic NEGATIVE SAMPLING — for every
+    customer, 3 brands they never purchased, chosen by md5 hash order so
+    the sample is reproducible across engines, epochs, and reruns (the same
+    property every split/sample in this repo guarantees). Candidate space =
+    customer × brand grid minus the interaction set (anti-join), ranked per
+    customer by the engine-portable md5 of (customer, brand).
+
+    Plan: the interaction set reduces to DISTINCT (custkey, brand) once;
+    the brand dimension broadcasts into the grid; the anti-join and the
+    per-customer top-3 window shuffle on custkey only. At 100 TB the item
+    side is bucketed (sample negatives within a hash bucket of the item
+    catalog first) — the grid never materializes items × users; the
+    per-bucket variant is the same plan with one extra equality predicate.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    bought = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    brands = part.select("p_brand").distinct()
+    grid = c.crossJoin(F.broadcast(brands))
+    cand = grid.join(
+        bought,
+        (grid["c_custkey"] == bought["o_custkey"])
+        & (grid["p_brand"] == bought["p_brand"]),
+        "left_anti",
+    )
+    scored = cand.withColumn(
+        "h", F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("-"), F.col("p_brand")))
+    )
+    w = W.partitionBy("c_custkey").orderBy("h", "p_brand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_custkey", "p_brand", F.col("rk").cast("bigint").alias("neg_rank"))
+    )

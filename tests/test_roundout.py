@@ -355,3 +355,46 @@ def test_update_mode_stream_matches_batch(spark):
     rows = registry.QUERIES["b9_update_mode_counts"](spark, SF).collect()
     assert rows and all(r.matches_batch for r in rows)
     assert all(1 <= r.n_updates <= 4 for r in rows)
+
+
+def test_sql_udf_table_valued(spark):
+    """Spark 4 SQL TVF: RETURNS TABLE body usable in FROM."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _seq_tvf(n INT) RETURNS TABLE(i INT) "
+        "RETURN SELECT explode(sequence(1, n))"
+    )
+    rows = spark.sql("SELECT sum(i) AS s FROM _seq_tvf(10)").collect()
+    assert rows[0].s == 55
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    rows = registry.QUERIES["b4_ols_normal_equations"](spark, SF).collect()
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    for r in rows:
+        sub = [x for x in li if x.l_returnflag == r.l_returnflag]
+        X = np.array([[1.0, x.l_quantity, x.l_discount] for x in sub])
+        y = np.array([x.l_extendedprice for x in sub])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert abs(r.beta_qty - beta[1]) < 1e-3, (r.beta_qty, beta[1])
+        assert abs(r.beta_disc - beta[2]) < 1.0, (r.beta_disc, beta[2])
+
+
+def test_negative_sampling_disjoint_from_interactions(spark):
+    neg = registry.QUERIES["s1_negative_sampling"](spark, SF)
+    o = load(spark, SF, "orders")
+    li = load(spark, SF, "lineitem")
+    part = load(spark, SF, "part")
+    bought = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("c_custkey"), "p_brand")
+        .distinct()
+    )
+    overlap = neg.join(bought, ["c_custkey", "p_brand"], "semi").count()
+    assert overlap == 0
+    per_user = neg.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert per_user <= 3
