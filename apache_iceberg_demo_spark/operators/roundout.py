@@ -1440,3 +1440,121 @@ def s1_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("c_custkey", "p_brand", F.col("rk").cast("bigint").alias("neg_rank"))
     )
+
+
+@register("b1_codec_comparison")  # rows-only: on-disk sizes are environment-specific
+def b1_codec_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/lake ops: parquet compression-codec bake-off — the same lineitem
+    projection written with snappy, zstd, and uncompressed, then read back
+    and fingerprinted. Codec choice is a pure space/CPU trade that must
+    NEVER change data: the content hash of every roundtrip is asserted
+    identical, and the on-disk byte totals are reported (zstd < snappy <
+    none is the expected ordering for this data and is asserted as such).
+
+    At 100 TB codec choice is a first-order cost lever (zstd typically
+    ~30% smaller than snappy for scan-heavy tables at a modest CPU
+    premium); the write option is per-table, so mixed lakes are normal.
+    """
+    import os
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    base_hash = None
+    rows = []
+    for codec in ("none", "snappy", "zstd"):
+        tmp = scratch_dir(f"codec_{codec}_", unique=True)
+        li.write.mode("overwrite").option("compression", codec).parquet(tmp)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(tmp)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        back = spark.read.parquet(tmp)
+        # hash fingerprint sums in DECIMAL: a bigint sum of xxhash64 values
+        # overflows under Spark-4 ANSI (CLAUDE.md gotcha)
+        h = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("l_orderkey", "l_partkey", "l_quantity").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("fp"),
+        ).first()
+        if base_hash is None:
+            base_hash = (h["n"], h["fp"])
+        elif (h["n"], h["fp"]) != base_hash:
+            raise AssertionError(f"codec {codec} changed content: {h} vs {base_hash}")
+        rows.append((codec, int(size), int(h["n"])))
+    sizes = {c: s for c, s, _ in rows}
+    if not (sizes["zstd"] < sizes["snappy"] < sizes["none"]):
+        raise AssertionError(f"unexpected codec size ordering: {sizes}")
+    return spark.createDataFrame(
+        [(c, s, n, True) for c, s, n in rows],
+        "codec string, bytes_on_disk bigint, n_rows bigint, content_identical boolean",
+    )
+
+
+@register("c6_analyze_table_cbo")  # rows-only: catalog statistics are engine-specific
+def c6_analyze_table_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/optimizer: ANALYZE TABLE statistics — table row count + per-column
+    NDV/min/max computed into the catalog, the inputs Spark's cost-based
+    optimizer uses for join reordering and build-side selection (the same
+    role Iceberg's manifest column stats play for its engines; our
+    warehouse keeps min/max per file [_can_skip], the catalog keeps them
+    per table).
+
+    Self-verified: stats-reported rowCount equals the actual count; the
+    o_orderkey NDV approximation lands within 10% of exact (HLL-backed);
+    min/max match exact aggregates. Output is the stats themselves.
+
+    Scale: ANALYZE is one scan (count + HLL per column) whose cost is
+    amortized over every subsequent plan decision; on a 100 TB lake you
+    analyze partitions incrementally or rely on format-native stats.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_cbo_src")
+    tmp = scratch_dir("cbo_tbl_", unique=True)
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql(
+        f"CREATE TABLE cbo_orders USING parquet LOCATION '{tmp}' "
+        "AS SELECT * FROM _cbo_src"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey, o_totalprice"
+        )
+        n_exact = o.count()
+        ndv_exact = o.select("o_orderkey").distinct().count()
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql("DESCRIBE EXTENDED cbo_orders o_orderkey").collect()
+        }
+        ndv_stat = int(desc["distinct_count"])
+        min_stat, max_stat = int(desc["min"]), int(desc["max"])
+        stats_line = [
+            r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED cbo_orders").collect()
+            if r["col_name"] == "Statistics"
+        ]
+        row_stat = None
+        if stats_line and "rows" in stats_line[0]:
+            row_stat = int(stats_line[0].split(",")[1].strip().split(" ")[0])
+        exact = o.agg(
+            F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+        ).first()
+        if row_stat != n_exact:
+            raise AssertionError(f"catalog rowCount {row_stat} != {n_exact}")
+        if not (0.9 * ndv_exact <= ndv_stat <= 1.1 * ndv_exact):
+            raise AssertionError(f"NDV stat {ndv_stat} not within 10% of {ndv_exact}")
+        if (min_stat, max_stat) != (exact["mn"], exact["mx"]):
+            raise AssertionError("catalog min/max != exact min/max")
+        return spark.createDataFrame(
+            [(n_exact, row_stat, ndv_exact, ndv_stat, min_stat, max_stat, True)],
+            "n_exact bigint, n_stat bigint, ndv_exact bigint, ndv_stat bigint, "
+            "key_min bigint, key_max bigint, stats_consistent boolean",
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")

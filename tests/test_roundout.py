@@ -398,3 +398,15 @@ def test_negative_sampling_disjoint_from_interactions(spark):
     assert overlap == 0
     per_user = neg.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
     assert per_user <= 3
+
+
+def test_codec_comparison_orders_sizes(spark):
+    rows = {r.codec: r for r in registry.QUERIES["b1_codec_comparison"](spark, SF).collect()}
+    assert set(rows) == {"none", "snappy", "zstd"}
+    assert rows["zstd"].bytes_on_disk < rows["snappy"].bytes_on_disk < rows["none"].bytes_on_disk
+    assert len({r.n_rows for r in rows.values()}) == 1
+
+
+def test_analyze_table_stats_consistent(spark):
+    row = registry.QUERIES["c6_analyze_table_cbo"](spark, SF).first()
+    assert row.stats_consistent and row.n_exact == row.n_stat
