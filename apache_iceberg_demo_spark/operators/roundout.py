@@ -1558,3 +1558,97 @@ def c6_analyze_table_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+@register(
+    "c3_knn_classifier",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS qlabel,
+                   CAST(embedding AS DOUBLE[64]) AS qv
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        s AS (
+            SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[64]),
+                                                q.qv), 6) AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, qlabel, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM s
+        ),
+        v AS (
+            SELECT qid, qlabel, label, CAST(count(*) AS BIGINT) AS votes
+            FROM r WHERE rk <= 10 GROUP BY qid, qlabel, label
+        ),
+        p AS (
+            SELECT qid, qlabel, label, votes,
+                   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr
+            FROM v
+        )
+        SELECT qid AS vec_id, CAST(qlabel AS INT) AS true_label,
+               CAST(label AS INT) AS pred_label, votes,
+               label = qlabel AS correct
+        FROM p WHERE pr = 1
+    """,
+)
+def c3_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: k-nearest-neighbor CLASSIFICATION — majority label of the 10
+    cosine-nearest vectors predicts each held-out query's label (the
+    label-propagation / weak-annotation primitive a curation pipeline uses
+    to extend a small labeled seed across a large corpus; the parametric
+    cousin is c3_nearest_centroid_confusion).
+
+    Plan (the batch-serving shape of c3_cosine_topk_batch): query batch
+    BROADCAST against one corpus scan → JVM cosine fold → per-query window
+    top-10 → per-(query,label) vote count → argmax by (votes, label) window
+    — the corpus never shuffles; only (query, label) pairs do. Ties in both
+    rank and vote are broken deterministically (vec_id / smaller label) so
+    the prediction is engine-portable, as the DuckDB parity proves.
+
+    At 100 TB the crossJoin-with-broadcast becomes IVF-probed candidate
+    generation (c3_ann_ivf_topk) feeding the same vote plan.
+    """
+    from pyspark.sql import Window as W
+
+    from apache_iceberg_demo_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    rk = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 10)
+        .groupBy("qid", "qlabel", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    pr = W.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("pr", F.row_number().over(pr))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            "votes",
+            (F.col("label") == F.col("qlabel")).alias("correct"),
+        )
+    )
