@@ -1652,3 +1652,89 @@ def c3_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("qlabel")).alias("correct"),
         )
     )
+
+
+@register(
+    "s1_walk_forward_folds",
+    oracle="""
+        WITH cuts AS (
+            SELECT quantile_disc(epoch_us(ts), 0.25) AS c1,
+                   quantile_disc(epoch_us(ts), 0.50) AS c2,
+                   quantile_disc(epoch_us(ts), 0.75) AS c3
+            FROM events
+        ),
+        folds AS (
+            SELECT f.fold, c.c1, c.c2, c.c3,
+                   CASE f.fold WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS train_end,
+                   CASE f.fold WHEN 1 THEN c2 WHEN 2 THEN c3
+                               ELSE 9223372036854775807 END AS test_end
+            FROM (SELECT unnest([1, 2, 3]) AS fold) f CROSS JOIN cuts c
+        )
+        SELECT fold,
+               CAST(count(*) FILTER (WHERE epoch_us(ts) <= train_end) AS BIGINT)
+                   AS n_train,
+               CAST(count(*) FILTER (WHERE epoch_us(ts) > train_end
+                                       AND epoch_us(ts) <= test_end) AS BIGINT)
+                   AS n_test,
+               CAST(train_end AS BIGINT) AS train_end_us
+        FROM events CROSS JOIN folds
+        GROUP BY fold, train_end
+    """,
+)
+def s1_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: walk-forward (expanding-window) cross-validation folds — the
+    temporal generalization of s1_time_based_split: fold k trains on
+    everything up to the k-th time quartile and tests on the next quartile
+    slice, so every test window is strictly in its train window's future
+    (the only CV scheme that respects causality for forecasting models).
+
+    Cut points are quantile_disc values (actual data points) on the µs
+    axis, so both engines cut identically; folds are materialized by a
+    3-row broadcast cross join against one event scan — counts for all
+    folds come from a single pass with filtered aggregates, not one scan
+    per fold (the 100 TB formulation).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    cuts = ev.agg(
+        F.expr("percentile_approx(us, 0.25, 2147483647)").alias("c1"),
+        F.expr("percentile_approx(us, 0.50, 2147483647)").alias("c2"),
+        F.expr("percentile_approx(us, 0.75, 2147483647)").alias("c3"),
+    )
+    folds = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("int").alias("fold"))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "fold",
+            F.when(F.col("fold") == 1, F.col("c1"))
+            .when(F.col("fold") == 2, F.col("c2"))
+            .otherwise(F.col("c3"))
+            .alias("train_end"),
+            F.when(F.col("fold") == 1, F.col("c2"))
+            .when(F.col("fold") == 2, F.col("c3"))
+            .otherwise(F.lit(9223372036854775807))
+            .alias("test_end"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(folds))
+        .groupBy("fold", "train_end")
+        .agg(
+            F.count_if(F.col("us") <= F.col("train_end"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.count_if(
+                (F.col("us") > F.col("train_end")) & (F.col("us") <= F.col("test_end"))
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            F.col("train_end").cast("bigint").alias("train_end_us"),
+        )
+    )

@@ -1070,3 +1070,182 @@ def b9_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, n bigint, vsum double, n_updates bigint, matches_batch boolean",
     )
+
+
+@register("b9_file_sink_exactly_once")  # rows-only: sink-semantics audit
+def b9_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: EXACTLY-ONCE file sink semantics — the parquet streaming sink
+    commits files through the ``_spark_metadata`` transaction log, so
+    (1) re-running the stream on the same checkpoint adds NOTHING (no new
+    batches → no new commits), and (2) a rogue/orphan parquet file dropped
+    into the sink directory by a failed writer is INVISIBLE to readers that
+    go through the log, while a raw directory listing sees it. Both
+    properties asserted; the memory-sink checkpoint caveat (cannot recover)
+    is why file sinks are the durable-output default.
+
+    Scale: the commit log is the idempotence boundary — a restarted 100 TB
+    job re-emits only uncommitted batches, and downstream batch readers
+    never observe torn output.
+    """
+    import glob
+    import os
+    import uuid
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+
+    replay = scratch_dir(f"eo_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        ev.repartition(2).write.mode("overwrite").parquet(replay)
+        open(marker, "w").close()
+
+    sink = scratch_dir("eo_sink_", unique=True)
+    ckpt = scratch_dir("eo_ckpt_", unique=True)
+
+    def run_once() -> None:
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+        ):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .parquet(replay)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()
+    n_input = ev.count()
+    n_first = spark.read.parquet(sink).count()
+    run_once()  # same checkpoint, no new data -> must be a no-op
+    n_second = spark.read.parquet(sink).count()
+
+    # plant an orphan (uncommitted) file: log-aware readers must ignore it
+    rogue = os.path.join(sink, f"part-rogue-{uuid.uuid4().hex[:8]}.parquet")
+    ev.limit(7).coalesce(1).write.mode("overwrite").parquet(sink + "_rogue_src")
+    src = glob.glob(os.path.join(sink + "_rogue_src", "part-*.parquet"))[0]
+    os.replace(src, rogue)
+    n_with_rogue = spark.read.parquet(sink).count()
+    n_raw_files = len(glob.glob(os.path.join(sink, "part-*.parquet")))
+    n_committed = len(
+        [
+            f
+            for f in glob.glob(os.path.join(sink, "part-*.parquet"))
+            if "rogue" not in f
+        ]
+    )
+
+    if not (n_input == n_first == n_second == n_with_rogue):
+        raise AssertionError(
+            f"exactly-once violated: input={n_input} first={n_first} "
+            f"second={n_second} with_rogue={n_with_rogue}"
+        )
+    if n_raw_files != n_committed + 1:
+        raise AssertionError("rogue file not present in raw listing")
+    return spark.createDataFrame(
+        [(n_input, n_first, n_second, n_with_rogue, n_raw_files, True)],
+        "n_input bigint, n_first_run bigint, n_second_run bigint, "
+        "n_log_aware_read bigint, n_raw_files bigint, exactly_once boolean",
+    )
+
+
+@register("b9_stream_progress_metrics")  # rows-only: engine observability surface
+def b9_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/observability: StreamingQueryProgress — the per-micro-batch
+    telemetry (rows read, state-store rows, event-time watermark) a
+    production stream is monitored by; the reference's observation leg is
+    cAdvisor/Prometheus on its engines, ours is the engine-native progress
+    feed. A windowed count over a 3-batch replay is run, then the progress
+    JSON history is audited: input rows across batches must sum to the
+    input count, the watermark must ADVANCE monotonically to within the
+    delay of max event time, and the final state-operator row count must
+    equal the number of open windows at termination.
+    """
+    import glob
+    import json
+    import os
+    import time
+    import uuid
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    replay = scratch_dir(f"prog_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        (
+            ev.repartitionByRange(3, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(replay)
+        )
+        base = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(replay, "part-*")))):
+            os.utime(f, (base + i, base + i))
+        open(marker, "w").close()
+
+    name = f"prog_out_{uuid.uuid4().hex[:8]}"
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("prog_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        # pyspark 4 returns StreamingQueryProgress objects; .json is the raw feed
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+
+    rows_per_batch = [int(p["numInputRows"]) for p in progresses]
+    watermarks = [
+        p["eventTime"].get("watermark")
+        for p in progresses
+        if p.get("eventTime", {}).get("watermark")
+    ]
+    state_rows = [
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    n_input = ev.count()
+    if sum(rows_per_batch) != n_input:
+        raise AssertionError(
+            f"progress input rows {sum(rows_per_batch)} != source {n_input}"
+        )
+    if watermarks != sorted(watermarks):
+        raise AssertionError(f"watermark regressed: {watermarks}")
+    if not state_rows or state_rows[-1] < 0:
+        raise AssertionError("no state-operator metrics reported")
+    return spark.createDataFrame(
+        [
+            (
+                len(progresses),
+                int(n_input),
+                int(sum(rows_per_batch)),
+                watermarks[-1] if watermarks else None,
+                int(state_rows[-1]),
+                True,
+            )
+        ],
+        "n_batches bigint, n_input bigint, n_reported bigint, "
+        "final_watermark string, final_state_rows bigint, metrics_consistent boolean",
+    )

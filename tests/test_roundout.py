@@ -410,3 +410,27 @@ def test_codec_comparison_orders_sizes(spark):
 def test_analyze_table_stats_consistent(spark):
     row = registry.QUERIES["c6_analyze_table_cbo"](spark, SF).first()
     assert row.stats_consistent and row.n_exact == row.n_stat
+
+
+def test_walk_forward_folds_are_nested_and_causal(spark):
+    rows = sorted(
+        registry.QUERIES["s1_walk_forward_folds"](spark, SF).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [1, 2, 3]
+    # expanding train windows; every test slice non-empty and in the future
+    assert rows[0].n_train < rows[1].n_train < rows[2].n_train
+    assert all(r.n_test > 0 for r in rows)
+    assert rows[0].train_end_us < rows[1].train_end_us < rows[2].train_end_us
+
+
+def test_file_sink_exactly_once_flags(spark):
+    row = registry.QUERIES["b9_file_sink_exactly_once"](spark, SF).first()
+    assert row.exactly_once
+    assert row.n_first_run == row.n_second_run == row.n_log_aware_read == row.n_input
+
+
+def test_stream_progress_metrics_consistent(spark):
+    row = registry.QUERIES["b9_stream_progress_metrics"](spark, SF).first()
+    assert row.metrics_consistent and row.n_batches >= 3
+    assert row.n_reported == row.n_input
