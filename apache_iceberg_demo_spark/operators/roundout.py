@@ -1738,3 +1738,183 @@ def s1_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("train_end").cast("bigint").alias("train_end_us"),
         )
     )
+
+
+@register(
+    "b2_sql_identifier_clause",
+    oracle="""
+        SELECT o_orderpriority AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def b2_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/SQL surface: the IDENTIFIER(:param) clause (Spark 4) — table and
+    column names injected as BOUND PARAMETERS instead of string
+    concatenation, closing the SQL-injection hole of templated DDL/queries
+    while keeping the plan fully analyzable (beside b2_sql_named_params,
+    which binds VALUES; IDENTIFIER binds NAMES). The dimension column and
+    the table are both parameterized here; the oracle is the equivalent
+    static SQL.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(IDENTIFIER(:measure) AS DECIMAL(18,2)))
+                          AS DOUBLE), 6) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:dim)
+        """,
+        args={
+            "tbl": "_ident_orders",
+            "dim": "o_orderpriority",
+            "measure": "o_totalprice",
+        },
+    )
+
+
+@register(
+    "b6_keyset_pagination",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT CAST((rn - 1) // 100 + 1 AS BIGINT) AS page,
+               o_orderkey,
+               round(o_totalprice, 6) AS o_totalprice
+        FROM ranked
+        WHERE rn <= 300
+    """,
+)
+def b6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: KEYSET (seek-method) pagination — three successive 100-row pages
+    fetched as ``WHERE key > last_seen ORDER BY key LIMIT 100``, the
+    pagination pattern that stays O(page) at any depth because the
+    predicate pushes into the scan; OFFSET pagination (b6_limit_offset)
+    re-sorts and discards `offset` rows every page, which is O(depth) —
+    unusable at 100 TB page 10⁶.
+
+    Each page's plan is a pushed range filter + TakeOrderedAndProject; the
+    boundary key is carried between pages (here: three sequential jobs,
+    exactly like a paging client). The oracle reconstructs the identical
+    3 pages with one window pass — equality proves keyset pages tile the
+    ordered stream without gap or overlap.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    pages = []
+    last_key = None
+    for page_no in range(1, 4):
+        page = o if last_key is None else o.where(F.col("o_orderkey") > last_key)
+        page = page.orderBy("o_orderkey").limit(100)
+        rows_tail = page.select(F.max("o_orderkey").alias("mx")).first()
+        pages.append(
+            page.select(
+                F.lit(page_no).cast("bigint").alias("page"),
+                "o_orderkey",
+                F.round("o_totalprice", 6).alias("o_totalprice"),
+            )
+        )
+        last_key = rows_tail["mx"]
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "b3_haversine_nearest_hub",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   -60 + 120 * ((c_custkey * 2654435761) % 100000) / 100000.0 AS lat,
+                   -180 + 360 * ((c_custkey * 40503) % 100000) / 100000.0 AS lon
+            FROM customer
+        ),
+        hubs AS (
+            SELECT unnest([0, 1, 2, 3, 4]) AS hub_id,
+                   unnest([51.5, 40.7, 35.7, -33.9, 1.35]) AS hlat,
+                   unnest([-0.12, -74.0, 139.7, 151.2, 103.8]) AS hlon
+        ),
+        d AS (
+            SELECT c_custkey, hub_id,
+                   round(2 * 6371.0 * asin(sqrt(
+                       pow(sin(radians(hlat - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(hlat))
+                         * pow(sin(radians(hlon - lon) / 2), 2))), 6) AS dist_km
+            FROM pts CROSS JOIN hubs
+        ),
+        best AS (
+            SELECT c_custkey, hub_id, dist_km,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY dist_km, hub_id) AS rk
+            FROM d
+        )
+        SELECT hub_id,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(min(dist_km), 6) AS nearest_km,
+               round(max(dist_km), 6) AS farthest_km
+        FROM best WHERE rk = 1
+        GROUP BY hub_id
+    """,
+)
+def b3_haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/spatial-lite: nearest-hub assignment by HAVERSINE great-circle
+    distance — every customer (deterministic synthetic lat/lon derived from
+    its key; both engines compute the identical coordinates) is assigned to
+    the closest of 5 hubs, then per-hub counts and distance extremes are
+    reported. The geo-join shape without any geo library: trig is ANSI SQL,
+    the hub table broadcasts, and the per-customer argmin is a window rank
+    over the small cross product.
+
+    At 100 TB you never cross-join the full point set against a large hub
+    set — you geohash/S2-bucket points and candidates first (exactly the
+    blocked-join discipline of c2_fuzzy_join_blocked) and run this same
+    argmin within buckets.
+    """
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        (-60 + 120 * ((F.col("c_custkey") * 2654435761) % 100000) / 100000.0).alias(
+            "lat"
+        ),
+        (-180 + 360 * ((F.col("c_custkey") * 40503) % 100000) / 100000.0).alias(
+            "lon"
+        ),
+    )
+    hubs = spark.createDataFrame(
+        [
+            (0, 51.5, -0.12),
+            (1, 40.7, -74.0),
+            (2, 35.7, 139.7),
+            (3, -33.9, 151.2),
+            (4, 1.35, 103.8),
+        ],
+        "hub_id int, hlat double, hlon double",
+    )
+    dlat = F.radians(F.col("hlat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("hlon") - F.col("lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("hlat")) * F.pow(F.sin(dlon), 2)
+    )
+    d = pts.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub_id",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_km"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("dist_km", "hub_id")
+    best = d.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return best.groupBy("hub_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.min("dist_km"), 6).alias("nearest_km"),
+        F.round(F.max("dist_km"), 6).alias("farthest_km"),
+    )

@@ -434,3 +434,27 @@ def test_stream_progress_metrics_consistent(spark):
     row = registry.QUERIES["b9_stream_progress_metrics"](spark, SF).first()
     assert row.metrics_consistent and row.n_batches >= 3
     assert row.n_reported == row.n_input
+
+
+def test_keyset_pages_tile_without_gap_or_overlap(spark):
+    rows = registry.QUERIES["b6_keyset_pagination"](spark, SF).collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)) == 300
+    ordered = sorted(rows, key=lambda r: r.o_orderkey)
+    # page boundaries respect global key order
+    assert [r.page for r in ordered] == [1] * 100 + [2] * 100 + [3] * 100
+
+
+def test_keyset_page_plan_pushes_boundary_filter(spark):
+    """Page 2+ must push the key-range predicate into the parquet scan."""
+    from apache_iceberg_demo_spark.plans.explain import pushed_filters
+
+    o = load(spark, SF, "orders").select("o_orderkey")
+    page2 = o.where(F.col("o_orderkey") > 100).orderBy("o_orderkey").limit(100)
+    assert any("GreaterThan(o_orderkey,100)" in f for f in pushed_filters(page2))
+
+
+def test_haversine_assignment_covers_all_customers(spark):
+    df = registry.QUERIES["b3_haversine_nearest_hub"](spark, SF)
+    total = df.agg(F.sum("n_customers")).first()[0]
+    assert total == load(spark, SF, "customer").count()
