@@ -1918,3 +1918,197 @@ def b3_haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("dist_km"), 6).alias("nearest_km"),
         F.round(F.max("dist_km"), 6).alias("farthest_km"),
     )
+
+
+@register(
+    "b1_dynamic_partition_overwrite",
+    oracle="""
+        WITH final AS (
+            SELECT event_type, value FROM events WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_type, value * 2 AS value FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM final
+        GROUP BY event_type
+    """,
+)
+def b1_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/lake ops: DYNAMIC partition overwrite — the idempotent-backfill
+    primitive: rewriting one partition's data replaces ONLY the partitions
+    present in the incoming batch, leaving every other partition's files
+    untouched (static overwrite mode would truncate the whole table —
+    the classic backfill footgun). Here the 'click' partition is re-derived
+    (values doubled) and overwritten; the oracle reconstructs the expected
+    final state relationally, so parity proves both the replacement AND the
+    non-click partitions' survival byte-for-byte.
+
+    At 100 TB this is how late-arriving corrections land: recompute the
+    affected day-partitions, dynamic-overwrite them, and the write commits
+    per-partition without scanning or rewriting the rest of the table.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    tbl = scratch_dir("dpo_tbl_", unique=True)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+
+    fixed = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(tbl)
+    )
+    back = spark.read.parquet(tbl)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+
+
+@register("pipeline_rag_retrieval")  # rows-only: greedy diversification is engine-specific
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline: RAG retrieval prep end-to-end — chunk the corpus, score
+    chunks against keyword queries (tf×idf), take top-20 candidates per
+    query, drop near-duplicate candidates (token-Jaccard > 0.5 keeps the
+    higher-scored one — the MMR-style diversification), keep 5, and pack
+    them into a ≤160-token context per query. Composes the repo's
+    primitives (passage chunking, BM25-style scoring, near-dup screening,
+    sequence packing) into the shape a retrieval-augmented training-data
+    builder runs.
+
+    Self-verified per query: every packed chunk contains at least one query
+    term; the context respects the token budget; chunk sets are
+    deterministic (hash-free ordering: score then chunk_id).
+
+    Scale: chunking+scoring is scan-side; candidate pruning happens on 20
+    rows per query, so the quadratic Jaccard screen is bounded by the
+    SHORTLIST size, never the corpus — the same shortlist-then-exact
+    pattern as PQ re-ranking (c3_ann_pq_adc_topk).
+    """
+    from pyspark.sql import Window as W
+
+    CHUNK_W, TOPC, KEEP, BUDGET = 32, 20, 5, 160
+    queries = [
+        (0, ["spark", "join"]),
+        (1, ["window", "filter"]),
+        (2, ["stream", "batch"]),
+    ]
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    chunks = (
+        toks.withColumn("chunk_no", (F.col("pos") / CHUNK_W).cast("int"))
+        .groupBy("doc_id", "chunk_no")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.col("doc_id") * 1000 + F.col("chunk_no"),
+        )
+        .persist()
+    )
+    _live_caches.append(chunks)
+
+    n_chunks = chunks.agg(F.count(F.lit(1)).alias("nc"))
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in queries], "query_id int, terms array<string>"
+    )
+    term = qdf.select("query_id", F.explode("terms").alias("term"))
+
+    # tf per (chunk, term) via token explode; idf from chunk-level df
+    ctok = chunks.select(
+        "chunk_id", F.explode(F.split("chunk_text", " ")).alias("token")
+    )
+    tf = (
+        ctok.join(F.broadcast(term), ctok["token"] == term["term"])
+        .groupBy("query_id", "chunk_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = (
+        ctok.join(
+            F.broadcast(term.select("term").distinct()),
+            ctok["token"] == F.col("term"),
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("chunk_id").cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_chunks))
+        .withColumn("idf", F.log((F.col("nc") + 1.0) / (F.col("df") + 1.0)))
+        .groupBy("query_id", "chunk_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPC)
+        .join(chunks.select("chunk_id", "chunk_text", "n_tokens"), "chunk_id")
+    )
+
+    # near-dup screen within the shortlist: drop a candidate if a HIGHER-
+    # ranked one overlaps > 0.5 token-Jaccard
+    a = cand.alias("a")
+    b = cand.alias("b")
+    ta = F.array_distinct(F.split(F.col("a.chunk_text"), " "))
+    tb = F.array_distinct(F.split(F.col("b.chunk_text"), " "))
+    jac = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
+    shadowed = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("b.rk") < F.col("a.rk")),
+        )
+        .where(jac > 0.5)
+        .select(F.col("a.query_id").alias("query_id"), F.col("a.chunk_id").alias("chunk_id"))
+        .distinct()
+    )
+    kept = cand.join(shadowed, ["query_id", "chunk_id"], "left_anti")
+    w2 = W.partitionBy("query_id").orderBy("rk")
+    final = (
+        kept.withColumn("krk", F.row_number().over(w2))
+        .where(F.col("krk") <= KEEP)
+    )
+    # pack greedily in rank order within the token budget
+    w3 = (
+        W.partitionBy("query_id")
+        .orderBy("krk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = final.withColumn("cum_tokens", F.sum("n_tokens").over(w3)).where(
+        F.col("cum_tokens") <= BUDGET
+    )
+
+    out = packed.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.max("cum_tokens").cast("bigint").alias("context_tokens"),
+        F.min("score").alias("min_score"),
+    )
+    rows = out.collect()
+    if len(rows) != len(queries):
+        raise AssertionError(f"expected {len(queries)} query contexts, got {len(rows)}")
+    for r in rows:
+        if r["context_tokens"] > BUDGET:
+            raise AssertionError(f"budget violated: {r}")
+        if r["min_score"] <= 0:
+            raise AssertionError(f"packed chunk without any query term: {r}")
+    return out.withColumn("budget_ok", F.lit(True))

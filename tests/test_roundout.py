@@ -458,3 +458,27 @@ def test_haversine_assignment_covers_all_customers(spark):
     df = registry.QUERIES["b3_haversine_nearest_hub"](spark, SF)
     total = df.agg(F.sum("n_customers")).first()[0]
     assert total == load(spark, SF, "customer").count()
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark):
+    rows = {r.event_type: r for r in registry.QUERIES["b1_dynamic_partition_overwrite"](spark, SF).collect()}
+    src = {
+        r.event_type: (r.n, round(float(r.s), 6))
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    for et, (n, s) in src.items():
+        assert rows[et].n == n
+        want = round(s * 2, 6) if et == "click" else s
+        assert abs(rows[et].total_value - want) < 1e-4, (et, rows[et].total_value, want)
+
+
+def test_rag_retrieval_contexts_within_budget(spark):
+    rows = registry.QUERIES["pipeline_rag_retrieval"](spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 1 <= r.n_chunks <= 5
+        assert r.context_tokens <= 160
+        assert r.min_score > 0
