@@ -2112,3 +2112,93 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r["min_score"] <= 0:
             raise AssertionError(f"packed chunk without any query term: {r}")
     return out.withColumn("budget_ok", F.lit(True))
+
+
+@register(
+    "b8_xpath_funcs",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_size) AS BIGINT) AS total_size,
+               CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_large
+        FROM part
+        GROUP BY p_brand
+    """,
+)
+def b8_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: XPath extraction functions (``xpath_string`` / ``xpath_long`` /
+    ``xpath_boolean``) — the scalar companions to the B1 XML source for
+    per-row XML payloads embedded IN a column (vendor API responses, config
+    blobs). Each part row is serialized to an XML fragment and every field
+    is extracted back by XPath, including a predicate path
+    (``[size>25]``); aggregates over the extracted values must match the
+    oracle computing directly from the source columns — an exact
+    serialize→extract roundtrip proof, same contract as
+    c4_binary_header_sniff.
+
+    Scale: xpath_* are JVM expressions evaluated per row with no shuffle;
+    at 100 TB you still prefer VARIANT/JSON for new payloads (binary-
+    encoded, shreddable) — XPath is the legacy-feed path.
+    """
+    p = load(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit("<part><brand>"),
+        F.col("p_brand"),
+        F.lit("</brand><size>"),
+        F.col("p_size").cast("string"),
+        F.lit("</size></part>"),
+    )
+    extracted = p.select(xml.alias("x")).select(
+        F.expr("xpath_string(x, '/part/brand/text()')").alias("p_brand"),
+        F.expr("xpath_long(x, '/part/size/text()')").alias("size"),
+        F.expr("xpath_boolean(x, '/part[size>25]')").alias("is_large"),
+    )
+    return extracted.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("size").cast("bigint").alias("total_size"),
+        F.count_if(F.col("is_large")).cast("bigint").alias("n_large"),
+    )
+
+
+@register(
+    "b8_csv_conversion_funcs",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total_balance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def b8_csv_conversion_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: scalar CSV codec — ``to_csv(struct)`` serializes each row to a
+    CSV line, ``from_csv(line, schema)`` parses it back with a declared
+    schema; aggregates over the parsed struct must equal the oracle on the
+    original columns. The per-row (embedded-payload) counterpart of the B1
+    CSV file source, and the proof that the codec pair is lossless for
+    typed data — including doubles surviving text round-trip via Spark's
+    shortest-roundtrip float formatting.
+
+    Scale: both are JVM expressions; the schema is declared (no inference),
+    so parsing is a single pass with no extra job.
+    """
+    c = load(spark, sf_dir, "customer")
+    line = F.to_csv(
+        F.struct("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+    parsed = c.select(
+        F.from_csv(
+            line,
+            "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING",
+        ).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("total_balance"),
+    )
