@@ -2202,3 +2202,235 @@ def b8_csv_conversion_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6
         ).alias("total_balance"),
     )
+
+
+@register(
+    "b3_scd2_temporal_join",
+    oracle="""
+        WITH med AS (
+            SELECT o_custkey AS k,
+                   quantile_disc(epoch_us(o_orderdate), 0.5) AS m
+            FROM orders GROUP BY o_custkey
+        ),
+        dim AS (
+            SELECT k, 'v1' AS seg, NULL::BIGINT AS valid_from, m AS valid_to FROM med
+            UNION ALL
+            SELECT k, 'v2', m, NULL FROM med
+        )
+        SELECT o_orderpriority, seg,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN dim
+          ON o_custkey = dim.k
+         AND (valid_from IS NULL OR epoch_us(o_orderdate) >= valid_from)
+         AND (valid_to   IS NULL OR epoch_us(o_orderdate) <  valid_to)
+        GROUP BY o_orderpriority, seg
+    """,
+)
+def b3_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: SCD2 TEMPORAL dimension join — facts joined to the dimension
+    version VALID AT EVENT TIME (``valid_from <= ts < valid_to``,
+    open-ended intervals NULL), the lookup that makes slowly-changing
+    dimensions historically correct: an order priced under last year's
+    customer segment must keep reporting under it forever. The dimension
+    here is a two-version history derived deterministically from the data
+    (version flips at each customer's median order instant) so both
+    engines build the identical dim; the validity intervals PARTITION the
+    timeline, so every fact matches exactly one version — the parity row
+    counts prove no fact is dropped or double-counted.
+
+    Plan: dim is per-key tiny → broadcast; the interval predicate rides the
+    equi-join on the key, so this is a BroadcastHashJoin with a residual
+    range filter — NOT a range join; at 100 TB the fact side never
+    shuffles. (The warehouse's apply_scd2 builds exactly this table shape
+    with real change feeds.)
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+    )
+    med = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.expr("percentile_approx(us, 0.5, 2147483647)").alias("m")
+    )
+    dim = med.select(
+        "k", F.lit("v1").alias("seg"), F.lit(None).cast("long").alias("valid_from"),
+        F.col("m").alias("valid_to"),
+    ).unionByName(
+        med.select(
+            "k", F.lit("v2").alias("seg"), F.col("m").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+    )
+    joined = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["k"])
+        & (dim["valid_from"].isNull() | (o["us"] >= dim["valid_from"]))
+        & (dim["valid_to"].isNull() | (o["us"] < dim["valid_to"])),
+    )
+    return joined.groupBy("o_orderpriority", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "b4_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag AS f, l_extendedprice AS price,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS wt
+            FROM lineitem
+        ),
+        c AS (
+            SELECT f, price,
+                   sum(wt) OVER (PARTITION BY f ORDER BY price
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   sum(wt) OVER (PARTITION BY f) AS tw
+            FROM w
+        )
+        SELECT f AS l_returnflag,
+               round(CAST(max(tw) AS DOUBLE), 2) AS total_weight,
+               round(min(price) FILTER (WHERE CAST(cw AS DOUBLE)
+                                          >= CAST(tw AS DOUBLE) / 2), 6)
+                   AS weighted_median_price
+        FROM c
+        GROUP BY f
+    """,
+)
+def b4_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: WEIGHTED median — the price at which half the total QUANTITY
+    (not half the rows) is below: the inventory-weighted central price.
+    Spark has percentile/median but no weighted variant; the portable
+    formulation is a cumulative-weight window ordered by the value and the
+    smallest value whose running weight crosses half the total. Weights
+    accumulate in DECIMAL so the crossing comparison is exact in both
+    engines; rows tied on price are interchangeable for the answer (the
+    selected PRICE is identical whichever tie crosses).
+
+    Scale: one window pass per group = one shuffle + per-key sort — the
+    same cost as any exact percentile; the approximate path at 100 TB is a
+    weighted t-digest, which this exact form validates.
+    """
+    from pyspark.sql import Window as W
+
+    w = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    cum = W.partitionBy("f").orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy("f")
+    c = w.select(
+        "f",
+        "price",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return c.groupBy("f").agg(
+        F.round(F.max("tw").cast("double"), 2).alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cw").cast("double") >= F.col("tw").cast("double") / 2,
+                    F.col("price"),
+                )
+            ),
+            6,
+        ).alias("weighted_median_price"),
+    ).select(
+        F.col("f").alias("l_returnflag"), "total_weight", "weighted_median_price"
+    )
+
+
+@register("c3_random_projection_jl")  # rows-only: distortion audit is statistical
+def c3_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: Johnson–Lindenstrauss RANDOM projection 64→16 dims — the
+    data-INDEPENDENT companion to PCA (c3_pca_project): a fixed Gaussian
+    matrix scaled by 1/√k approximately preserves pairwise Euclidean
+    distances with no training pass at all, which is why it is the
+    dimensionality reducer you can apply to 100 TB in a single map (the
+    matrix is seeded-deterministic and broadcast; projection is one
+    numpy matmul per Arrow batch).
+
+    Self-verified on a deterministic probe set of vector pairs: the mean
+    projected/original distance ratio must sit near 1 and every pair's
+    distortion within the loose JL band [0.5, 2.0] — catastrophic failure
+    (wrong scaling, wrong axis) lands far outside it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    K, D = 16, 64
+    rng = np.random.RandomState(20260814)
+    R = (rng.standard_normal((D, K)) / np.sqrt(K)).astype(np.float64)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                p = x @ R
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "proj": [row.tolist() for row in p],
+                        "orig": [row.tolist() for row in x],
+                    }
+                )
+
+    proj = emb.mapInPandas(
+        project, "vec_id bigint, proj array<double>, orig array<double>"
+    )
+    probe = proj.where(F.col("vec_id") % 40 == 0)
+    pairs = (
+        probe.alias("a")
+        .join(probe.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a.orig"), F.col("b.orig"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("d_orig"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a.proj"), F.col("b.proj"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("d_proj"),
+        )
+        .where(F.col("d_orig") > 0)
+        .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    ).first()
+    if not (0.85 <= stats["mean_ratio"] <= 1.15):
+        raise AssertionError(f"JL mean distortion out of band: {stats}")
+    if not (0.5 <= stats["min_ratio"] and stats["max_ratio"] <= 2.0):
+        raise AssertionError(f"JL pairwise distortion out of band: {stats}")
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_pairs"]),
+                float(stats["mean_ratio"]),
+                float(stats["min_ratio"]),
+                float(stats["max_ratio"]),
+                True,
+            )
+        ],
+        "n_pairs bigint, mean_ratio double, min_ratio double, max_ratio double, "
+        "jl_band_held boolean",
+    )

@@ -482,3 +482,33 @@ def test_rag_retrieval_contexts_within_budget(spark):
         assert 1 <= r.n_chunks <= 5
         assert r.context_tokens <= 160
         assert r.min_score > 0
+
+
+def test_scd2_temporal_join_covers_every_order_once(spark):
+    df = registry.QUERIES["b3_scd2_temporal_join"](spark, SF)
+    total = df.agg(F.sum("n_orders")).first()[0]
+    assert total == load(spark, SF, "orders").count()
+
+
+def test_weighted_median_crossing_recompute(spark):
+    rows = registry.QUERIES["b4_weighted_median"](spark, SF).collect()
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    for r in rows:
+        sub = sorted(
+            [(x.l_extendedprice, x.l_quantity) for x in li if x.l_returnflag == r.l_returnflag]
+        )
+        tw = sum(q for _, q in sub)
+        cw, med = 0.0, None
+        for price, q in sub:
+            cw += q
+            if cw >= tw / 2:
+                med = price
+                break
+        assert abs(r.weighted_median_price - round(med, 6)) < 1e-6
+
+
+def test_random_projection_band(spark):
+    row = registry.QUERIES["c3_random_projection_jl"](spark, SF).first()
+    assert row.jl_band_held and row.n_pairs > 10
