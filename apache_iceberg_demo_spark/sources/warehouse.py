@@ -931,15 +931,29 @@ class Warehouse:
     # ---------- maintenance (C6) ----------
 
     def expire_snapshots(
-        self, name: str, keep_last: int = 1, retain_refs: bool = True
+        self,
+        name: str,
+        keep_last: int = 1,
+        retain_refs: bool = True,
+        older_than_ms: Optional[int] = None,
     ) -> int:
-        """Drop all but the last ``keep_last`` snapshots; GC unreferenced
-        files. Iceberg retention semantics: the CURRENT snapshot and any
-        snapshot pinned by a named ref (tag/branch) are never expired —
-        release-pinned training corpora stay readable while routine history
-        is garbage-collected around them."""
+        """Drop expired snapshots; GC unreferenced files. Two retention
+        policies compose exactly like Iceberg's ``expire_snapshots``:
+        ``keep_last`` N snapshots always survive, and with
+        ``older_than_ms`` set, any snapshot committed at-or-after that
+        timestamp ALSO survives (only strictly-older history is eligible).
+        The CURRENT snapshot and any snapshot pinned by a named ref
+        (tag/branch) are never expired — release-pinned training corpora
+        stay readable while routine history is garbage-collected around
+        them."""
         meta = self._load_meta(name)
         keep_ids = {s["snapshot_id"] for s in meta["snapshots"][-keep_last:]}
+        if older_than_ms is not None:
+            keep_ids |= {
+                s["snapshot_id"]
+                for s in meta["snapshots"]
+                if s["timestamp_ms"] >= older_than_ms
+            }
         keep_ids.add(meta["current_snapshot_id"])
         if retain_refs:
             keep_ids |= set(meta.get("refs", {}).values())

@@ -512,3 +512,49 @@ def test_weighted_median_crossing_recompute(spark):
 def test_random_projection_band(spark):
     row = registry.QUERIES["c3_random_projection_jl"](spark, SF).first()
     assert row.jl_band_held and row.n_pairs > 10
+
+
+def test_conversion_latency_monotone_percentiles(spark):
+    row = registry.QUERIES["b4_conversion_latency"](spark, SF).first()
+    assert row.n_converted > 0
+    assert (
+        row.min_latency_us
+        <= row.p50_latency_us
+        <= row.p90_latency_us
+        <= row.max_latency_us
+    )
+
+
+def test_dedup_cascade_monotone(spark):
+    rows = {r.stage: r.n_docs for r in registry.QUERIES["pipeline_dedup_cascade"](spark, SF).collect()}
+    assert (
+        rows["input"]
+        >= rows["after_exact_hash"]
+        >= rows["after_canonical_key"]
+        >= rows["after_near_dup"]
+        > 0
+    )
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    import time
+
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whage"))
+    df = load(spark, SF, "region")
+    wh.create_or_replace("t", df, None)
+    wh.append("t", df.limit(2))
+    time.sleep(0.02)
+    cutoff = int(time.time() * 1000)
+    wh.append("t", df.limit(1))
+    # snapshots 1,2 predate the cutoff; 3 is younger AND current
+    wh.expire_snapshots("t", keep_last=1, older_than_ms=cutoff)
+    kept = sorted(r.snapshot_id for r in wh.snapshots("t").collect())
+    assert kept == [3]
+    # with a cutoff before everything, nothing but keep_last policy applies
+    wh2 = Warehouse(spark, str(tmp_path / "whage2"))
+    wh2.create_or_replace("t", df, None)
+    wh2.append("t", df.limit(2))
+    wh2.expire_snapshots("t", keep_last=1, older_than_ms=0)
+    assert sorted(r.snapshot_id for r in wh2.snapshots("t").collect()) == [1, 2]
