@@ -2585,3 +2585,158 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage string, n_docs bigint",
     )
+
+
+@register(
+    "c5_chat_template_render",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        rendered AS (
+            SELECT doc_id, source,
+                   '<|system|>You are a helpful assistant.<|end|>' ||
+                   '<|user|>' || array_to_string(t[1:10], ' ') || '<|end|>' ||
+                   '<|assistant|>' || array_to_string(t[11:], ' ') || '<|end|>'
+                       AS sample,
+                   len(t) AS n_tokens
+            FROM toks
+            WHERE len(t) > 10
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(length(sample)) AS BIGINT) AS max_chars,
+               CAST(count(*) FILTER (
+                   WHERE (length(sample) - length(replace(sample, '<|end|>', '')))
+                         // length('<|end|>') = 3) AS BIGINT) AS n_wellformed
+        FROM rendered
+        GROUP BY source
+    """,
+)
+def c5_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/SFT prep: CHAT TEMPLATE rendering — every document is formatted
+    into a (system, user, assistant) training sample with explicit role
+    sentinels (first 10 tokens become the user turn, the rest the
+    assistant turn), the deterministic string-assembly step between "clean
+    corpus" and "tokenizer input" in an instruction-tuning pipeline.
+    Well-formedness is counted structurally (exactly three ``<|end|>``
+    sentinels per sample, via the replace-and-measure identity) and pinned
+    to the sample count; the oracle renders the identical template, so
+    byte-level agreement of lengths/counts proves the formatting is
+    engine-stable.
+
+    Scale: pure projection (split/slice/concat, whole-stage codegen), one
+    shuffle for the per-source rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    rendered = d.where(F.size(t) > 10).select(
+        "source",
+        F.concat(
+            F.lit("<|system|>You are a helpful assistant.<|end|>"),
+            F.lit("<|user|>"),
+            F.concat_ws(" ", F.slice(t, 1, 10)),
+            F.lit("<|end|>"),
+            F.lit("<|assistant|>"),
+            F.concat_ws(" ", F.expr("slice(split(text, ' '), 11, 1000000)")),
+            F.lit("<|end|>"),
+        ).alias("sample"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+    )
+    end_count = (
+        (
+            F.length("sample")
+            - F.length(F.replace(F.col("sample"), F.lit("<|end|>"), F.lit("")))
+        )
+        / F.lit(len("<|end|>"))
+    ).cast("bigint")
+    return rendered.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max(F.length("sample")).cast("bigint").alias("max_chars"),
+        F.count_if(end_count == 3).cast("bigint").alias("n_wellformed"),
+    )
+
+
+@register(
+    "b4_ab_test_ztest",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS conv
+            FROM per_user GROUP BY arm
+        ),
+        wide AS (
+            SELECT max(n) FILTER (WHERE arm = 0) AS n0,
+                   max(conv) FILTER (WHERE arm = 0) AS c0,
+                   max(n) FILTER (WHERE arm = 1) AS n1,
+                   max(conv) FILTER (WHERE arm = 1) AS c1
+            FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+               round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+               round(CASE WHEN (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) IN (0.0, 1.0)
+                          THEN NULL
+                          ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                                      * (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
+        FROM wide
+    """,
+)
+def b4_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/experimentation: two-proportion Z-TEST — users split into two
+    deterministic arms (user_id parity stands in for the assignment hash),
+    per-arm conversion-to-purchase rates, and the pooled-variance z
+    statistic: the significance readout of every A/B dashboard. The whole
+    test is two hash aggregates (per-user conversion fold, then per-arm
+    counts) and scalar arithmetic — at 100 TB the cost is one shuffle on
+    user_id; the statistic itself never touches data again.
+
+    Both engines execute the identical double expression tree over exact
+    integer counts, so the z-score matches to round-6 despite the
+    cancellation in the rate difference.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    # degenerate pools (0% or 100% conversion — sf0.001 is all-converters)
+    # have zero variance: z is NULL on both sides, never a division by zero
+    z = F.when(
+        (pooled > 0) & (pooled < 1),
+        (r1 - r0)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(r0, 6).alias("rate0"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -558,3 +558,17 @@ def test_expire_snapshots_older_than(spark, tmp_path):
     wh2.append("t", df.limit(2))
     wh2.expire_snapshots("t", keep_last=1, older_than_ms=0)
     assert sorted(r.snapshot_id for r in wh2.snapshots("t").collect()) == [1, 2]
+
+
+def test_chat_template_all_wellformed(spark):
+    for r in registry.QUERIES["c5_chat_template_render"](spark, SF).collect():
+        assert r.n_wellformed == r.n_samples > 0
+
+
+def test_ab_ztest_degenerate_pool_yields_null(spark):
+    row = registry.QUERIES["b4_ab_test_ztest"](spark, SF).first()
+    # sf0.001: every user purchases -> zero-variance pool -> NULL z
+    if row.rate0 == 1.0 and row.rate1 == 1.0:
+        assert row.z_score is None
+    else:
+        assert row.z_score is not None
