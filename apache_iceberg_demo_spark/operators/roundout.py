@@ -2740,3 +2740,196 @@ def b4_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("rate1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "b4_kaplan_meier",
+    oracle="""
+        WITH bounds AS (SELECT max(ts) AS obs_end FROM events),
+        users AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup')   AS s,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS p
+            FROM events GROUP BY user_id
+        ),
+        subjects AS (
+            SELECT user_id,
+                   CASE WHEN p IS NOT NULL AND p >= s
+                        THEN (epoch_us(p) - epoch_us(s)) // 86400000000
+                        ELSE (epoch_us(obs_end) - epoch_us(s)) // 86400000000
+                   END AS day,
+                   CASE WHEN p IS NOT NULL AND p >= s THEN 1 ELSE 0 END AS event
+            FROM users CROSS JOIN bounds
+            WHERE s IS NOT NULL
+        ),
+        per_day AS (
+            SELECT day,
+                   CAST(sum(event) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS removed
+            FROM subjects GROUP BY day
+        ),
+        risk AS (
+            SELECT day, d,
+                   (SELECT count(*) FROM subjects) -
+                   coalesce(sum(removed) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_at_risk
+            FROM per_day
+        )
+        SELECT CAST(day AS BIGINT) AS day, d,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               round(exp(sum(ln(1 - CAST(d AS DOUBLE) / n_at_risk))
+                         OVER (ORDER BY day)), 6) AS survival
+        FROM risk
+        WHERE d > 0
+    """,
+)
+def b4_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/survival analysis: KAPLAN–MEIER estimator of time-to-purchase
+    with right censoring — users who signed up but never purchased are
+    censored at the end of the observation window instead of being dropped
+    (dropping them is the retention-analysis bias this estimator exists to
+    fix). S(t) = Π(1 − d_t/n_t) over event days, computed distributively
+    as exp(running-sum(ln ·)) — the log-space cumulative-product trick,
+    since SQL has no product aggregate.
+
+    Plan: one per-user conditional-min fold (shuffle on user_id), one
+    per-day aggregate, one ordered window over the tiny day grid. The risk
+    set n_t comes from total − removals-before-t (window), never a
+    per-day self-join. Identical double expression trees keep both engines
+    bit-equal through the exp/ln round trip at round-6.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("obs_end"))
+    users = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    converted = F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    subjects = (
+        users.where(F.col("s").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(converted, (us("p") - us("s")))
+            .otherwise(us("obs_end") - us("s"))
+            .alias("lat_us"),
+            F.when(converted, 1).otherwise(0).alias("event"),
+        )
+        .select((F.col("lat_us") / 86_400_000_000).cast("long").alias("day"), "event")
+    )
+    n_total = subjects.agg(F.count(F.lit(1)).alias("nt"))
+    per_day = subjects.groupBy("day").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("removed"),
+    )
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("day")
+    risk = per_day.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "d",
+        (F.col("nt") - F.coalesce(F.sum("removed").over(w_prev), F.lit(0)))
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1 - F.col("d").cast("double") / F.col("n_at_risk"))
+                    ).over(w_cum)
+                ),
+                6,
+            ),
+        )
+        .where(F.col("d") > 0)
+        .select("day", "d", "n_at_risk", "survival")
+    )
+
+
+_BF_SQL = """
+    WITH RECURSIVE
+    e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    edges AS (
+        SELECT a AS s, b AS d, 1 + (a + b) % 4 AS w FROM e0
+        UNION ALL
+        SELECT b, a, 1 + (a + b) % 4 FROM e0
+    ),
+    r(node, cost, hops) AS (
+        SELECT p_partkey, CAST(0 AS BIGINT), 0 FROM part WHERE p_brand = 'Brand#11'
+        UNION
+        SELECT e.d, r.cost + e.w, r.hops + 1
+        FROM r JOIN edges e ON r.node = e.s
+        WHERE r.hops < 3
+    )
+    SELECT node, CAST(min(cost) AS BIGINT) AS min_cost
+    FROM r GROUP BY node
+"""
+
+
+@register("b3_bellman_ford_bounded", oracle=_BF_SQL)
+def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/graph: WEIGHTED shortest paths by bounded Bellman–Ford — minimum
+    path cost from the Brand#11 seed set within ≤3 relaxation rounds over
+    the co-purchase graph, with deterministic integer edge weights
+    (1 + (a+b) mod 4, exact in both engines). The weighted upgrade of
+    b3_bfs_reachability: BFS counts hops, Bellman–Ford relaxes costs, and
+    K bounded rounds is exactly how distributed SSSP runs in Pregel terms
+    (each round = one join-shuffle; negative-cycle-free by construction).
+
+    Spark: iterative relax — dist ⋈ edges → min-combine with previous dist
+    per round, edge frame persisted once; each round shuffles (node, cost)
+    pairs only. DuckDB: the same computation as a hop-bounded recursive
+    CTE with the min taken OUTSIDE the recursion (Spark 4 cannot aggregate
+    over the recursive reference).
+    """
+    _release_caches()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    wexpr = (F.lit(1) + (F.col("a") + F.col("b")) % 4).cast("long")
+    edges = (
+        e0.select(F.col("a").alias("s"), F.col("b").alias("d"), wexpr.alias("w"))
+        .unionAll(
+            e0.select(F.col("b").alias("s"), F.col("a").alias("d"), wexpr.alias("w"))
+        )
+        .persist()
+    )
+    _live_caches.append(edges)
+
+    dist = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select(F.col("p_partkey").alias("node"), F.lit(0).cast("long").alias("cost"))
+        .persist()
+    )
+    _live_caches.append(dist)
+    for _ in range(3):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["s"])
+            .select(F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .persist()
+        )
+        _live_caches.append(dist)
+    return dist.select("node", F.col("cost").cast("bigint").alias("min_cost"))

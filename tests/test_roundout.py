@@ -572,3 +572,32 @@ def test_ab_ztest_degenerate_pool_yields_null(spark):
         assert row.z_score is None
     else:
         assert row.z_score is not None
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    rows = sorted(
+        registry.QUERIES["b4_kaplan_meier"](spark, SF).collect(), key=lambda r: r.day
+    )
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    # risk set shrinks over time
+    risks = [r.n_at_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_bellman_ford_dominated_by_bfs_hops(spark):
+    """Cost within ≤3 weighted hops exists wherever BFS reaches in ≤3 hops,
+    and cost ≥ hops (weights ≥ 1)."""
+    bf = {
+        r.node: r.min_cost
+        for r in registry.QUERIES["b3_bellman_ford_bounded"](spark, SF).collect()
+    }
+    bfs = {
+        r.node: r.hops
+        for r in registry.QUERIES["b3_bfs_reachability"](spark, SF).collect()
+    }
+    assert set(bf) == set(bfs)
+    assert all(bf[n] >= bfs[n] for n in bf)
+    assert all(bf[n] == 0 for n in bf if bfs[n] == 0)
