@@ -2933,3 +2933,176 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _live_caches.append(dist)
     return dist.select("node", F.col("cost").cast("bigint").alias("min_cost"))
+
+
+@register(
+    "b4_mann_whitney_u",
+    oracle="""
+        WITH s AS (
+            SELECT value, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        rn AS (
+            SELECT value, event_type,
+                   row_number() OVER (ORDER BY value) AS r
+            FROM s
+        ),
+        ar AS (
+            SELECT event_type, avg(r) OVER (PARTITION BY value) AS arank
+            FROM rn
+        ),
+        agg AS (
+            SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')  AS BIGINT) AS n2,
+                   sum(arank) FILTER (WHERE event_type = 'click') AS r1
+            FROM ar
+        )
+        SELECT n1, n2,
+               round(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 6) AS u_stat,
+               round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+                      - CAST(n1 AS DOUBLE) * n2 / 2)
+                     / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6)
+                   AS z_approx
+        FROM agg
+    """,
+)
+def b4_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/statistics: MANN–WHITNEY U — the rank-based two-sample test
+    (does 'click' value stochastically dominate 'view'?), the
+    non-parametric sibling of b4_ks_two_sample: KS compares whole CDFs, U
+    compares rank mass. Ties get AVERAGE ranks the portable way: assign
+    row_numbers in value order (tie order arbitrary), then average them
+    WITHIN each tied value group — the average is deterministic even
+    though the assignment isn't, so both engines agree exactly.
+
+    Plan: one global sort over the two samples (at 100 TB: rank via
+    two-pass histogram ranking), one window avg per tied value, one scalar
+    aggregate. Normal-approximation z uses the identical double expression
+    tree both sides (no tie-corrected variance — same formula both sides
+    is the parity contract).
+    """
+    from pyspark.sql import Window as W
+
+    s = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select("value", "event_type")
+    rn = s.withColumn("r", F.row_number().over(W.orderBy("value")))
+    ar = rn.select(
+        "event_type", F.avg("r").over(W.partitionBy("value")).alias("arank")
+    )
+    agg = ar.agg(
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("n1"),
+        F.count_if(F.col("event_type") == "view").cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("arank"))).alias("r1"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = F.col("r1") - n1d * (F.col("n1") + 1) / 2
+    z = (u - n1d * n2d / 2) / F.sqrt(n1d * n2d * (F.col("n1") + F.col("n2") + 1) / 12)
+    return agg.select(
+        "n1", "n2", F.round(u, 6).alias("u_stat"), F.round(z, 6).alias("z_approx")
+    )
+
+
+@register(
+    "b4_gini_concentration",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   sum(rev) OVER () AS tot
+            FROM per_cust
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               round(max(tot), 2) AS total_revenue,
+               round(1 - 2.0 * sum((CAST(n AS DOUBLE) - i + 0.5) * rev)
+                         / (CAST(max(n) AS DOUBLE) * max(tot)), 6) AS gini
+        FROM ranked
+    """,
+)
+def b4_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/analytics: GINI coefficient of revenue concentration across
+    customers — the Lorenz-curve summary ("what share of revenue comes
+    from the top customers") every account-concentration dashboard shows.
+    Computed by the rank identity G = 1 − 2·Σ(n−i+½)·x_i / (n·Σx) over
+    ascending-sorted per-customer revenue — one window pass, no quadratic
+    pairwise |x_i − x_j| sum (the textbook formula that dies at scale).
+
+    Per-customer revenue accumulates in DECIMAL; the rank order breaks
+    revenue ties by customer key, so the weighted sum is identical in both
+    engines despite ties. One shuffle for the per-customer fold + one sort
+    over customers (at 100 TB: histogram-bucketed Lorenz approximation).
+    """
+    from pyspark.sql import Window as W
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(W.orderBy("rev", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("rev").over(W.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("tot"), 2).alias("total_revenue"),
+        F.round(
+            1
+            - 2.0
+            * F.sum((F.col("n").cast("double") - F.col("i") + 0.5) * F.col("rev"))
+            / (F.max("n").cast("double") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "b2_sql_pivot_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def b2_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/SQL surface: the SQL ``PIVOT`` clause — the declarative
+    rows-to-columns form (the DataFrame ``pivot()`` twin is
+    b5_pivot_status_counts); explicit IN-list so the output schema is
+    static and plannable (a dynamic pivot would need a second query to
+    discover columns — never at scale). The oracle spells the same
+    rotation with FILTERed counts, which is exactly what Catalyst lowers
+    PIVOT to.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_pivot_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus FROM _pivot_orders
+        )
+        PIVOT (
+            CAST(count(*) AS BIGINT)
+            FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+        )
+        """
+    ).select(
+        "o_orderpriority",
+        F.coalesce("f", F.lit(0)).alias("f"),
+        F.coalesce("o", F.lit(0)).alias("o"),
+        F.coalesce("p", F.lit(0)).alias("p"),
+    )

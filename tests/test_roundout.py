@@ -601,3 +601,58 @@ def test_bellman_ford_dominated_by_bfs_hops(spark):
     assert set(bf) == set(bfs)
     assert all(bf[n] >= bfs[n] for n in bf)
     assert all(bf[n] == 0 for n in bf if bfs[n] == 0)
+
+
+def test_mann_whitney_u_matches_scipy_formula(spark):
+    import numpy as np
+
+    row = registry.QUERIES["b4_mann_whitney_u"](spark, SF).first()
+    ev = load(spark, SF, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select("value", "event_type").collect()
+    vals = np.array([r.value for r in ev])
+    grp = np.array([r.event_type for r in ev])
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    rr = np.arange(1, len(vals) + 1, dtype=float)
+    # average ranks over ties
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        rr[i:j] = rr[i:j].mean()
+        i = j
+    ranks[order] = rr
+    n1 = int((grp == "click").sum())
+    r1 = ranks[grp == "click"].sum()
+    u = r1 - n1 * (n1 + 1) / 2
+    assert abs(row.u_stat - round(u, 6)) < 1e-6
+
+
+def test_gini_bounds_and_recompute(spark):
+    import numpy as np
+
+    row = registry.QUERIES["b4_gini_concentration"](spark, SF).first()
+    assert 0.0 <= row.gini <= 1.0
+    rev = np.sort(
+        np.array(
+            [
+                float(r.rev)
+                for r in load(spark, SF, "orders")
+                .groupBy("o_custkey")
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"))
+                .collect()
+            ]
+        )
+    )
+    n = len(rev)
+    gini = 1 - 2 * np.sum((n - np.arange(1, n + 1) + 0.5) * rev) / (n * rev.sum())
+    assert abs(row.gini - round(float(gini), 6)) < 1e-5
+
+
+def test_sql_pivot_totals(spark):
+    df = registry.QUERIES["b2_sql_pivot_clause"](spark, SF)
+    total = df.agg(F.sum(F.col("f") + F.col("o") + F.col("p"))).first()[0]
+    assert total == load(spark, SF, "orders").count()
