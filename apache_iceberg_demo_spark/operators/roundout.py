@@ -3227,3 +3227,57 @@ def c4_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (100.0 <= r["mean"] <= 155.0 and 0 < r["std"] < 256):
             raise AssertionError(f"channel stats out of plausible band: {r}")
     return stats
+
+
+@register(
+    "b7_symmetric_difference",
+    oracle="""
+        WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+        b AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderpriority = '2-HIGH'),
+        sym AS (
+            SELECT k, 'only_urgent' AS side FROM a
+            WHERE k NOT IN (SELECT k FROM b)
+            UNION ALL
+            SELECT k, 'only_high' FROM b
+            WHERE k NOT IN (SELECT k FROM a)
+        )
+        SELECT side, CAST(count(*) AS BIGINT) AS n_customers
+        FROM sym GROUP BY side
+    """,
+)
+def b7_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: SYMMETRIC difference — customers exclusive to each of two order
+    cohorts ((A∖B) ∪ (B∖A)), the set operation SQL spells with two
+    EXCEPTs but churn/overlap analysis asks for directly ("who is in last
+    month's actives but not this month's, and vice versa"). Each side is a
+    tagged ``exceptAll``-of-distinct = anti-join; the keys are NOT NULL
+    here so the oracle's NOT IN is safe (the NULL trap is
+    b2_not_in_null_semantics's subject).
+
+    Plan: two distinct-folds + two anti-joins sharing the same shuffled
+    key partitioning; at 100 TB this is two passes over the (already
+    reduced) distinct key sets, never the raw facts.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = (
+        o.where(F.col("o_orderpriority") == "2-HIGH")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    sym = (
+        a.join(b, "k", "left_anti")
+        .select("k", F.lit("only_urgent").alias("side"))
+        .unionByName(
+            b.join(a, "k", "left_anti").select("k", F.lit("only_high").alias("side"))
+        )
+    )
+    return sym.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -809,6 +809,32 @@ def b9_stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def ewma_fold_rows(rows, st, alpha=0.15, thresh=3.0, warmup=10):
+    """Pure score-then-update EWMA fold over ordered (key, id, value) rows.
+
+    The single fold function behind b9_stateful_ewma_anomaly's streaming
+    AND batch paths. Its load-bearing algebraic property — folding a
+    sequence in arbitrary chunks with carried state equals folding it in
+    one pass — is what makes the micro-batch boundary invisible, and is
+    property-tested in tests/test_properties.py.
+    """
+    mean, var, n = st
+    out = []
+    for et, eid, v in rows:
+        if n >= warmup and var > 0.0:
+            z = (v - mean) / (var**0.5)
+            if abs(z) > thresh:
+                out.append((et, int(eid), float(v), float(z)))
+        if n == 0:
+            mean, var = v, 0.0
+        else:
+            delta = v - mean
+            mean = mean + alpha * delta
+            var = (1.0 - alpha) * (var + alpha * delta * delta)
+        n += 1
+    return out, (mean, var, n)
+
+
 @register("b9_stateful_ewma_anomaly")  # rows-only: stateful streaming, verified vs batch fold
 def b9_stateful_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: custom stateful streaming operator #2 — per-event-type EWMA
@@ -880,26 +906,18 @@ def b9_stateful_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(pdf: "pd.DataFrame", st: tuple) -> tuple[list[tuple], tuple]:
         """Score-then-update EWMA over one ordered chunk. Shared verbatim by
         the streaming and batch paths — determinism is the contract."""
-        mean, var, n = st
-        out = []
         pdf = pdf.sort_values(["ts", "event_id"])
-        for et, eid, v in zip(
-            pdf["event_type"].tolist(),
-            pdf["event_id"].tolist(),
-            pdf["value"].tolist(),
-        ):
-            if n >= WARMUP and var > 0.0:
-                z = (v - mean) / (var**0.5)
-                if abs(z) > THRESH:
-                    out.append((et, int(eid), float(v), float(z)))
-            if n == 0:
-                mean, var = v, 0.0
-            else:
-                delta = v - mean
-                mean = mean + ALPHA * delta
-                var = (1.0 - ALPHA) * (var + ALPHA * delta * delta)
-            n += 1
-        return out, (mean, var, n)
+        return ewma_fold_rows(
+            zip(
+                pdf["event_type"].tolist(),
+                pdf["event_id"].tolist(),
+                pdf["value"].tolist(),
+            ),
+            st,
+            alpha=ALPHA,
+            thresh=THRESH,
+            warmup=WARMUP,
+        )
 
     def stream_fn(key, pdfs, state: GroupState):
         st = state.get if state.exists else (0.0, 0.0, 0)

@@ -149,3 +149,61 @@ def test_cdc_insert_prefix_determinism(data, draw):
     prefix = [h for o, l, h in orig[:-1] if o + l <= pos]
     missing = [h for h in prefix if h not in mut_hashes]
     assert not missing, f"{len(missing)}/{len(prefix)} prefix chunks lost"
+
+
+@given(
+    values=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),
+        min_size=0,
+        max_size=120,
+    ),
+    draw=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_fold_is_chunk_invariant(values, draw):
+    """Folding a sequence in ARBITRARY chunks with carried state must equal
+    folding it in one pass — the property that makes micro-batch boundaries
+    invisible to b9_stateful_ewma_anomaly."""
+    from apache_iceberg_demo_spark.streaming.windows import ewma_fold_rows
+
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    one_out, one_state = ewma_fold_rows(rows, (0.0, 0.0, 0))
+
+    chunked_out, st = [], (0.0, 0.0, 0)
+    i = 0
+    while i < len(rows):
+        size = draw.draw(st_integers_1_10)
+        chunk, st = ewma_fold_rows(rows[i : i + size], st)
+        chunked_out.extend(chunk)
+        i += size
+    assert chunked_out == one_out
+    assert st == one_state
+
+
+st_integers_1_10 = st.integers(min_value=1, max_value=10)
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=100), min_size=1, max_size=60
+    ),
+    prices=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_weighted_median_crossing_identity(weights, prices):
+    """The cumulative-weight crossing value (b4_weighted_median's plan)
+    equals the brute-force weighted median by expansion."""
+    vals = [
+        prices.draw(st.integers(min_value=0, max_value=500)) for _ in weights
+    ]
+    pairs = sorted(zip(vals, weights))
+    tw = sum(w for _, w in pairs)
+    cw, crossing = 0, None
+    for v, w in pairs:
+        cw += w
+        if cw >= tw / 2:
+            crossing = v
+            break
+    expanded = sorted(v for v, w in pairs for _ in range(w))
+    idx = (len(expanded) + 1) // 2 - 1  # first position with cum >= half
+    assert crossing == expanded[idx]
