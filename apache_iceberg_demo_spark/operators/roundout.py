@@ -3281,3 +3281,139 @@ def b7_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy("side").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+@register(
+    "b4_runs_test",
+    oracle="""
+        WITH s AS (
+            SELECT ts, event_id,
+                   CASE WHEN value >= (SELECT avg(value) FROM events) THEN 1 ELSE 0 END
+                       AS sign
+            FROM events
+        ),
+        flips AS (
+            SELECT sign,
+                   CASE WHEN lag(sign) OVER (ORDER BY ts, event_id) IS DISTINCT FROM sign
+                        THEN 1 ELSE 0 END AS new_run
+            FROM s
+        )
+        SELECT CAST(sum(new_run) AS BIGINT) AS n_runs,
+               CAST(sum(sign) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(sign) AS BIGINT) AS n_below,
+               round((sum(new_run)
+                      - (2.0 * sum(sign) * (count(*) - sum(sign))
+                         / count(*) + 1))
+                     / sqrt(2.0 * sum(sign) * (count(*) - sum(sign))
+                            * (2.0 * sum(sign) * (count(*) - sum(sign)) - count(*))
+                            / (CAST(count(*) AS DOUBLE) * count(*) * (count(*) - 1))),
+                     6) AS z_score
+        FROM flips
+    """,
+)
+def b4_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/statistics: WALD–WOLFOWITZ runs test — is the time-ordered
+    sequence of above/below-mean event values random, or does it cluster
+    (trend/regime drift)? Runs are counted as sign CHANGES along the
+    (ts, event_id) order via one lag window (null-safe IS DISTINCT FROM
+    makes the first row open run #1 in both engines); the z statistic
+    compares the observed run count against the exchangeability
+    expectation 2·n₁·n₀/n + 1.
+
+    The global mean enters as a broadcast scalar (the repo's
+    scalar-subquery pattern), so the plan is scan → broadcast-compare →
+    one ordered window → scalar aggregate; at 100 TB the global order
+    dependency is the real cost — you run it per shard/day and meta-combine.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    mean = ev.agg(F.avg("value").alias("m"))
+    s = ev.crossJoin(F.broadcast(mean)).select(
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= F.col("m"), 1).otherwise(0).alias("sign"),
+    )
+    w = W.orderBy("ts", "event_id")
+    flips = s.select(
+        "sign",
+        F.when(
+            ~F.lag("sign").over(w).eqNullSafe(F.col("sign")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("sign").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sign")).cast("bigint").alias("n0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n1d, n0d, nd = (
+        F.col("n1").cast("double"),
+        F.col("n0").cast("double"),
+        F.col("n").cast("double"),
+    )
+    expected = 2.0 * F.col("n1") * F.col("n0") / F.col("n") + 1
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n0")
+        * (2.0 * F.col("n1") * F.col("n0") - F.col("n"))
+        / (nd * F.col("n") * (F.col("n") - 1))
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.round((F.col("r") - expected) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@register(
+    "c5_blocklist_filter",
+    oracle="""
+        WITH flagged AS (
+            SELECT source,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM unnest(string_split(text, ' ')) AS u(tok)
+                       WHERE tok IN ('error', 'dup', 'slow')
+                   ) THEN 1 ELSE 0 END AS hit
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(hit) AS BIGINT) AS n_flagged,
+               CAST(count(*) - sum(hit) AS BIGINT) AS n_kept
+        FROM flagged
+        GROUP BY source
+    """,
+)
+def c5_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/curation: BLOCKLIST filtering — documents containing any term
+    from a deny-list are flagged for removal, with per-source attrition
+    counts (the safety/quality gate that runs beside PII redaction in
+    every public-crawl pipeline; here the "blocked" terms are corpus
+    vocabulary words so every scale factor exercises both branches).
+
+    Plan: token membership against a BROADCAST array via ``arrays_overlap``
+    — one scan, no explode-shuffle (the exploded-token formulation would
+    multiply the shuffle by average document length; overlap short-circuits
+    per row in codegen). The oracle spells the same predicate as
+    EXISTS-over-unnest.
+
+    At 100 TB blocklists are thousands of phrases: the same shape holds
+    with a broadcast hash set, and phrase (multi-token) rules reuse the
+    shingle machinery (c5_span_dedup_exact).
+    """
+    blocklist = ["error", "dup", "slow"]
+    d = load(spark, sf_dir, "documents")
+    hit = F.arrays_overlap(
+        F.split("text", " "),
+        F.array(*[F.lit(t) for t in blocklist]),
+    )
+    return d.select("source", F.when(hit, 1).otherwise(0).alias("h")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("h").cast("bigint").alias("n_flagged"),
+        (F.count(F.lit(1)) - F.sum("h")).cast("bigint").alias("n_kept"),
+    )

@@ -680,3 +680,18 @@ def test_channel_norm_stats_match_numpy_probe(spark):
         arr = np.stack(vals)
         assert abs(rows[ch].mean - round(float(arr.mean()), 6)) < 1e-6
         assert abs(rows[ch].std - round(float(arr.std()), 6)) < 1e-6
+
+
+def test_runs_test_counts_are_consistent(spark):
+    row = registry.QUERIES["b4_runs_test"](spark, SF).first()
+    n = load(spark, SF, "events").count()
+    assert row.n_above + row.n_below == n
+    assert 1 <= row.n_runs <= n
+
+
+def test_blocklist_filter_partitions_corpus(spark):
+    rows = registry.QUERIES["c5_blocklist_filter"](spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load(spark, SF, "documents").count()
+    assert all(r.n_flagged + r.n_kept == r.n_docs for r in rows)
+    assert any(r.n_flagged > 0 for r in rows)  # the deny terms occur in-corpus
