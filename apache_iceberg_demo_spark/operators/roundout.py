@@ -3417,3 +3417,137 @@ def c5_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("bigint").alias("n_flagged"),
         (F.count(F.lit(1)) - F.sum("h")).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "b5_islands_gaps",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 AS day
+            FROM orders
+        ),
+        tagged AS (
+            SELECT o_custkey, day,
+                   day - row_number() OVER (PARTITION BY o_custkey ORDER BY day)
+                       AS island
+            FROM days
+        ),
+        islands AS (
+            SELECT o_custkey, island,
+                   CAST(count(*) AS BIGINT) AS run_days,
+                   CAST(min(day) AS BIGINT) AS run_start_day
+            FROM tagged GROUP BY o_custkey, island
+        )
+        SELECT run_days,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(min(run_start_day) AS BIGINT) AS earliest_start_day
+        FROM islands
+        GROUP BY run_days
+    """,
+)
+def b5_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: ISLANDS-AND-GAPS — runs of CONSECUTIVE order days per customer
+    via the classic ``value − row_number()`` constant-per-island trick (the
+    integer-sequence cousin of sessionize_gap30m's time-gap islands: no
+    threshold parameter, adjacency is exact day succession). Output is the
+    run-length distribution — how many 1-day, 2-day, … streaks exist.
+
+    Plan: distinct (customer, day) fold → one per-customer window
+    (row_number over day) → two hash aggregates; everything after the
+    distinct shuffles (customer) keys + a long. The subtraction trick makes
+    island detection a GROUP BY instead of a self-join chain — the only
+    formulation that scales.
+    """
+    from pyspark.sql import Window as W
+
+    days = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("o_custkey").orderBy("day")
+    islands = (
+        days.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_days"),
+            F.min("day").cast("bigint").alias("run_start_day"),
+        )
+    )
+    return islands.groupBy("run_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.min("run_start_day").cast("bigint").alias("earliest_start_day"),
+    )
+
+
+@register(
+    "b4_benford_test",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INT) AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n,
+                   sum(count(*)) OVER () AS total
+            FROM digits GROUP BY d
+        )
+        SELECT d,
+               n,
+               round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+               round(log10(1 + 1.0 / d), 6) AS benford_freq,
+               round(pow(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / d), 2)
+                     / log10(1 + 1.0 / d) * total, 6) AS chi2_term
+        FROM obs
+    """,
+)
+def b4_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/forensics: BENFORD first-digit analysis — the leading-digit
+    distribution of order totals against Benford's law log10(1+1/d), with
+    per-digit chi-square terms (the anomaly screen auditors run over
+    financial aggregates; synthetic uniform-ish prices will deviate, which
+    is exactly what the chi2 column quantifies — the operator reports, the
+    analyst decides).
+
+    Leading digit extraction truncates to integer FIRST (both engines
+    format integers identically; double-to-string formatting differs
+    engine-to-engine, the trap this formulation avoids). One scan + 9-row
+    aggregate + window total: scale-free.
+    """
+    from pyspark.sql import Window as W
+
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            # floor FIRST: DuckDB's double->BIGINT cast rounds half-even,
+            # Spark's truncates — floor() pins both to the same integer
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    obs = obs.withColumn("total", F.sum("n").over(W.partitionBy()))
+    freq = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return obs.select(
+        "d",
+        "n",
+        F.round(freq, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.pow(freq - benford, 2) / benford * F.col("total"), 6).alias(
+            "chi2_term"
+        ),
+    )

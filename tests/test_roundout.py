@@ -695,3 +695,27 @@ def test_blocklist_filter_partitions_corpus(spark):
     assert total == load(spark, SF, "documents").count()
     assert all(r.n_flagged + r.n_kept == r.n_docs for r in rows)
     assert any(r.n_flagged > 0 for r in rows)  # the deny terms occur in-corpus
+
+
+def test_islands_total_days_conserved(spark):
+    rows = registry.QUERIES["b5_islands_gaps"](spark, SF).collect()
+    total_days = sum(r.run_days * r.n_runs for r in rows)
+    distinct_days = (
+        load(spark, SF, "orders")
+        .select(
+            "o_custkey",
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+        .count()
+    )
+    assert total_days == distinct_days
+
+
+def test_benford_frequencies_sum_to_one(spark):
+    rows = registry.QUERIES["b4_benford_test"](spark, SF).collect()
+    assert {r.d for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
