@@ -2510,8 +2510,12 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every stage keeps ≥1 doc per (lang, source) stratum present in the
     input (no stage may silently wipe a stratum).
     """
+    # NOTE: persist a raw full-table scan only for the duration of this
+    # query and unpersist before returning — a lingering cache of the bare
+    # `documents` relation would be SUBSTITUTED by the cache manager into
+    # every later documents plan in the session, silently changing their
+    # physical shape (measured: it broke two plan-contract tests).
     d = load(spark, sf_dir, "documents").persist()
-    _live_caches.append(d)
     n0 = d.count()
 
     # tier 1: exact content hash (keep smallest doc_id per hash)
@@ -2576,6 +2580,7 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"{unwitnessed} removals without a surviving witness")
     if n3 < n0 * 0.5:
         raise AssertionError(f"cascade removed >50% of corpus: {n0} -> {n3}")
+    d.unpersist()  # all counts are materialized; see persist note above
     return spark.createDataFrame(
         [
             ("input", n0),
