@@ -900,7 +900,6 @@ def b8_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrypt-on-read at full scan speed, no UDF. Key management (KMS, per-
     column keys, envelope encryption) sits outside the engine.
     """
-    key = F.lit("0123456789abcdef")
     c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_name")
     enc = c.withColumn(
         "cipher", F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
@@ -910,7 +909,6 @@ def b8_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') AS STRING)"
         ),
     )
-    _ = key
     return enc.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count_if(F.col("plain_back") == F.col("c_name"))
@@ -3352,11 +3350,7 @@ def b4_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("sign")).cast("bigint").alias("n0"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    n1d, n0d, nd = (
-        F.col("n1").cast("double"),
-        F.col("n0").cast("double"),
-        F.col("n").cast("double"),
-    )
+    nd = F.col("n").cast("double")
     expected = 2.0 * F.col("n1") * F.col("n0") / F.col("n") + 1
     var = (
         2.0
