@@ -3550,3 +3550,133 @@ def b4_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@register(
+    "b4_chisq_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, CAST(user_id % 2 AS INT) AS cohort,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY event_type, user_id % 2
+        ),
+        margins AS (
+            SELECT event_type, cohort, o,
+                   sum(o) OVER (PARTITION BY event_type) AS row_tot,
+                   sum(o) OVER (PARTITION BY cohort) AS col_tot,
+                   sum(o) OVER () AS n
+            FROM cells
+        )
+        SELECT event_type, cohort, o,
+               round(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS expected,
+               round(pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                     / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS chi2_term
+        FROM margins
+    """,
+)
+def b4_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/statistics: CHI-SQUARE test of independence — the event-type ×
+    user-cohort contingency table with expected counts under independence
+    (row·col/n) and per-cell chi² terms; summing the terms gives the
+    statistic against (r−1)(c−1) degrees of freedom. The categorical
+    association test beside the continuous-variable tests (KS, U, runs).
+
+    Plan: one hash aggregate to the R×C cell table (tiny), then window
+    margins over it — the margins never rescan the facts. At 100 TB the
+    cell table is still R×C rows; this is the cheapest test in the suite.
+    """
+    from pyspark.sql import Window as W
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", (F.col("user_id") % 2).cast("int").alias("cohort")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    m = cells.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("cohort")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.round(exp, 6).alias("expected"),
+        F.round(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "b5_xmr_control_chart",
+    oracle="""
+        WITH daily AS (
+            SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS x
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        mr AS (
+            SELECT day, x,
+                   abs(x - lag(x) OVER (ORDER BY day)) AS moving_range
+            FROM daily
+        ),
+        limits AS (
+            SELECT avg(x) AS xbar, avg(moving_range) AS mrbar FROM mr
+        )
+        SELECT day, x,
+               round(xbar, 6) AS center,
+               round(xbar + 2.66 * mrbar, 6) AS ucl,
+               round(xbar - 2.66 * mrbar, 6) AS lcl,
+               (x > xbar + 2.66 * mrbar OR x < xbar - 2.66 * mrbar)
+                   AS out_of_control
+        FROM mr CROSS JOIN limits
+    """,
+)
+def b5_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/process control: XmR (individuals & moving-range) CONTROL CHART
+    over daily purchase revenue — center line x̄, control limits
+    x̄ ± 2.66·mR̄ (the SPC constant for n=2 moving ranges), and per-day
+    out-of-control flags: the ops-monitoring chart that separates routine
+    variation from genuine shifts, applied to a pipeline's daily volumes.
+
+    Plan: daily DECIMAL-rounded totals (one shuffle), one lag window over
+    the tiny day grid for moving ranges, limits as a broadcast 1-row frame
+    (scalar-subquery pattern). Revenue is rounded to the 6th decimal
+    BEFORE the limit algebra so both engines feed identical doubles into
+    the means.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("x")
+        )
+        .select(F.col("w.start").alias("day"), "x")
+    )
+    mr = daily.withColumn(
+        "moving_range", F.abs(F.col("x") - F.lag("x").over(W.orderBy("day")))
+    )
+    limits = mr.agg(
+        F.avg("x").alias("xbar"), F.avg("moving_range").alias("mrbar")
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return mr.crossJoin(F.broadcast(limits)).select(
+        "day",
+        "x",
+        F.round(F.col("xbar"), 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
+    )

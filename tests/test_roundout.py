@@ -719,3 +719,20 @@ def test_benford_frequencies_sum_to_one(spark):
     assert {r.d for r in rows} <= set(range(1, 10))
     assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-4
     assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_chisq_cells_cover_table(spark):
+    rows = registry.QUERIES["b4_chisq_independence"](spark, SF).collect()
+    total = sum(r.o for r in rows)
+    assert total == load(spark, SF, "events").count()
+    assert all(r.chi2_term >= 0 for r in rows)
+    assert abs(sum(r.expected for r in rows) - total) < 1e-3
+
+
+def test_xmr_limits_bracket_center(spark):
+    rows = registry.QUERIES["b5_xmr_control_chart"](spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.lcl < r0.center < r0.ucl
+    for r in rows:
+        assert r.out_of_control == (r.x > r.ucl or r.x < r.lcl)
