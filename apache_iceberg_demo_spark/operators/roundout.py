@@ -3680,3 +3680,133 @@ def b5_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lcl, 6).alias("lcl"),
         ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
     )
+
+
+@register(
+    "b10_udtf_polymorphic",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(t[1]) AS BIGINT) AS n_tok_0,
+               CAST(count(t[2]) AS BIGINT) AS n_tok_1,
+               CAST(count(t[3]) AS BIGINT) AS n_tok_2,
+               CAST(count(DISTINCT t[1]) AS BIGINT) AS distinct_tok_0
+        FROM toks
+    """,
+)
+def b10_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: POLYMORPHIC Python UDTF — the Spark-4 ``analyze()`` static
+    method computes the OUTPUT SCHEMA at plan time from the call's literal
+    arguments (here: explode the first k tokens into k named columns), the
+    capability that makes Python UDTFs schema-flexible like built-in
+    generators instead of fixed-signature functions. The k=3 projection is
+    aggregated and checked against the oracle's array-indexing spelling —
+    proving the planned schema AND the per-row values.
+
+    Scale: the UDTF is Arrow-batched like every Python tier; polymorphism
+    costs nothing at runtime (the schema is resolved once in analysis).
+    Python stays the integration tier — the equivalent JVM form is a
+    slice/getItem projection (which the oracle demonstrates).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok_{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, s, n):
+            toks = (s or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(t.tok_0) AS BIGINT) AS n_tok_0,
+               CAST(count(t.tok_1) AS BIGINT) AS n_tok_1,
+               CAST(count(t.tok_2) AS BIGINT) AS n_tok_2,
+               CAST(count(DISTINCT t.tok_0) AS BIGINT) AS distinct_tok_0
+        FROM _poly_docs, LATERAL first_tokens(text, 3) AS t
+        """
+    )
+
+
+@register(
+    "b4_seasonality_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS x
+            FROM events GROUP BY 1
+        ),
+        dow AS (
+            SELECT day, x, dayofweek(day) AS dw,
+                   avg(x) OVER (PARTITION BY dayofweek(day)) AS dw_mean,
+                   avg(x) OVER () AS g_mean
+            FROM daily
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(var_samp(x), 2) AS total_var,
+               round(var_samp(x - dw_mean + g_mean), 2) AS deseasoned_var,
+               round(greatest(0.0, 1 - var_samp(x - dw_mean + g_mean)
+                                    / var_samp(x)), 6) AS seasonal_strength
+        FROM dow
+    """,
+)
+def b4_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/time series: DAY-OF-WEEK seasonality strength — 1 minus the
+    variance ratio of the deseasonalized series (daily totals minus their
+    weekday means, recentered) to the raw series: ~0 for aseasonal data,
+    →1 when the weekday profile explains everything (the STL-style
+    strength statistic without the STL machinery). Variances round to 2
+    per the repo's variance discipline; the strength ratio is a ratio of
+    those same doubles, round-6 safe.
+
+    Plan: daily DECIMAL totals (one shuffle) → two window means over the
+    tiny day grid → one scalar aggregate. The weekday profile is the
+    cheapest seasonal model there is — and the baseline any fancier
+    decomposition must beat.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("x")
+        )
+        .select(F.col("w.start").alias("day"), "x")
+    )
+    dow = daily.select(
+        "x",
+        F.avg("x").over(W.partitionBy(F.dayofweek("day"))).alias("dw_mean"),
+        F.avg("x").over(W.partitionBy()).alias("g_mean"),
+    )
+    deseason = F.col("x") - F.col("dw_mean") + F.col("g_mean")
+    return dow.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.var_samp("x"), 2).alias("total_var"),
+        F.round(F.var_samp(deseason), 2).alias("deseasoned_var"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.var_samp(deseason) / F.var_samp("x")
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )

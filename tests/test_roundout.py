@@ -736,3 +736,17 @@ def test_xmr_limits_bracket_center(spark):
     assert r0.lcl < r0.center < r0.ucl
     for r in rows:
         assert r.out_of_control == (r.x > r.ucl or r.x < r.lcl)
+
+
+def test_udtf_polymorphic_schema_follows_literal(spark):
+    """analyze() must yield k output columns for literal k."""
+    df = registry.QUERIES["b10_udtf_polymorphic"](spark, SF)
+    assert df.first().n_docs == load(spark, SF, "documents").count()
+    got = spark.sql("SELECT * FROM first_tokens('a b c d e', 4)")
+    assert got.columns == ["tok_0", "tok_1", "tok_2", "tok_3"]
+
+
+def test_seasonality_strength_in_unit_interval(spark):
+    row = registry.QUERIES["b4_seasonality_strength"](spark, SF).first()
+    assert 0.0 <= row.seasonal_strength <= 1.0
+    assert row.deseasoned_var >= 0
