@@ -3810,3 +3810,98 @@ def b4_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "c5_bigram_backoff_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        ),
+        uni AS (
+            SELECT u.tok AS w, CAST(count(*) AS BIGINT) AS c
+            FROM toks, unnest(t) AS u(tok) GROUP BY u.tok
+        ),
+        n_total AS (SELECT sum(c) AS n FROM uni),
+        bi AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+            GROUP BY t[i], t[i + 1]
+        ),
+        doc_bigrams AS (
+            SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        ),
+        scored AS (
+            SELECT d.doc_id, d.source,
+                   ln(0.7 * (CAST(bi.c AS DOUBLE) / u1.c)
+                      + 0.3 * (CAST(u2.c AS DOUBLE) / n_total.n)) AS lp
+            FROM doc_bigrams d
+            JOIN uni u1 ON d.w1 = u1.w
+            JOIN uni u2 ON d.w2 = u2.w
+            JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+            CROSS JOIN n_total
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               round(avg(lp), 6) AS mean_bigram_logprob
+        FROM scored
+        GROUP BY source
+    """,
+)
+def c5_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/LM scoring: INTERPOLATED BIGRAM log-probability per source —
+    ln(0.7·P(w2|w1) + 0.3·P(w2)), the Jelinek-Mercer smoothed score one
+    order above c5_unigram_logprob_score (bigram context catches word-
+    salad that unigram frequency cannot; the interpolation floor keeps
+    unseen-in-context pairs finite). Corpus bigram/unigram tables are
+    built from the same scan; every probability is a ratio of exact
+    BIGINT counts, so both engines produce identical doubles into ln().
+
+    Plan: shifted-slice zip builds bigram pairs with a cheap arithmetic
+    lambda (the HOF discipline from CLAUDE.md — never per-position string
+    builds); uni/bi count tables shuffle once each and join back
+    broadcast-where-small. At 100 TB the count tables ARE the model —
+    store them once, score forever.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    pairs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("n"))
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cbi")
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(bi, ["w1", "w2"])
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                0.7 * (F.col("cbi").cast("double") / F.col("c1"))
+                + 0.3 * (F.col("c2").cast("double") / F.col("n"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
+    )

@@ -1267,3 +1267,75 @@ def b9_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_batches bigint, n_input bigint, n_reported bigint, "
         "final_watermark string, final_state_rows bigint, metrics_consistent boolean",
     )
+
+
+@register("b9_complete_mode_topk")  # rows-only: genuine streaming run + self-verify
+def b9_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: COMPLETE output mode with a sorted top-k — streaming sort/limit
+    is ILLEGAL in append/update modes (results would be retracted) but
+    legal in complete mode, where every trigger re-emits the whole
+    leaderboard: the live "top users by spend" view. The final emitted
+    table must equal the batch top-k exactly (count AND DECIMAL-exact
+    totals), asserted before returning.
+
+    State is the full aggregate (complete mode's cost — O(keys), re-sorted
+    per trigger); at 100 TB you bound the leaderboard key space (top-k of
+    a rollup, not of raw users) or use update mode + downstream MERGE
+    (b9_foreachbatch_merge_sink) instead.
+    """
+    import os
+    import uuid
+
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    K = 10
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    replay = scratch_dir(f"topk_replay_{os.path.basename(sf_dir)}_")
+    marker = os.path.join(replay, "_ready")
+    if not os.path.exists(marker):
+        ev.repartition(2).write.mode("overwrite").parquet(replay)
+        open(marker, "w").close()
+
+    name = f"topk_out_{uuid.uuid4().hex[:8]}"
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev)}
+    ):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(replay)
+            .groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+            .orderBy(F.desc("spend"), F.asc("user_id"))
+            .limit(K)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("topk_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
+        streamed = [
+            (r["user_id"], r["spend"])
+            for r in spark.table(name)
+            .orderBy(F.desc("spend"), F.asc("user_id"))
+            .collect()
+        ]
+        batch = [
+            (r["user_id"], r["spend"])
+            for r in ev.groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+            .orderBy(F.desc("spend"), F.asc("user_id"))
+            .limit(K)
+            .collect()
+        ]
+    if streamed != batch:
+        raise AssertionError(
+            f"complete-mode top-{K} != batch top-{K}: {streamed[:3]} vs {batch[:3]}"
+        )
+    return spark.createDataFrame(
+        [(uid, float(sp), i + 1, True) for i, (uid, sp) in enumerate(streamed)],
+        "user_id bigint, spend double, rank bigint, matches_batch boolean",
+    )

@@ -750,3 +750,22 @@ def test_seasonality_strength_in_unit_interval(spark):
     row = registry.QUERIES["b4_seasonality_strength"](spark, SF).first()
     assert 0.0 <= row.seasonal_strength <= 1.0
     assert row.deseasoned_var >= 0
+
+
+def test_bigram_scores_are_negative_logprobs(spark):
+    rows = registry.QUERIES["c5_bigram_backoff_score"](spark, SF).collect()
+    assert rows and all(r.mean_bigram_logprob < 0 for r in rows)
+    total_docs = sum(r.n_docs for r in rows)
+    docs_with_bigrams = (
+        load(spark, SF, "documents")
+        .where(F.size(F.split("text", " ")) > 1)
+        .count()
+    )
+    assert total_docs == docs_with_bigrams
+
+
+def test_complete_mode_topk_matches_batch(spark):
+    rows = registry.QUERIES["b9_complete_mode_topk"](spark, SF).collect()
+    assert len(rows) == 10 and all(r.matches_batch for r in rows)
+    spends = [r.spend for r in rows]
+    assert spends == sorted(spends, reverse=True)
