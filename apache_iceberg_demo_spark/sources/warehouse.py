@@ -196,6 +196,20 @@ class Warehouse:
                 "total-records": sum(f["row_count"] for f in files),
             },
         }
+        # Iceberg v2 merge-on-read: delete entries recorded on the parent
+        # still apply to the data files they were scoped to, so child
+        # snapshots inherit them. Scoping by file path makes inheritance
+        # self-limiting: files rewritten/compacted away leave the entry
+        # inert (empty scope intersection), exactly like sequence-number
+        # scoping in the Iceberg spec.
+        if parent is not None:
+            par = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == parent), None
+            )
+            if par and par.get("delete_predicates"):
+                snapshot["delete_predicates"] = [
+                    dict(d) for d in par["delete_predicates"]
+                ]
         meta["schema"] = schema_ddl  # schema-wins-on-replace (SURVEY.md §1.3)
         meta["current_snapshot_id"] = snap_id
         meta["snapshots"].append(snapshot)
@@ -476,6 +490,56 @@ class Warehouse:
         ).filter(~cond)
         return self._partial_rewrite(name, touched, kept, "delete")
 
+    def delete_where_mor(self, name: str, predicate: str) -> dict:
+        """Row-level DELETE, MERGE-ON-READ (Iceberg v2): a METADATA-ONLY
+        commit — no data file is touched; the predicate is recorded as a
+        delete entry scoped to the data files live at delete time, and
+        ``read()`` applies it as an anti-filter over exactly those files.
+        Rows appended AFTER the delete are never affected (file-path
+        scoping = the spec's sequence-number rule). The write is O(1) at
+        any table size; the cost moves to read amplification until
+        ``apply_deletes`` (or any compaction) materializes it — the
+        write-heavy/read-heavy trade MoR exists for.
+        """
+        meta = self._load_meta(name)
+        parent = meta["current_snapshot_id"]
+        prev = self._snapshot(meta, parent)
+        snap = self._commit(
+            name,
+            "delete-mor",
+            list(prev["manifest"]),
+            meta["schema"],
+            meta.get("partition_by"),
+            parent,
+            meta,
+        )
+        meta = self._load_meta(name)
+        s = self._snapshot(meta, snap["snapshot_id"])
+        s.setdefault("delete_predicates", []).append(
+            {"predicate": predicate, "files": [f["path"] for f in prev["manifest"]]}
+        )
+        self._store_meta(name, meta)
+        snap["delete_predicates"] = list(s["delete_predicates"])
+        return snap
+
+    def apply_deletes(self, name: str) -> dict:
+        """Materialize outstanding merge-on-read deletes into data files
+        (the compaction that pays the MoR debt) and clear the entries."""
+        meta = self._load_meta(name)
+        cur = self._snapshot(meta, meta["current_snapshot_id"])
+        if not cur.get("delete_predicates"):
+            return cur
+        materialized = self.read(name)  # delete-applied view
+        snap = self.create_or_replace(
+            name, materialized, partition_by=meta.get("partition_spec")
+        )
+        meta = self._load_meta(name)
+        s = self._snapshot(meta, snap["snapshot_id"])
+        s.pop("delete_predicates", None)
+        self._store_meta(name, meta)
+        snap.pop("delete_predicates", None)
+        return snap
+
     def update_where(self, name: str, predicate: str, assignments: dict) -> dict:
         """Row-level UPDATE (copy-on-write): SET ``col = sql_expr`` on rows
         matching ``predicate``. Partition-aware like MERGE — an update that
@@ -672,7 +736,30 @@ class Warehouse:
             else:
                 snapshot_id = meta["current_snapshot_id"]
         snap = self._snapshot(meta, snapshot_id)
-        return self._scan_files(name, meta, snap, snap["manifest"], where)
+        deletes = snap.get("delete_predicates", [])
+        if not deletes:
+            return self._scan_files(name, meta, snap, snap["manifest"], where)
+        # merge-on-read: group data files by WHICH delete entries scope
+        # them (appended-later files carry none), scan each group once and
+        # apply its predicates as read-side anti-filters
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for f in snap["manifest"]:
+            key = tuple(
+                i for i, d in enumerate(deletes) if f["path"] in set(d["files"])
+            )
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, files in groups.items():
+            df = self._scan_files(name, meta, snap, files, where)
+            for i in key:
+                df = df.filter(
+                    ~F.coalesce(F.expr(deletes[i]["predicate"]), F.lit(False))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_incremental(
         self,
@@ -2354,4 +2441,62 @@ def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(main_rows, branch_rows, head, True, True)],
         "main_rows bigint, branch_rows bigint, published_head bigint, "
         "isolation_held boolean, divergence_refused boolean",
+    )
+
+
+@register("c6_merge_on_read_delete")  # rows-only: engine-specific MoR surface
+def c6_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: MERGE-ON-READ row-level delete (Iceberg v2) vs copy-on-write —
+    the same logical DELETE executed both ways, proving the v2 trade:
+
+    - MoR commit is METADATA-ONLY (file count unchanged, zero rewrite);
+      the read applies the scoped anti-filter and must equal the CoW
+      result's content exactly;
+    - rows APPENDED AFTER the delete that match the predicate are NOT
+      deleted (file-scoped entries = the spec's sequence-number rule) —
+      asserted by appending matching rows post-delete and counting them;
+    - ``apply_deletes`` then materializes (pays the debt): entries
+      cleared, content unchanged, and the appended matching rows still
+      present.
+    """
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    pred = "l_linenumber = 2"
+    files_before = wh.files(t).count()
+    expected = wh.read(t).filter(f"NOT coalesce({pred}, false)")
+    expected_hash = _content_hash(expected)
+
+    snap = wh.delete_where_mor(t, pred)
+    files_after = wh.files(t).count()
+    _check(files_after == files_before, "MoR delete rewrote data files")
+    _check(
+        _content_hash(wh.read(t)) == expected_hash,
+        "MoR read != CoW-equivalent content",
+    )
+
+    # post-delete appends matching the predicate must SURVIVE (scoping)
+    late = wh.read(t, snapshot_id=snap["snapshot_id"] - 1).filter(pred).limit(40)
+    n_late = late.count()
+    _check(n_late > 0, "no late rows to append")
+    wh.append(t, late)
+    survivors = wh.read(t).filter(pred).count()
+    _check(
+        survivors == n_late,
+        f"late-appended rows wrongly deleted: {survivors} != {n_late}",
+    )
+
+    pre_apply_hash = _content_hash(wh.read(t))
+    wh.apply_deletes(t)
+    _check(
+        _content_hash(wh.read(t)) == pre_apply_hash,
+        "apply_deletes changed table content",
+    )
+    meta_cur = wh._snapshot(wh._load_meta(t), wh._load_meta(t)["current_snapshot_id"])
+    _check(
+        not meta_cur.get("delete_predicates"),
+        "apply_deletes left delete entries behind",
+    )
+    return spark.createDataFrame(
+        [(files_before, files_after, n_late, survivors, True, True)],
+        "files_before bigint, files_after_mor bigint, late_appended bigint, "
+        "late_survivors bigint, mor_equals_cow boolean, debt_paid boolean",
     )

@@ -769,3 +769,24 @@ def test_complete_mode_topk_matches_batch(spark):
     assert len(rows) == 10 and all(r.matches_batch for r in rows)
     spends = [r.spend for r in rows]
     assert spends == sorted(spends, reverse=True)
+
+
+def test_mor_delete_unit_semantics(spark, tmp_path):
+    """MoR: metadata-only; scoped to pre-delete files; apply clears debt."""
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whmor"))
+    nat = load(spark, SF, "nation")
+    wh.create_or_replace("t", nat, None)
+    n0 = wh.read("t").count()
+    wh.delete_where_mor("t", "n_regionkey = 1")
+    kept = wh.read("t").count()
+    gone = nat.where("n_regionkey = 1").count()
+    assert kept == n0 - gone
+    # time travel to the pre-delete snapshot still sees everything
+    assert wh.read("t", snapshot_id=1).count() == n0
+    # a later append of matching rows survives the earlier scoped delete
+    wh.append("t", nat.where("n_regionkey = 1").limit(2))
+    assert wh.read("t").count() == kept + 2
+    wh.apply_deletes("t")
+    assert wh.read("t").count() == kept + 2
