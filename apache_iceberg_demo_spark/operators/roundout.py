@@ -3905,3 +3905,196 @@ def c5_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
     )
+
+
+@register("c2_lsh_band_tuning")  # rows-only: hash internals not DuckDB-expressible
+def c2_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/LSH engineering: the BAND-TUNING curve — the same 32-hash MinHash
+    signatures bucketed under three (bands × rows) configurations, with the
+    theoretical similarity threshold (1/b)^(1/r) and the MEASURED candidate-
+    pair count per config. The S-curve trade every LSH deployment tunes:
+    more bands → lower threshold → more candidates (higher recall, more
+    verification work); the monotonicity is asserted in-query.
+
+    Plan per config: signatures computed ONCE (persisted tiny frame of
+    id+32 longs), band keys exploded to (bucket, id), self-join per bucket
+    counted — candidate ids only ever shuffle; shingle arrays never leave
+    the signature build (the r02 8× lesson).
+    """
+    from apache_iceberg_demo_spark.operators.dedup import (
+        hashed_word_shingles,
+        minhash_signature,
+    )
+
+    _release_caches()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = (
+        hashed_word_shingles(docs)
+        .select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
+        .persist()
+    )
+    _live_caches.append(sigs)
+
+    rows = []
+    for n_bands in (4, 8, 16):
+        r = 32 // n_bands
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(f"b{band}:"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig").getItem(band * r + j).cast("string")
+                            for j in range(r)
+                        ],
+                    ),
+                )
+                for band in range(n_bands)
+            ]
+        )
+        bucketed = sigs.select(
+            "doc_id", F.explode(bands).alias("bucket")
+        ).distinct()
+        n_pairs = (
+            bucketed.alias("a")
+            .join(
+                bucketed.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        rows.append(
+            (n_bands, r, round((1.0 / n_bands) ** (1.0 / r), 6), n_pairs)
+        )
+    counts = [p for *_, p in rows]
+    if not (counts[0] <= counts[1] <= counts[2]):
+        raise AssertionError(f"candidate count not monotone in bands: {rows}")
+    return spark.createDataFrame(
+        rows,
+        "n_bands int, rows_per_band int, est_threshold double, candidate_pairs bigint",
+    )
+
+
+@register(
+    "b4_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   CAST(min(epoch_us(o_orderdate)) // (86400000000 * 30) AS BIGINT)
+                       AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        aged AS (
+            SELECT f.cohort_month,
+                   CAST(epoch_us(o.o_orderdate) // (86400000000 * 30) AS BIGINT)
+                       - f.cohort_month AS age_months,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        ),
+        m AS (
+            SELECT cohort_month, age_months, sum(rev) AS rev
+            FROM aged GROUP BY cohort_month, age_months
+        )
+        SELECT cohort_month, age_months,
+               round(CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_months)
+                          AS DOUBLE), 6) AS cumulative_ltv
+        FROM m
+    """,
+)
+def b4_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/product analytics: cohort LIFETIME-VALUE curves — customers
+    grouped by first-order month (30-day buckets on the µs axis, exact in
+    both engines), revenue accumulated by cohort age: the cumulative-LTV
+    matrix a growth dashboard plots per cohort line (the revenue
+    counterpart of b4_retention_cohorts' activity matrix).
+
+    Plan: first-order fold (shuffle on custkey) joins back to facts
+    (broadcast — one row per customer key is still big at 100 TB, so
+    there it stays a shuffled equi-join on the same key partitioning),
+    per-(cohort, age) DECIMAL sums, then one window cumsum over the tiny
+    matrix.
+    """
+    from pyspark.sql import Window as W
+
+    MONTH_US = 86_400_000_000 * 30
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / MONTH_US)
+        .cast("long")
+        .alias("mo"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("mo").alias("cohort_month"))
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (F.col("mo") - F.col("cohort_month")).alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    m = aged.groupBy("cohort_month", "age_months").agg(F.sum("rev").alias("rev"))
+    w = W.partitionBy("cohort_month").orderBy("age_months")
+    return m.select(
+        "cohort_month",
+        "age_months",
+        F.round(F.sum("rev").over(w).cast("double"), 6).alias("cumulative_ltv"),
+    )
+
+
+@register(
+    "s1_upsample_minority",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   max(count(*)) OVER () AS max_n
+            FROM documents GROUP BY lang
+        ),
+        factors AS (
+            SELECT lang, n, CAST(ceil(CAST(max_n AS DOUBLE) / n) AS BIGINT) AS k
+            FROM counts
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_upsampled,
+               CAST(max(f.k) AS BIGINT) AS repeat_factor,
+               CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_unique
+        FROM documents d
+        JOIN factors f ON d.lang = f.lang
+        CROSS JOIN unnest(generate_series(1, f.k)) AS g(i)
+        GROUP BY d.lang
+    """,
+)
+def s1_upsample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: deterministic MINORITY UPSAMPLING — every language stratum is
+    repeated ⌈max_n/n⌉ times (whole-copy replication, no RNG), the
+    oversampling counterpart of s1_balanced_class_downsample: after
+    upsampling every stratum has ≥ max_n rows and identical content
+    multiplicity on any engine or rerun. Replication is
+    explode(sequence(1, k)) against a broadcast per-stratum factor — the
+    repeat never materializes driver-side and epochs stay resumable.
+
+    At 100 TB prefer LOGICAL repeat factors consumed by the data loader
+    (weight columns) over physical replication; this operator computes
+    exactly those factors and proves the physical expansion they imply.
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.withColumn("max_n", F.max("n").over(W.partitionBy()))
+    factors = counts.select(
+        "lang",
+        "n",
+        F.ceil(F.col("max_n").cast("double") / F.col("n")).cast("bigint").alias("k"),
+    )
+    up = d.join(F.broadcast(factors), "lang").select(
+        "lang", "doc_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("i")
+    )
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_upsampled"),
+        F.max(
+            F.col("i").cast("bigint")
+        ).alias("repeat_factor"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_unique"),
+    )

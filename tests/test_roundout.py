@@ -790,3 +790,35 @@ def test_mor_delete_unit_semantics(spark, tmp_path):
     assert wh.read("t").count() == kept + 2
     wh.apply_deletes("t")
     assert wh.read("t").count() == kept + 2
+
+
+def test_lsh_band_tuning_curve_shape(spark):
+    rows = sorted(
+        registry.QUERIES["c2_lsh_band_tuning"](spark, SF).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [r.n_bands for r in rows] == [4, 8, 16]
+    # more bands -> lower threshold AND at-least-as-many candidates
+    ths = [r.est_threshold for r in rows]
+    assert ths == sorted(ths, reverse=True)
+    cps = [r.candidate_pairs for r in rows]
+    assert cps == sorted(cps)
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark):
+    rows = registry.QUERIES["b4_cohort_ltv"](spark, SF).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append((r.age_months, r.cumulative_ltv))
+    for seq in by_cohort.values():
+        seq.sort()
+        vals = [v for _, v in seq]
+        assert vals == sorted(vals)
+
+
+def test_upsample_brings_every_stratum_to_max(spark):
+    rows = registry.QUERIES["s1_upsample_minority"](spark, SF).collect()
+    max_orig = max(r.n_unique for r in rows)
+    for r in rows:
+        assert r.n_upsampled == r.n_unique * r.repeat_factor
+        assert r.n_upsampled >= max_orig
