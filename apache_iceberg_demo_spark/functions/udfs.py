@@ -159,11 +159,29 @@ def b10_python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select("n_nationkey", "n_name", title_case("n_name").alias("title_name"))
 
 
-@register("b10_udtf_explode_bigrams")  # rows-only: UDTF-style 1→N expansion
+@register(
+    "b10_udtf_explode_bigrams",
+    oracle="""
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1]
+               )) AS bigram
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
 def b10_udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: table-function surface — 1 row → N rows via mapInPandas yielding
-    expanded frames (word bigrams per document)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    expanded frames (word bigrams per document). Oracle-paired: DuckDB
+    rebuilds the same adjacent-word pairs with a list comprehension over the
+    split array (1-based; single-word docs expand to zero rows both sides)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
 
     def bigrams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -152,14 +152,21 @@ def b8_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH seqs AS (
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+                   list(event_type ORDER BY ts, event_id) AS types
             FROM events
             GROUP BY user_id
         )
         SELECT user_id, n_events,
-               (seq LIKE '%signup%purchase%')                       AS has_signup_then_purchase,
-               CAST((length(seq) - length(regexp_replace(seq, 'view>purchase', '', 'g')))
-                    // length('view>purchase') AS BIGINT)           AS n_view_purchase_adjacent
+               coalesce(
+                   list_position(types, 'signup') IS NOT NULL
+                   AND (len(types) - list_position(list_reverse(types), 'purchase') + 1)
+                       > list_position(types, 'signup'),
+                   FALSE)                                           AS has_signup_then_purchase,
+               CAST(coalesce(list_sum(list_transform(
+                        range(1, len(types)),
+                        i -> CASE WHEN types[i] = 'view'
+                                   AND types[i + 1] = 'purchase'
+                             THEN 1 ELSE 0 END)), 0) AS BIGINT)     AS n_view_purchase_adjacent
         FROM seqs
     """,
 )
@@ -169,45 +176,51 @@ def b5_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated on it: "signup eventually followed by purchase" (subsequence
     pattern) and "view immediately followed by purchase" (adjacency
     pattern, counted). Neither Spark nor DuckDB has SQL:2016
-    MATCH_RECOGNIZE; serializing the ordered sequence per key and running
-    anchored regex/substring predicates is the portable plan — and at scale
-    it is ONE shuffle (group by user) with the per-user sequence built by
+    MATCH_RECOGNIZE; collecting the ordered type array per key and running
+    positional predicates on it is the portable plan — and at scale it is
+    ONE shuffle (group by user) with the per-user sequence built by
     sort_array over collected (ts, event_id, type) structs, never a window
     sort pass.
 
-    The adjacency count uses the replace-and-measure identity
-    ``(len(s) - len(replace(s, pat, ''))) / len(pat)`` — non-overlapping
-    count semantics, identical in both engines.
+    Patterns match whole tokens, never substrings: adjacency counts index
+    pairs where ``types[i]='view' AND types[i+1]='purchase'`` (an event type
+    like 'pageview' can no longer false-positive), and the subsequence test
+    compares the first 'signup' position against the last 'purchase'
+    position. Identical positional logic on both engines.
 
     Scale: per-user sequences are bounded by per-key cardinality (sessions
     at 100 TB: cap with a HAVING or time-bucket the key before collect —
     same guard sessionize_gap30m documents).
     """
     ev = load(spark, sf_dir, "events")
-    pat = "view>purchase"
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: s["event_type"],
-        ),
-        ">",
+    types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
     )
+    n1 = F.greatest(F.size("types") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("types"), F.lit(1), n1),
+        F.slice(F.col("types"), F.lit(2), n1),
+        lambda a, b: ((a == F.lit("view")) & (b == F.lit("purchase"))).cast("int"),
+    )
+    pos_signup = F.array_position("types", "signup")
+    rev_pos_purchase = F.array_position(F.reverse("types"), "purchase")
+    last_purchase = F.when(
+        rev_pos_purchase > 0, F.size("types") - rev_pos_purchase + 1
+    ).otherwise(F.lit(0))
     return (
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            seq.alias("seq"),
+            types.alias("types"),
         )
         .select(
             "user_id",
             "n_events",
-            F.col("seq").like("%signup%purchase%").alias("has_signup_then_purchase"),
-            (
-                (F.length("seq") - F.length(F.regexp_replace("seq", pat, "")))
-                / F.lit(len(pat))
-            )
+            ((pos_signup > 0) & (last_purchase > pos_signup)).alias(
+                "has_signup_then_purchase"
+            ),
+            F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
             .cast("bigint")
             .alias("n_view_purchase_adjacent"),
         )

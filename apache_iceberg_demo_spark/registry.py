@@ -88,20 +88,60 @@ _DRIVER_VERIFIED: set[str] = {
     "c3_cosine_neardup_pairs", "c3_cosine_topk", "c3_cosine_topk_batch",
     "c4_multimodal_metadata", "s1_hash_sample_10pct", "s1_mixture_weighted",
     "s1_train_val_test_split",
-    # NOT in this set although driver-seen: b4_filtered_aggs (hash FAIL
-    # r01-r04, open_avg now DECIMAL-sum÷count — must re-verify, so it
-    # registers first of all) and the four r04 `err` rows broken by the
-    # events-loader regression (fixed this round, re-verify via _HEAD).
+    # --- r05 driver greens (CORRECTNESS_r05.json — all 50 rows fully green,
+    # including the long-open b4_filtered_aggs hash fix), folded in per
+    # VERDICT r05 item 1 so the round-6 budget reaches the ~113 oracle-paired
+    # queries that still have no driver row:
+    "b4_filtered_aggs", "b4_rollup_reuse_hierarchy",
+    "b2_sql_api_shipping_priority", "b2_scalar_subquery", "b2_in_subquery",
+    "b4_hll_sketch_mergeable", "b4_data_profile", "b2_sql_pipe_syntax",
+    "b4_retention_cohorts", "asof_join_tolerance", "c1_dedup_keep_best",
+    "c2_containment_pairs", "b2_sql_named_params", "b3_join_range_binned",
+    "s1_mixture_temperature", "s1_split_leakage_audit",
+    "c3_quantize_int8_error", "b2_correlated_exists", "b2_correlated_scalar",
+    "b2_not_in_null_semantics", "b2_recursive_cte_spine",
+    "c5_token_frequencies", "c5_doc_stats", "c5_quality_score",
+    "c5_token_count_bpe_regex", "c5_lang_source_stats", "c5_tfidf_top_terms",
+    "pipeline_llm_corpus_clean", "c5_sequence_packing",
+    "c5_decontaminate_ngram_overlap", "pipeline_pretrain_data_prep",
+    "c5_repetition_stats", "c5_unigram_logprob_score", "b5_row_number_topk",
+    "b5_rank_dense_ntile", "b5_lag_lead", "b5_running_agg", "b5_range_frame",
+    "b5_value_functions", "b5_percent_rank_cume_dist", "b5_gap_fill_forward",
+    "b5_named_window_clause", "a01_a06_csv_ingest_roundtrip",
+    "b8_string_funcs", "b8_date_funcs", "b8_math_funcs", "b8_conditional",
+    "b8_array_funcs", "b8_json_funcs", "b8_variant_json",
 }
 
 # Names that must lead the registry regardless of verification history
-# (regression re-checks of previously-failed/erred rows).
-_HEAD: list[str] = [
-    "b4_filtered_aggs",
-    "b4_rollup_reuse_hierarchy",
-    "b2_sql_api_shipping_priority",
-    "b2_scalar_subquery",
-    "b2_in_subquery",
+# (regression re-checks of previously-failed/erred rows). Empty after r05:
+# all five prior members came back fully green, so re-proving them would
+# burn driver budget (VERDICT r05 item 1).
+_HEAD: list[str] = []
+
+# Within the driver-unverified block, run these FIRST (VERDICT r05 item 2):
+# B1 sources + B10 UDF surface have never received a driver row, are cheap,
+# and cover two whole SURVEY.md §2 categories. Order here is the run order.
+_PRIORITY: list[str] = [
+    "b1_json_roundtrip",
+    "b1_csv_malformed_modes",
+    "b1_orc_roundtrip",
+    "b1_partitioned_parquet_roundtrip",
+    "b1_metadata_columns",
+    "b1_mergeschema_landing",
+    "b1_xml_roundtrip",
+    "b1_codec_comparison",
+    "b1_python_datasource",
+    "b10_pandas_udf_scalar",
+    "b10_udtf_explode_bigrams",
+    "b10_grouped_agg_median",
+    "b10_apply_in_pandas_zscore",
+    "b10_map_in_pandas_tokens",
+    "b10_arrow_scalar_udf",
+    "b10_pandas_udf_scalar_iter",
+    "b10_map_in_arrow_stats",
+    "b10_python_udtf_chunks",
+    "b10_python_udf_rowwise",
+    "b10_udtf_polymorphic",
 ]
 
 
@@ -114,10 +154,12 @@ def _reorder() -> None:
         if name in _HEAD:
             return (0, 0, _HEAD.index(name))
         if name not in _DRIVER_VERIFIED:
+            if name in _PRIORITY:
+                return (1, 0, _PRIORITY.index(name))
             # oracle-paired before rows-only: full value-hash rows are the
             # stronger evidence, and the slowest queries (ingest/warehouse/
             # streaming roundtrips) are rows-only by design
-            return (1, 0 if name in ORACLES else 1, idx)
+            return (1, 1 if name in ORACLES else 2, idx)
         return (2, 0, idx)
 
     ordered = sorted(((i, n) for i, n in enumerate(QUERIES)), key=rank)

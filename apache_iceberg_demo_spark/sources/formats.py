@@ -16,12 +16,27 @@ from apache_iceberg_demo_spark.io import load, scratch_dir
 from apache_iceberg_demo_spark.registry import register
 
 
-@register("b1_json_roundtrip")  # rows-only: the oracle has no view of the temp JSON
+@register(
+    "b1_json_roundtrip",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS total
+        FROM events
+        WHERE event_id < 2000
+        GROUP BY event_type
+    """,
+)
 def b1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: JSON-lines sink + schema-declared source (no inference job —
-    explicit schema is the 100 TB rule; inference is a full extra scan)."""
+    explicit schema is the 100 TB rule; inference is a full extra scan).
+
+    Oracle-paired: the oracle computes the same aggregate straight from the
+    parquet table — equality proves the JSON write/read preserved every row
+    and value exactly (doubles survive via Jackson's shortest-roundtrip
+    encoding, timestamps via ISO-8601 with microseconds)."""
     tmp = scratch_dir("json_rt_")
-    ev = load(spark, sf_dir, "events").limit(2000)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     ev.write.mode("overwrite").json(tmp)
 
     schema = T.StructType(
@@ -69,23 +84,51 @@ def b1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b1_partitioned_parquet_roundtrip")  # rows-only
+@register(
+    "b1_partitioned_parquet_roundtrip",
+    oracle="""
+        SELECT l_returnflag AS rf,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+        GROUP BY l_returnflag
+    """,
+)
 def b1_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: hive-partitioned parquet write + partition-pruned read — the scan
     reads only the selected partition directory (partition pruning at the
-    file-listing level, before any footer is opened)."""
+    file-listing level, before any footer is opened). Oracle-paired: the
+    oracle recomputes the pruned partition's aggregate straight from the
+    source table, so equality proves the partitioned layout lost nothing."""
     tmp = scratch_dir("pq_rt_")
-    li = load(spark, sf_dir, "lineitem").limit(5000)
+    li = load(spark, sf_dir, "lineitem")
     li.withColumn("rf", F.col("l_returnflag")).write.mode("overwrite").partitionBy(
         "rf"
     ).parquet(tmp)
     pruned = spark.read.parquet(tmp).filter(F.col("rf") == "A")
     return pruned.groupBy("rf").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("total")
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("total"),
     )
 
 
-@register("b1_csv_malformed_modes")  # rows-only: reads a locally written fixture
+@register(
+    "b1_csv_malformed_modes",
+    # The fixture is deterministic (50 clean + 2 malformed lines), so the
+    # expected mode-by-mode counts are compile-time constants — the oracle
+    # pins them, turning the self-asserts into a driver hash gate too.
+    oracle="""
+        SELECT CAST(52 AS BIGINT) AS rows_permissive,
+               CAST(50 AS BIGINT) AS rows_clean,
+               CAST(2 AS BIGINT) AS rows_quarantined,
+               CAST(50 AS BIGINT) AS rows_dropmalformed,
+               TRUE AS failfast_raised
+    """,
+)
 def b1_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: dirty-CSV ingestion policy — the three Spark parse modes over the
     same file with two malformed lines (wrong arity / unparseable number):
@@ -166,7 +209,20 @@ def b1_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b1_metadata_columns")  # rows-only: engine-specific hidden columns
+@register(
+    "b1_metadata_columns",
+    # Each testdata table is a single parquet file, so the per-file metadata
+    # aggregate is fully determined by the table itself: one row, the file's
+    # basename, n rows, and a dense 0..n-1 row_index.
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS min_idx,
+               CAST(count(*) - 1 AS BIGINT) AS max_idx,
+               CAST(count(*) AS BIGINT) AS n_distinct_idx
+        FROM lineitem
+    """,
+)
 def b1_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: the hidden ``_metadata`` struct every file scan carries —
     file_name / file_size / row_index per row, surfaced only when selected
@@ -290,7 +346,25 @@ def b1_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b1_mergeschema_landing")  # rows-only: reads a locally written fixture
+@register(
+    "b1_mergeschema_landing",
+    # Batch 1 = even doc_ids (doc_id, text, source); batch 2 = odd doc_ids
+    # (doc_id, text, lang, n_chars). The merged scan's group-by-source
+    # aggregate is therefore pure arithmetic on the source table: batch-2
+    # rows land in the NULL-source group, and lang/n_chars are non-null
+    # exactly on odd doc_ids.
+    oracle="""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN source END AS source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT)
+                   AS n_with_lang,
+               CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                   AS n_with_chars
+        FROM documents
+        WHERE doc_id < 400
+        GROUP BY 1
+    """,
+)
 def b1_mergeschema_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: schema-drifting landing zone — two parquet batches with different
     column sets under one prefix, read with ``mergeSchema=true``. The
@@ -307,7 +381,7 @@ def b1_mergeschema_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    d = load(spark, sf_dir, "documents").limit(400)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     b1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "source")
     b2 = d.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "text", "lang", "n_chars"

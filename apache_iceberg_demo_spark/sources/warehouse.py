@@ -134,6 +134,23 @@ class Warehouse:
                 )
         return sorted(entries, key=lambda e: e["path"])
 
+    @staticmethod
+    def _next_snap_id(meta: Optional[dict], parent: Optional[int]) -> int:
+        """The id the NEXT commit will receive. Shared by `_commit` and every
+        data-dir tag computation: a commit whose parent sits below the max
+        snapshot id (branch appends, appends after an unpublished
+        stage_append) must not reuse `parent+1` — that id (and its
+        `data/snap-NNNNN` directory) already belongs to another snapshot,
+        and reusing the tag would overwrite that snapshot's committed
+        files."""
+        snap_id = (parent or 0) + 1
+        if meta is not None and meta.get("snapshots"):
+            # staged (unpublished) snapshots branch off the same parent as
+            # later commits — ids must stay unique across the whole log, not
+            # just along the current line (WAP, Iceberg's wap.id staging)
+            snap_id = max(snap_id, max(s["snapshot_id"] for s in meta["snapshots"]) + 1)
+        return snap_id
+
     def _commit(
         self,
         name: str,
@@ -144,12 +161,7 @@ class Warehouse:
         parent: Optional[int],
         meta: Optional[dict],
     ) -> dict:
-        snap_id = (parent or 0) + 1
-        if meta is not None and meta.get("snapshots"):
-            # staged (unpublished) snapshots branch off the same parent as
-            # later commits — ids must stay unique across the whole log, not
-            # just along the current line (WAP, Iceberg's wap.id staging)
-            snap_id = max(snap_id, max(s["snapshot_id"] for s in meta["snapshots"]) + 1)
+        snap_id = self._next_snap_id(meta, parent)
         if meta is None:
             meta = {
                 "table": name,
@@ -287,7 +299,7 @@ class Warehouse:
         exists = os.path.exists(self._meta_path(name))
         meta = self._load_meta(name) if exists else None
         parent = meta["current_snapshot_id"] if meta else None
-        tag = f"snap-{(parent or 0) + 1:05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
         data_dir = self._write_data(name, df, tag, partition_by)
         files = self._manifest_for_dir(name, data_dir)
         if meta is not None:
@@ -311,7 +323,7 @@ class Warehouse:
             df, _ = self._apply_transform(df, spec)
         parent = meta["current_snapshot_id"]
         prev = self._snapshot(meta, parent)
-        tag = f"snap-{parent + 1:05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
         files = self._manifest_for_dir(name, data_dir)
         all_files = prev["manifest"] + files
@@ -456,7 +468,7 @@ class Warehouse:
         else:
             carry = list(prev["manifest"])
         parent = meta["current_snapshot_id"]
-        tag = f"snap-{parent + 1:05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
         data_dir = self._write_data(name, new_rows, tag, part_col)
         files = self._manifest_for_dir(name, data_dir)
         return self._commit(
@@ -475,7 +487,7 @@ class Warehouse:
         if not part_col:
             meta2 = self._load_meta(name)
             parent = meta2["current_snapshot_id"]
-            tag = f"snap-{parent + 1:05d}"
+            tag = f"snap-{self._next_snap_id(meta2, parent):05d}"
             data_dir = self._write_data(name, target.filter(~cond), tag, None)
             files = self._manifest_for_dir(name, data_dir)
             return self._commit(
@@ -561,7 +573,7 @@ class Warehouse:
         if not part_col:
             meta2 = self._load_meta(name)
             parent = meta2["current_snapshot_id"]
-            tag = f"snap-{parent + 1:05d}"
+            tag = f"snap-{self._next_snap_id(meta2, parent):05d}"
             data_dir = self._write_data(name, updated_all.drop("_upd"), tag, None)
             files = self._manifest_for_dir(name, data_dir)
             return self._commit(
@@ -651,9 +663,15 @@ class Warehouse:
         meta = self._load_meta(name)
         cur = meta["current_snapshot_id"]
         by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        # expired intermediates keep only a parent pointer (expire_snapshots
+        # lineage map) — the walk crosses them instead of falling off to None
+        expired_parents = meta.get("expired_parents", {})
         node: Optional[int] = target
         while node is not None and node != cur:
-            node = by_id.get(node, {}).get("parent_id")
+            if node in by_id:
+                node = by_id[node].get("parent_id")
+            else:
+                node = expired_parents.get(str(node))
         if node != cur:
             raise ValueError(
                 f"cannot fast-forward to branch {branch!r} (head {target}): "
@@ -756,6 +774,10 @@ class Warehouse:
                     ~F.coalesce(F.expr(deletes[i]["predicate"]), F.lit(False))
                 )
             parts.append(df)
+        if not parts:
+            # delete predicates over an empty manifest (e.g. delete_where_mor
+            # on an empty table): nothing to anti-filter — empty scan
+            return self._scan_files(name, meta, snap, snap["manifest"], where)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1047,6 +1069,14 @@ class Warehouse:
             keep_ids |= set(meta.get("branches", {}).values())
         keep = [s for s in meta["snapshots"] if s["snapshot_id"] in keep_ids]
         expired = [s for s in meta["snapshots"] if s["snapshot_id"] not in keep_ids]
+        # Preserve ancestry across GC: fast_forward validates "main is an
+        # ancestor of the branch head" by walking parent links, and a
+        # retained branch head may descend from expired intermediates. Data
+        # files go, but the parent pointer of every expired snapshot is kept
+        # (JSON keys are strings — meta roundtrips through json.dump).
+        lineage = meta.setdefault("expired_parents", {})
+        for s in expired:
+            lineage[str(s["snapshot_id"])] = s.get("parent_id")
         live_paths = {
             self._abs_path(name, f["path"]) for s in keep for f in s["manifest"]
         }
@@ -1265,7 +1295,7 @@ class Warehouse:
         # partial-partition commit: write only the rewritten partitions, then
         # union the untouched file entries into the new manifest unchanged
         parent = meta["current_snapshot_id"]
-        tag = f"snap-{parent + 1:05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
         data_dir = self._write_data(name, result, tag, part_col)
         new_files = self._manifest_for_dir(name, data_dir)
         return self._commit(

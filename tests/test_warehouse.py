@@ -537,3 +537,81 @@ def test_rollback_then_append_continues_line(spark, tmp_path):
     wh.append("t", c)
     assert _content_hash(wh.read("t")) == _content_hash(a.unionByName(c))
     assert len(wh._load_meta("t")["snapshots"]) == 4
+
+
+def test_branch_append_never_reuses_snapshot_data_dir(spark, wh):
+    """Regression (ADVICE r05, high): a commit whose parent sits below the
+    max snapshot id (branch append off a stale head) must allocate a FRESH
+    data dir — snap-{parent+1} already belongs to a later snapshot, and
+    reusing it destroyed that snapshot's committed files."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    b1 = li.filter(F.col("l_orderkey") % 4 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 4 == 1)
+    b3 = li.filter(F.col("l_orderkey") % 4 == 2)
+    b4 = li.filter(F.col("l_orderkey") % 4 == 3)
+
+    wh.create_or_replace("t", b1)          # snap 1
+    wh.append("t", b2)                     # snap 2
+    wh.append("t", b3)                     # snap 3
+    wh.append("t", b4)                     # snap 4
+    counts = {i: wh.read("t", snapshot_id=i).count() for i in range(1, 5)}
+
+    # branch rooted at snapshot 1 — its append's data dir must NOT be
+    # data/snap-00002 (owned by snapshot 2)
+    wh.create_branch("t", "stale", snapshot_id=1)
+    extra = li.filter(F.col("l_orderkey") % 4 == 0).limit(5)
+    snap = wh.append_to_branch("t", "stale", extra)
+    assert snap["snapshot_id"] == 5
+
+    # every pre-existing snapshot still reads back intact, byte-for-row
+    for i in range(1, 5):
+        assert wh.read("t", snapshot_id=i).count() == counts[i], (
+            f"snapshot {i} lost data to the branch append's dir reuse"
+        )
+    # and the branch line itself is correct: snap-1 rows + the extra batch
+    got = wh.read("t", snapshot_id=5).count()
+    assert got == counts[1] + extra.count()
+
+
+def test_append_after_unpublished_stage_keeps_staged_data(spark, wh):
+    """Same dir-collision bug, WAP flavor: a normal append after an
+    unpublished stage_append shares the staged snapshot's parent — it must
+    not overwrite the staged snapshot's files."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(100))          # snap 1
+    staged = wh.stage_append("t", li.limit(40))       # snap 2, unpublished
+    staged_rows = wh.read("t", snapshot_id=staged["snapshot_id"]).count()
+    wh.append("t", li.limit(10))                      # snap 3, parent=1 too
+    assert (
+        wh.read("t", snapshot_id=staged["snapshot_id"]).count() == staged_rows
+    ), "append after stage_append clobbered the staged snapshot's data dir"
+
+
+def test_fast_forward_across_expired_intermediates(spark, wh):
+    """Regression (ADVICE r05): expire_snapshots keeps branch HEADS but GCs
+    their ancestors; fast_forward's ancestry walk must cross the expired
+    gap via the retained lineage map instead of refusing a legal publish."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(50))   # snap 1  (main)
+    wh.create_branch("t", "dev")              # dev @ 1
+    wh.append_to_branch("t", "dev", li.limit(10))  # snap 2 (intermediate)
+    wh.append_to_branch("t", "dev", li.limit(10))  # snap 3 (dev head)
+
+    # keep_last=1 retains snap 3 (+ current snap 1 + branch head) but
+    # expires intermediate snap 2
+    wh.expire_snapshots("t", keep_last=1)
+    meta_ids = {s["snapshot_id"] for s in wh._load_meta("t")["snapshots"]}
+    assert 2 not in meta_ids, "test premise: intermediate must be expired"
+
+    snap = wh.fast_forward("t", "dev")  # must cross the expired gap
+    assert snap["snapshot_id"] == 3
+    assert wh.read("t").count() == 70
+
+
+def test_delete_where_mor_on_empty_table(spark, wh):
+    """Regression (ADVICE r05): MoR delete over an empty manifest must read
+    back as an empty frame, not IndexError on zero file groups."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.filter(F.lit(False)))
+    wh.delete_where_mor("t", "l_quantity > 0")
+    assert wh.read("t").count() == 0
