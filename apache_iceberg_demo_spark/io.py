@@ -118,6 +118,25 @@ def _events_ts_unit(path: str) -> str:
     return "int64"
 
 
+#: path → Spark-inferred StructType. Testdata files are immutable within a
+#: process, but `spark.read.parquet` re-reads the footer on EVERY call
+#: (~100 ms of driver-side listing + inference vs ~20 ms with an explicit
+#: schema — measured sf0.1). The first load of a path pays the inference;
+#: later loads replay the cached schema. Each call still returns a FRESH
+#: DataFrame (fresh attribute ids), so self-joins of two load() results
+#: never trip AMBIGUOUS_SELF_JOIN.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
@@ -138,16 +157,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         unit = _events_ts_unit(path)
         if unit in ("ns", "int64"):
+            # the nanosAsLong conf stays scoped to the read even with a
+            # cached schema: the reader, not the schema, rejects NANOS
             with nanos_as_long(spark):
-                df = spark.read.parquet(path)
+                df = _read_parquet(spark, path)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # isAdjustedToUTC=false parquet infers as TIMESTAMP_NTZ in Spark 4;
         # cast to session-TZ TimestampType (session TZ is pinned UTC in
         # session.py, so the instant is identical to the ns-vintage rebuild)
         # to keep one downstream type across vintages.
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 def register_views(

@@ -679,8 +679,12 @@ def c5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    # no hint on the df join: bounded here (≤3 query terms) so AQE
+    # broadcasts it from observed size; a full inverted index generalizes
+    # this frame to vocabulary scale where a forced hint would OOM. The
+    # 1-row stats aggregate keeps its hint — size-bounded by construction.
     return (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))

@@ -322,8 +322,15 @@ def c5_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: TF-IDF top-3 terms per document, composed from hash aggregates +
-    one broadcast join (the document-frequency table is tiny relative to the
-    corpus — vocabulary-sized) + a per-doc window top-k.
+    a document-frequency join + a per-doc window top-k.
+
+    The df join carries NO broadcast hint on purpose: at test scale AQE +
+    autoBroadcastJoinThreshold broadcast it anyway (plan-asserted in
+    tests/test_plans.py), but on a 100 TB web corpus the token vocabulary
+    (typos, URLs, code) runs to hundreds of millions of rows and a *forced*
+    hint would OOM the executors instead of letting AQE fall back to a
+    shuffle join. The 1-row corpus-size aggregate keeps its hint — it is
+    size-bounded by construction.
 
     Ranking uses the *rounded* score so float last-ulp differences between
     engines can't flip the top-k cut.
@@ -336,7 +343,7 @@ def c5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

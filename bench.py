@@ -45,6 +45,41 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+_SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _exec_count(spark) -> int:
+    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+
+
+def _peak_mem_bytes(spark, from_idx: int) -> float:
+    """Max 'peak memory' SQL metric (hash aggregates / sorts / joins report
+    task-summed peak execution memory) across the executions recorded since
+    ``from_idx`` — the per-query memory-regression trend the reference
+    tracked via its Grafana panel (README.md:213-219)."""
+    import re
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    peak = 0.0
+    for i in range(from_idx, lst.size()):
+        e = lst.apply(i)
+        try:
+            vals = store.executionMetrics(e.executionId())
+        except Exception:
+            continue  # execution still live / evicted — skip, trend only
+        ms = e.metrics()
+        for j in range(ms.size()):
+            m = ms.apply(j)
+            if "peak memory" not in m.name():
+                continue
+            s = str(vals.get(m.accumulatorId()))
+            mt = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", s)
+            if mt:
+                peak = max(peak, float(mt.group(1)) * _SIZE_UNITS[mt.group(2)])
+    return peak
+
+
 def main() -> None:
     from apache_iceberg_demo_spark import registry
     from apache_iceberg_demo_spark.session import (
@@ -70,10 +105,18 @@ def main() -> None:
         run(n)
 
     # steady-state latency: best of 3 (scheduler noise on a shared host
-    # dominates at these sub-second scales)
+    # dominates at these sub-second scales); peak execution memory is the
+    # max across the 3 runs' SQL-metric 'peak memory' operators
     timings: dict[str, float] = {}
+    peak_mem: dict[str, float] = {}
     for n in names:
-        timings[n] = round(min(run(n) for _ in range(3)), 4)
+        best, peak = float("inf"), 0.0
+        for _ in range(3):
+            mark = _exec_count(spark)
+            best = min(best, run(n))
+            peak = max(peak, _peak_mem_bytes(spark, mark))
+        timings[n] = round(best, 4)
+        peak_mem[n] = round(peak / 2**20, 1)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "peak_mem_mb": peak_mem,
                 "sf": float(sf) if sf else SF_DIR,
             }
         )

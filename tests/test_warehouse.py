@@ -615,3 +615,62 @@ def test_delete_where_mor_on_empty_table(spark, wh):
     wh.create_or_replace("t", li.filter(F.lit(False)))
     wh.delete_where_mor("t", "l_quantity > 0")
     assert wh.read("t").count() == 0
+
+
+def test_iceberg_branch_issues_writerv2_calls(spark, monkeypatch, tmp_path):
+    """VERDICT r05 item 6: prove branch 2 of the fallback chain (jar
+    present) is wired — with `iceberg_available` forced True, the write
+    must issue the reference's exact DataFrameWriterV2 sequence
+    (writeTo → using('iceberg') → partitionedBy → createOrReplace,
+    csv_to_ice.py:58) and never touch the parquet warehouse."""
+    from apache_iceberg_demo_spark.sources import iceberg_catalog as ic
+
+    calls: dict = {}
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls["using"] = fmt
+            return self
+
+        def partitionedBy(self, col):
+            calls["partitioned_by"] = str(col)
+            return self
+
+        def createOrReplace(self):
+            calls["create_or_replace"] = True
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls["table"] = table
+            return FakeWriter()
+
+    monkeypatch.setattr(ic, "iceberg_available", lambda s: True)
+    backend = ic.iceberg_write_or_fallback(
+        spark, FakeDF(), "local.db.trips", str(tmp_path), partition_by="ship_day"
+    )
+    assert backend == "iceberg"
+    assert calls["table"] == "local.db.trips"
+    assert calls["using"] == "iceberg"
+    assert "ship_day" in calls["partitioned_by"]
+    assert calls["create_or_replace"] is True
+    assert not (tmp_path / "trips").exists()  # fallback warehouse untouched
+
+
+def test_iceberg_builder_conf_matches_reference(spark):
+    """configure_iceberg_builder must wire the reference's hadoop catalog
+    conf keys (csv_to_ice.py:11-13) verbatim."""
+    from apache_iceberg_demo_spark.sources import iceberg_catalog as ic
+
+    recorded: dict = {}
+
+    class FakeBuilder:
+        def config(self, k, v):
+            recorded[k] = v
+            return self
+
+    ic.configure_iceberg_builder(FakeBuilder(), "local", "/wh")
+    assert recorded == {
+        "spark.sql.catalog.local": ic.ICEBERG_CATALOG_IMPL,
+        "spark.sql.catalog.local.type": "hadoop",
+        "spark.sql.catalog.local.warehouse": "/wh",
+    }
