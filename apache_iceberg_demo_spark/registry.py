@@ -205,4 +205,7 @@ def load_all() -> None:
     # module docstring)
     from apache_iceberg_demo_spark.operators import roundout  # noqa: F401
 
+    # round-6 surface, imported last (same append-only ordering rule)
+    from apache_iceberg_demo_spark.operators import round6  # noqa: F401
+
     _reorder()
