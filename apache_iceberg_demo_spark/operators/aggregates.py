@@ -766,7 +766,20 @@ def b4_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b4_observe_metrics")  # rows-only: Observation API is engine-specific
+@register(
+    "b4_observe_metrics",
+    # The observed metrics are plain aggregates over the scan — relationally
+    # recomputable (DECIMAL-exact total → identical double both sides).
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS rows_seen,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS qty_total,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                   AS returned_rows,
+               TRUE AS metrics_match
+        FROM lineitem
+    """,
+)
 def b4_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: in-flight pipeline metrics via ``df.observe`` — named aggregates
     collected DURING another query's execution, no second scan (Spark's

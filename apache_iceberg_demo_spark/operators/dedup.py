@@ -668,7 +668,30 @@ def c2_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c1_dedup_incremental_index")  # rows-only: stateful index roundtrip
+@register(
+    "c1_dedup_incremental_index",
+    # The ledger is relational: fp equality ≡ (text, lang) equality, so the
+    # oracle needs no hash at all — seed = rows with doc_id % 5 <> 0, novel
+    # = distinct batch keys absent from the seed, re-run passes nothing.
+    # (The planted re-deliveries are copies of already-indexed docs, so
+    # they can never enter the novel set.)
+    oracle="""
+        WITH seed AS (
+            SELECT text || '|' || lang AS k FROM documents WHERE doc_id % 5 <> 0
+        ), novel AS (
+            SELECT DISTINCT text || '|' || lang AS k
+            FROM documents WHERE doc_id % 5 = 0
+              AND text || '|' || lang NOT IN (SELECT k FROM seed)
+        )
+        SELECT CAST((SELECT count(*) FROM seed) AS BIGINT) AS index_seed,
+               CAST((SELECT count(*) FROM novel) AS BIGINT) AS first_pass,
+               CAST((SELECT count(*) FROM seed)
+                    + (SELECT count(*) FROM novel) AS BIGINT) AS index_after,
+               CAST(0 AS BIGINT) AS rerun_pass,
+               CAST((SELECT count(*) FROM seed)
+                    + (SELECT count(*) FROM novel) AS BIGINT) AS index_final
+    """,
+)
 def c1_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1×C6: INCREMENTAL dedup — the production shape: a persisted
     content-hash index (a versioned warehouse table) absorbs batches over

@@ -182,6 +182,16 @@ def b5_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _cogroup_buckets(df: DataFrame) -> int:
+    """Cogroup bucket count derived from the fact side's own input splits
+    (4 buckets per split → each pandas batch holds ~1/4 of a split, bounded
+    by executor memory at ANY scale). Same input-proportional pattern as
+    ``tuning.input_sized_shuffle`` — never a fixed constant: a literal 64
+    would cap parallelism at 64 tasks and hand ~1.5 TB per bucket to a
+    single pandas call at 100 TB."""
+    return 4 * max(8, df.rdd.getNumPartitions())
+
+
 @register(
     "b10_cogroup_apply_reconcile",
     oracle="""
@@ -200,23 +210,21 @@ def b10_cogroup_apply_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shared key, each group pair handed to pandas together. Used here for
     ledger reconciliation (order header total vs sum of its line items).
 
-    Scale shape: the cogroup key is a BUCKET (orderkey mod 64), not the raw
-    orderkey — 64 Arrow batch pairs instead of one tiny pandas call per
-    order, with the per-order merge vectorized inside each bucket. At
-    100 TB you size buckets to executor memory; the shuffle is still one
-    exchange per side, same as a join."""
+    Scale shape: the cogroup key is a BUCKET (orderkey mod N), not the raw
+    orderkey — N Arrow batch pairs instead of one tiny pandas call per
+    order, with the per-order merge vectorized inside each bucket. N scales
+    with the lineitem side's input splits (see ``_cogroup_buckets``); the
+    shuffle is still one exchange per side, same as a join."""
     import pandas as pd
 
+    li_scan = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    n_buckets = _cogroup_buckets(li_scan)
     o = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .withColumn("bucket", F.pmod("o_orderkey", F.lit(64)))
+        .withColumn("bucket", F.pmod("o_orderkey", F.lit(n_buckets)))
     )
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice")
-        .withColumn("bucket", F.pmod("l_orderkey", F.lit(64)))
-    )
+    li = li_scan.withColumn("bucket", F.pmod("l_orderkey", F.lit(n_buckets)))
 
     def reconcile(orders_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
         gross = (

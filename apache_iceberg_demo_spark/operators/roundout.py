@@ -157,11 +157,13 @@ def b8_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY user_id
         )
         SELECT user_id, n_events,
-               coalesce(
-                   list_position(types, 'signup') IS NOT NULL
+               -- DuckDB 1.0 list_position returns 0 (never NULL) for a
+               -- missing element, so guard both tokens with > 0 — mirrors
+               -- the Spark side's array_position > 0 checks exactly
+               (list_position(types, 'signup') > 0
+                   AND list_position(list_reverse(types), 'purchase') > 0
                    AND (len(types) - list_position(list_reverse(types), 'purchase') + 1)
-                       > list_position(types, 'signup'),
-                   FALSE)                                           AS has_signup_then_purchase,
+                       > list_position(types, 'signup'))            AS has_signup_then_purchase,
                CAST(coalesce(list_sum(list_transform(
                         range(1, len(types)),
                         i -> CASE WHEN types[i] = 'view'

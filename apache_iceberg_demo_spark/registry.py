@@ -110,6 +110,31 @@ _DRIVER_VERIFIED: set[str] = {
     "b5_named_window_clause", "a01_a06_csv_ingest_roundtrip",
     "b8_string_funcs", "b8_date_funcs", "b8_math_funcs", "b8_conditional",
     "b8_array_funcs", "b8_json_funcs", "b8_variant_json",
+    # --- r06 driver greens (CORRECTNESS_r06.json — all 50 rows fully green:
+    # whole B1 + B10 categories, first-ever b9/c6 rows, 9 b8 galleries),
+    # folded in per VERDICT r06 item 1 so the round-7 budget reaches the 76
+    # never-run oracle-paired queries (b4/b5 statistical tail, graph ops)
+    # plus the 11 rows-only→oracle conversions made this round:
+    "b1_json_roundtrip", "b1_csv_malformed_modes", "b1_orc_roundtrip",
+    "b1_partitioned_parquet_roundtrip", "b1_metadata_columns",
+    "b1_mergeschema_landing", "b1_xml_roundtrip", "b1_codec_comparison",
+    "b1_python_datasource", "b10_pandas_udf_scalar",
+    "b10_udtf_explode_bigrams", "b10_grouped_agg_median",
+    "b10_apply_in_pandas_zscore", "b10_map_in_pandas_tokens",
+    "b10_arrow_scalar_udf", "b10_pandas_udf_scalar_iter",
+    "b10_map_in_arrow_stats", "b10_python_udtf_chunks",
+    "b10_python_udf_rowwise", "b10_udtf_polymorphic", "b8_cast_coercion",
+    "a15_smoke_literal", "b8_string_distance", "b8_array_ops_extended",
+    "b8_posexplode_tokens", "b8_bitwise_funcs", "b8_trig_funcs",
+    "b8_struct_funcs", "b8_try_functions", "c6_incremental_snapshot_read",
+    "b9_tumbling_window", "b9_sliding_window", "b9_session_window",
+    "b9_stream_stream_interval_join", "b9_stream_static_enrichment",
+    "c5_span_dedup_exact", "s1_cap_per_source", "c5_source_divergence",
+    "b3_join_runtime_bloom_prune", "b4_parquet_agg_pushdown",
+    "b2_lateral_topn_per_customer", "c1_dedup_url_canonical",
+    "s1_balanced_class_downsample", "c5_chunk_surgery_dedup",
+    "b5_distinct_count_window", "b8_url_funcs", "b4_ohlc_bars",
+    "b4_time_weighted_avg", "b4_skew_diagnosis", "c5_passage_chunking",
 }
 
 # Names that must lead the registry regardless of verification history
@@ -118,30 +143,32 @@ _DRIVER_VERIFIED: set[str] = {
 # burn driver budget (VERDICT r05 item 1).
 _HEAD: list[str] = []
 
-# Within the driver-unverified block, run these FIRST (VERDICT r05 item 2):
-# B1 sources + B10 UDF surface have never received a driver row, are cheap,
-# and cover two whole SURVEY.md §2 categories. Order here is the run order.
+# Within the driver-unverified block, run these FIRST (VERDICT r06 items
+# 2-4): the two §2 rows with zero driver evidence (A8, A16 — rows-only by
+# design), the re-parameterized cogroup query, then the 11 queries converted
+# from rows-only to real oracle pairs this round (closed-form/deterministic-
+# fixture oracles) so their first driver row is a full hash check. Order
+# here is the run order; the ~36 remaining budget slots flow to the b4/b5
+# statistical tail + graph ops in registration order via _reorder.
 _PRIORITY: list[str] = [
-    "b1_json_roundtrip",
-    "b1_csv_malformed_modes",
-    "b1_orc_roundtrip",
-    "b1_partitioned_parquet_roundtrip",
-    "b1_metadata_columns",
-    "b1_mergeschema_landing",
-    "b1_xml_roundtrip",
-    "b1_codec_comparison",
-    "b1_python_datasource",
-    "b10_pandas_udf_scalar",
-    "b10_udtf_explode_bigrams",
-    "b10_grouped_agg_median",
-    "b10_apply_in_pandas_zscore",
-    "b10_map_in_pandas_tokens",
-    "b10_arrow_scalar_udf",
-    "b10_pandas_udf_scalar_iter",
-    "b10_map_in_arrow_stats",
-    "b10_python_udtf_chunks",
-    "b10_python_udf_rowwise",
-    "b10_udtf_polymorphic",
+    "a8_relocated_warehouse_scan",
+    "c6_system_queries",
+    "b10_cogroup_apply_reconcile",
+    "c6_metadata_snapshots",
+    "c6_time_travel",
+    "c6_named_refs",
+    "c6_rollback_cherry_pick",
+    "c6_snapshot_diff_cdc",
+    "c6_merge_into_upsert",
+    "c6_schema_evolution",
+    "c6_write_audit_publish",
+    "c6_partitions_metadata",
+    "b9_update_mode_counts",
+    "b9_complete_mode_topk",
+    "b4_observe_metrics",
+    "b9_stateful_sessionize",
+    "b9_stream_dedup_watermark",
+    "c1_dedup_incremental_index",
 ]
 
 

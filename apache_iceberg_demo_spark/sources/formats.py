@@ -251,6 +251,15 @@ def b1_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = per_file.collect()
+    # The oracle pins a single file named lineitem.parquet. If a testdata
+    # vintage ever splits the table into part files or renames it, fail HERE
+    # with a clear message instead of surfacing a confusing oracle hash
+    # mismatch (same drift class as the round-4 events.ts regression).
+    if len(rows) != 1 or rows[0]["file_name"] != "lineitem.parquet":
+        raise AssertionError(
+            "testdata drift: b1_metadata_columns oracle assumes one file "
+            f"named lineitem.parquet, scan saw {[r['file_name'] for r in rows]}"
+        )
     footer_rows = pq.ParquetFile(path).metadata.num_rows
     got_total = sum(r["n_rows"] for r in rows)
     if got_total != footer_rows:

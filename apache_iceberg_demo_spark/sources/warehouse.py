@@ -1420,7 +1420,13 @@ def _demo_warehouse(
     Read-only callers share one instance per (session, sf_dir) — the build
     costs several write jobs + a manifest walk, and four registered queries
     need it. Callers that COMMIT (compaction, merge) pass ``mutable=True``
-    and get a private copy so the shared snapshots stay stable."""
+    and get a private copy so the shared snapshots stay stable.
+
+    The subset filter is DETERMINISTIC (``l_orderkey % 20 = 0``, ~5% of the
+    table — ~3000 rows at sf0.01), never a ``limit(n)``: a relationally
+    defined content set is what lets the c6 queries built on this fixture
+    carry real DuckDB oracles (r06 closed-form pattern) instead of
+    rows-only checks."""
     from apache_iceberg_demo_spark.io import load, scratch_dir
 
     key = (str(id(spark)), sf_dir)
@@ -1428,7 +1434,7 @@ def _demo_warehouse(
         return _demo_cache[key]
     tmp = scratch_dir("wh_q_", unique=True)
     wh = Warehouse(spark, tmp)
-    li = load(spark, sf_dir, "lineitem").limit(3000)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
     base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
     wh.create_or_replace("lineitem_v", base.filter(F.col("l_linenumber") <= 4), "ship_day")
     wh.append("lineitem_v", base.filter(F.col("l_linenumber") > 4))
@@ -1437,7 +1443,24 @@ def _demo_warehouse(
     return wh, "lineitem_v"
 
 
-@register("c6_metadata_snapshots")  # rows-only: engine-specific metadata
+@register(
+    "c6_metadata_snapshots",
+    # The fixture is deterministic (l_orderkey % 20 = 0; snap 1 = rows with
+    # l_linenumber <= 4, snap 2 appends the rest), so the metadata table's
+    # lineage + record counts are relationally recomputable from the source.
+    oracle="""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id,
+               CAST(NULL AS BIGINT) AS parent_id,
+               'replace' AS operation,
+               CAST(count(*) FILTER (WHERE l_linenumber <= 4) AS BIGINT)
+                   AS total_records
+        FROM src
+        UNION ALL
+        SELECT 2, 1, 'append', CAST(count(*) AS BIGINT)
+        FROM src
+    """,
+)
 def c6_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: the ``snapshots`` metadata table after a replace + an append
     (Iceberg metadata-table surface; reference's system-table query is
@@ -1460,9 +1483,24 @@ def c6_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps
 
 
-@register("c6_time_travel")  # rows-only
+@register(
+    "c6_time_travel",
+    oracle="""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id,
+               CAST(count(*) FILTER (WHERE l_linenumber <= 4) AS BIGINT) AS n_rows
+        FROM src
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT)
+        FROM src
+    """,
+)
 def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6: VERSION-AS-OF time travel — row counts at snapshot 1 vs current."""
+    """C6: VERSION-AS-OF time travel — row counts at snapshot 1 vs current.
+
+    Oracle-paired via the deterministic fixture; the in-query content-
+    fingerprint check against the relationally-recomputed pre-append state
+    remains the stronger row-level assertion."""
     from apache_iceberg_demo_spark.io import load
 
     wh, t = _demo_warehouse(spark, sf_dir)
@@ -1471,7 +1509,7 @@ def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time travel must reproduce EXACTLY the pre-append state: recompute the
     # expected snapshot-1 content relationally from the source table and
     # compare order-insensitive fingerprints, not just counts
-    li = load(spark, sf_dir, "lineitem").limit(3000)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
     expected_v1 = li.withColumn(
         "ship_day", F.date_format("l_shipdate", "yyyy-MM")
     ).filter(F.col("l_linenumber") <= 4)
@@ -1511,7 +1549,25 @@ def c6_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_merge_into_upsert")  # rows-only
+@register(
+    "c6_merge_into_upsert",
+    # The merge ledger is fully relational on orders: base = keys % 3 <> 0,
+    # changes = keys % 2 = 0; post-merge = base ∪ changes (upsert), updated
+    # rows = every change row, time travel sees zero updates.
+    oracle="""
+        SELECT CAST(count(*) FILTER (WHERE o_orderkey % 3 <> 0) AS BIGINT)
+                   AS rows_before,
+               CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+                   AS change_rows,
+               CAST(count(*) FILTER (WHERE o_orderkey % 3 <> 0
+                                     OR o_orderkey % 2 = 0) AS BIGINT)
+                   AS rows_after,
+               CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+                   AS updated_rows,
+               CAST(0 AS BIGINT) AS updated_rows_at_v1
+        FROM orders
+    """,
+)
 def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: MERGE INTO — upsert a changes batch into the versioned table:
     updated rows replace, new rows insert, untouched rows survive; the merge
@@ -1552,7 +1608,25 @@ def c6_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_schema_evolution")  # rows-only: engine-specific DDL surface
+@register(
+    "c6_schema_evolution",
+    # Deterministic fixture: v1 = orders keys % 7 = 0 (old 4-col schema),
+    # the append adds keys % 7 = 1 in the evolved shape; column lists are
+    # pinned by the DDL sequence (add o_channel, rename to status, drop
+    # o_custkey) and every count is relational.
+    oracle="""
+        SELECT 'o_orderkey,o_custkey,o_orderstatus,o_totalprice' AS v1_columns,
+               'o_orderkey,status,o_totalprice,o_channel' AS current_columns,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT)
+                   AS v1_rows,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 <= 1) AS BIGINT)
+                   AS current_rows,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT)
+                   AS null_channel_rows,
+               TRUE AS metadata_only
+        FROM orders
+    """,
+)
 def c6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: metadata-only schema evolution (Iceberg's headline capability —
     the hadoop catalog owns the schema, ``csv_to_ice.py:11-13``): add, rename
@@ -1773,7 +1847,25 @@ def c6_incremental_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_write_audit_publish")  # rows-only: engine-specific staging surface
+@register(
+    "c6_write_audit_publish",
+    # Deterministic fixture: base = demo subset (l_orderkey % 20 = 0), batch
+    # = the % 40 = 0 slice of its first line items; the staged snapshot is
+    # the 3rd commit on the 2-snapshot demo table.
+    oracle="""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0),
+             b AS (SELECT count(*) FILTER (WHERE l_orderkey % 40 = 0
+                                           AND l_linenumber = 1) AS nb,
+                   count(*) AS base
+                   FROM src)
+        SELECT CAST(3 AS BIGINT) AS published_snapshot_id,
+               CAST(base AS BIGINT) AS base_rows,
+               CAST(nb AS BIGINT) AS batch_rows,
+               CAST(base + nb AS BIGINT) AS published_rows,
+               TRUE AS audit_passed
+        FROM b
+    """,
+)
 def c6_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: Write-Audit-Publish — the production ingest safety pattern
     (Iceberg ``wap.id`` staged commits): the batch is fully written as a
@@ -1792,12 +1884,10 @@ def c6_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
     pre = _content_hash(wh.read(t))
 
-    li = load(spark, sf_dir, "lineitem").limit(3000)
-    batch = (
-        li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
-        .filter(F.col("l_linenumber") == 1)
-        .limit(500)
-    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    batch = li.withColumn(
+        "ship_day", F.date_format("l_shipdate", "yyyy-MM")
+    ).filter(F.col("l_linenumber") == 1)
     n_batch = batch.count()
 
     snap = wh.stage_append(t, batch)
@@ -1972,7 +2062,15 @@ def c6_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_named_refs")  # rows-only: engine-specific ref surface
+@register(
+    "c6_named_refs",
+    oracle="""
+        SELECT 'v1.0' AS tag,
+               CAST(2 AS BIGINT) AS pinned_snapshot,
+               CAST(4 AS BIGINT) AS n_snapshots,
+               TRUE AS exact_replay
+    """,
+)
 def c6_named_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: named refs (Iceberg tags) — pin a release tag to a snapshot and
     read through it forever, regardless of later commits. The reproducibility
@@ -1981,7 +2079,11 @@ def c6_named_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-verified: the tagged read reproduces the EXACT content fingerprint
     of the pre-append snapshot after two later commits; re-tagging moves the
-    pin; an unknown tag raises instead of silently reading current."""
+    pin; an unknown tag raises instead of silently reading current.
+
+    Oracle: pinned constants (r06 closed-form pattern) — the scenario is
+    fully deterministic (2 demo snapshots + 2 appends = 4, re-tag pins 2);
+    the content-replay guarantees live in the in-query fingerprint checks."""
     wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
     v1_hash = _content_hash(wh.read(t, snapshot_id=1))
     wh.tag_snapshot(t, "v1.0", snapshot_id=1)
@@ -2065,7 +2167,31 @@ def c6_row_level_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_snapshot_diff_cdc")  # rows-only: engine-specific changelog surface
+@register(
+    "c6_snapshot_diff_cdc",
+    # Row-LEVEL oracle (not a summary): the fixture is deterministic
+    # (l_orderkey % 40 = 0, year-partitioned; retention-delete the oldest
+    # year, tax-correct the newest), so the exact pre/post change images are
+    # relationally recomputable. l_tax + 1.0 is the same IEEE double op on
+    # both engines — bit-identical, no rounding needed.
+    oracle="""
+        WITH src AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+                   strftime(l_shipdate, '%Y') AS ship_year
+            FROM lineitem
+            WHERE l_orderkey % 40 = 0
+        ), b AS (
+            SELECT min(ship_year) AS lo, max(ship_year) AS hi FROM src
+        )
+        SELECT 'delete_or_pre_update' AS change_type,
+               l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM src, b WHERE ship_year = lo OR ship_year = hi
+        UNION ALL
+        SELECT 'post_update',
+               l_orderkey, l_linenumber, l_quantity, l_discount, l_tax + 1.0
+        FROM src, b WHERE ship_year = hi
+    """,
+)
 def c6_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: row-level change-data-feed between two snapshots — the changelog
     view Iceberg exposes as ``table_changes`` (Delta: CDF): every row
@@ -2097,7 +2223,7 @@ def c6_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-file partitions
     wh = Warehouse(spark, scratch_dir("wh_cdc_", unique=True))
     t = "lineitem_cdc"
-    li = load(spark, sf_dir, "lineitem").limit(1500)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
     wh.create_or_replace(
         t,
         li.withColumn("ship_year", F.date_format("l_shipdate", "yyyy")),
@@ -2253,7 +2379,22 @@ def c6_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_rollback_cherry_pick")  # rows-only: engine-specific metadata surface
+@register(
+    "c6_rollback_cherry_pick",
+    # Deterministic fixture (event_id % 5 = 0 subset, split 3 ways by
+    # event_id % 3): snapshot ids are pinned by the commit sequence and the
+    # final row count is base ∪ good, relationally recomputable.
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS base_snapshot,
+               CAST(2 AS BIGINT) AS bad_snapshot,
+               CAST(3 AS BIGINT) AS picked_snapshot,
+               CAST(count(*) FILTER (WHERE event_id % 3 <> 1) AS BIGINT)
+                   AS rows_final,
+               TRUE AS recovered
+        FROM events
+        WHERE event_id % 5 = 0
+    """,
+)
 def c6_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: the bad-commit recovery drill — a poisoned batch lands, a good
     batch lands on top of it, the table ROLLS BACK to the pre-poison
@@ -2274,7 +2415,7 @@ def c6_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = Warehouse(spark, scratch_dir("wh_rb_", unique=True))
     t = "events_rb"
-    ev = load(spark, sf_dir, "events").limit(2000).withColumn(
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0).withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     base = ev.filter("event_id % 3 = 0")
@@ -2326,7 +2467,21 @@ def c6_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_partitions_metadata")  # rows-only: engine-specific metadata table
+@register(
+    "c6_partitions_metadata",
+    # The returned columns are the manifest stats a relational recount can
+    # verify: per-partition row counts over the deterministic fixture.
+    # File counts / byte sizes depend on writer parallelism, so they stay
+    # in-query self-asserts rather than oracle columns.
+    oracle="""
+        SELECT '{"ship_day": "' || strftime(l_shipdate, '%Y-%m') || '"}'
+                   AS partition,
+               CAST(count(*) AS BIGINT) AS total_rows
+        FROM lineitem
+        WHERE l_orderkey % 20 = 0
+        GROUP BY 1
+    """,
+)
 def c6_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: the ``<table>.partitions`` metadata table — per-partition file
     count, byte size, and row count straight from the manifest (zero data
@@ -2335,7 +2490,9 @@ def c6_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-verifying: the manifest-derived per-partition row counts must equal
     a groupBy over the actual data — metadata and data in exact agreement —
-    and totals must match the snapshot summary.
+    and totals must match the snapshot summary. The oracle re-counts rows
+    per partition relationally; file count and byte size stay self-asserted
+    (writer-parallelism-dependent).
     """
     wh, t = _demo_warehouse(spark, sf_dir)
     parts = (
@@ -2366,7 +2523,13 @@ def c6_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(meta_counts.values()) == wh.read(t).count(),
         "partition totals != table count",
     )
-    return parts
+    _check(
+        parts.filter("file_count < 1 OR total_bytes <= 0").count() == 0,
+        "manifest carries an empty/zero-byte partition entry",
+    )
+    return parts.select(
+        "partition", F.col("total_rows").cast("bigint").alias("total_rows")
+    )
 
 
 @register("c6_expire_snapshots_retention")  # rows-only: engine-specific GC surface

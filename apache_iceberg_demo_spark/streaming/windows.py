@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_iceberg_demo_spark.io import load
+from apache_iceberg_demo_spark.operators.sampling import _duck_bucket
 from apache_iceberg_demo_spark.registry import register
 
 
@@ -220,7 +221,40 @@ def b9_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("b9_stateful_sessionize")  # rows-only: genuine streaming run, not SQL-expressible
+@register(
+    "b9_stateful_sessionize",
+    # The closed-session set the state machine emits is relationally
+    # recomputable: 30-min-gap islands per user, minus each user's final
+    # (still-open) session. µs-exact integers throughout; session_value
+    # rounds to 6 (few-event sums, no accumulation-order risk).
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        ), n AS (
+            SELECT user_id, event_id, us, value,
+                   CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id)
+                             <= 1800000000
+                        THEN 0 ELSE 1 END AS new_s
+            FROM e
+        ), s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM n
+        ), g AS (
+            SELECT user_id, sid,
+                   min(us) AS session_start_us,
+                   max(us) - min(us) AS duration_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS session_value
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start_us, duration_us, n_events, session_value
+        FROM g
+        QUALIFY sid <> max(sid) OVER (PARTITION BY user_id)
+    """,
+)
 def b9_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: custom stateful streaming operator — per-user sessionization with
     ``applyInPandasWithState`` (the "operator Spark lacks as a single
@@ -543,7 +577,20 @@ def b9_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_stream_dedup_watermark")  # rows-only: genuine streaming run + self-verify
+@register(
+    "b9_stream_dedup_watermark",
+    # The dedup ledger is relational: the injected-duplicate set is the same
+    # md5-bucket membership function on both engines, and exact dedup means
+    # the streamed count equals the base count.
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_base,
+               CAST(count(*) FILTER (WHERE {_duck_bucket('event_id')} < 10)
+                    AS BIGINT) AS n_dups_injected,
+               CAST(count(*) AS BIGINT) AS n_streamed,
+               TRUE AS dedup_exact
+        FROM events
+    """,
+)
 def b9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: streaming deduplication under at-least-once delivery —
     ``dropDuplicatesWithinWatermark`` keys the stream on event_id and keeps
@@ -984,7 +1031,22 @@ def b9_stateful_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_update_mode_counts")  # rows-only: genuine streaming run + self-verify
+@register(
+    "b9_update_mode_counts",
+    # Batch-equivalence oracle (same pattern as the r06 b9 windows): the
+    # final per-key state of the update stream must equal the batch
+    # aggregate — count + DECIMAL-exact sum cast to double on both engines.
+    # Per-key update cadence stays an in-query self-assert (batch-split
+    # dependent, not SQL-expressible).
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
+               TRUE AS matches_batch
+        FROM events
+        GROUP BY event_type
+    """,
+)
 def b9_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: UPDATE output mode — an unwindowed running aggregate (per-type
     count + value sum) over a multi-batch replay, where each micro-batch
@@ -1083,10 +1145,10 @@ def b9_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"per-key update counts out of range: {n_updates}")
     return spark.createDataFrame(
         [
-            (k, int(v[0]), float(v[1]), n_updates[k], True)
+            (k, int(v[0]), float(v[1]), True)
             for k, v in sorted(final_rows.items())
         ],
-        "event_type string, n bigint, vsum double, n_updates bigint, matches_batch boolean",
+        "event_type string, n bigint, vsum double, matches_batch boolean",
     )
 
 
@@ -1269,7 +1331,27 @@ def b9_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_complete_mode_topk")  # rows-only: genuine streaming run + self-verify
+@register(
+    "b9_complete_mode_topk",
+    # Batch-equivalence oracle: the final complete-mode emission IS the
+    # batch top-k (DECIMAL-exact spend, deterministic user_id tie-break).
+    oracle="""
+        WITH agg AS (
+            SELECT user_id,
+                   sum(CAST(value AS DECIMAL(18,6))) AS spend_dec
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(spend_dec AS DOUBLE) AS spend,
+               CAST(row_number() OVER (ORDER BY spend_dec DESC, user_id)
+                    AS BIGINT) AS rank,
+               TRUE AS matches_batch
+        FROM agg
+        ORDER BY spend_dec DESC, user_id
+        LIMIT 10
+    """,
+)
 def b9_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: COMPLETE output mode with a sorted top-k — streaming sort/limit
     is ILLEGAL in append/update modes (results would be retracted) but

@@ -48,22 +48,41 @@ def _dir_bytes(path: str) -> int:
 _SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
 
 
-def _exec_count(spark) -> int:
-    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+def _last_exec_id(spark) -> int:
+    """Max SQL executionId recorded so far. Marking by id (not list index)
+    keeps attribution correct even if spark.sql.ui.retainedExecutions
+    eviction shifts the store mid-run."""
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
 
 
-def _peak_mem_bytes(spark, from_idx: int) -> float:
+def _stage_list(spark):
+    sc = spark.sparkContext
+    darr = sc._gateway.new_array(sc._jvm.double, 0)
+    # Spark 4 signature: stageList(statuses, details, withSummaries,
+    # quantiles, taskStatus) — nulls/empty mean "all, no task details"
+    return sc._jsc.sc().statusStore().stageList(None, False, False, darr, None)
+
+
+def _last_stage_id(spark) -> int:
+    lst = _stage_list(spark)
+    return max((lst.apply(i).stageId() for i in range(lst.size())), default=-1)
+
+
+def _peak_mem_bytes(spark, after_exec_id: int) -> float:
     """Max 'peak memory' SQL metric (hash aggregates / sorts / joins report
-    task-summed peak execution memory) across the executions recorded since
-    ``from_idx`` — the per-query memory-regression trend the reference
-    tracked via its Grafana panel (README.md:213-219)."""
+    task-summed peak execution memory) across executions with
+    executionId > ``after_exec_id`` — the per-query memory-regression trend
+    the reference tracked via its Grafana panel (README.md:213-219)."""
     import re
 
     store = spark._jsparkSession.sharedState().statusStore()
     lst = store.executionsList()
     peak = 0.0
-    for i in range(from_idx, lst.size()):
+    for i in range(lst.size()):
         e = lst.apply(i)
+        if e.executionId() <= after_exec_id:
+            continue
         try:
             vals = store.executionMetrics(e.executionId())
         except Exception:
@@ -78,6 +97,44 @@ def _peak_mem_bytes(spark, from_idx: int) -> float:
             if mt:
                 peak = max(peak, float(mt.group(1)) * _SIZE_UNITS[mt.group(2)])
     return peak
+
+
+def _stage_peak_bytes(spark, after_stage_id: int) -> float:
+    """Fallback for plans with no 'peak memory' SQL metric (pure
+    scan+filter+count, e.g. a10): max stage-level task-summed
+    peakExecutionMemory across stages started after the mark."""
+    lst = _stage_list(spark)
+    peak = 0.0
+    for i in range(lst.size()):
+        s = lst.apply(i)
+        if s.stageId() > after_stage_id:
+            peak = max(peak, float(s.peakExecutionMemory()))
+    return peak
+
+
+def _prev_round_bench() -> tuple[str, dict]:
+    """Latest BENCH_r{N}.json next to this file → (label, parsed JSON).
+    Used to flag >1.5× per-query peak-memory growth round-over-round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return "", {}
+    try:
+        with open(best) as f:
+            data = json.load(f)
+        # the driver records bench output under a "parsed" wrapper
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        return os.path.basename(best), data
+    except Exception:
+        return "", {}
 
 
 def main() -> None:
@@ -112,26 +169,42 @@ def main() -> None:
     for n in names:
         best, peak = float("inf"), 0.0
         for _ in range(3):
-            mark = _exec_count(spark)
+            exec_mark = _last_exec_id(spark)
+            stage_mark = _last_stage_id(spark)
             best = min(best, run(n))
-            peak = max(peak, _peak_mem_bytes(spark, mark))
+            p = _peak_mem_bytes(spark, exec_mark)
+            if p == 0.0:  # plan has no agg/sort/join metric — stage fallback
+                # (still 0.0 for pure scan+count plans: they acquire no
+                # execution memory at all, which is itself the datum)
+                p = _stage_peak_bytes(spark, stage_mark)
+            peak = max(peak, p)
         timings[n] = round(best, 4)
         peak_mem[n] = round(peak / 2**20, 1)
 
+    # round-over-round memory trend vs the latest recorded BENCH_r{N}.json
+    prev_label, prev = _prev_round_bench()
+    prev_mem = prev.get("peak_mem_mb", {}) if isinstance(prev, dict) else {}
+    regressions = {
+        n: {"prev_mb": prev_mem[n], "cur_mb": peak_mem[n],
+            "ratio": round(peak_mem[n] / prev_mem[n], 2)}
+        for n in peak_mem
+        if prev_mem.get(n, 0) > 0 and peak_mem[n] / prev_mem[n] > 1.5
+    }
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "peak_mem_mb": peak_mem,
-                "sf": float(sf) if sf else SF_DIR,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "peak_mem_mb": peak_mem,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    if prev_label:
+        out["peak_mem_vs"] = prev_label
+        out["peak_mem_regressions"] = regressions if regressions else "none"
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -87,6 +87,19 @@ def test_cogroup_reconcile_matches_join(spark):
     assert diff.count() == 0
 
 
+def test_cogroup_bucket_count_scales_with_input(spark):
+    """The cogroup bucket count must grow with the fact side's input splits
+    (VERDICT r06 'what's wrong' #1: a fixed 64 caps parallelism and OOMs at
+    100 TB); 4 buckets per split, floored at 8 splits."""
+    from apache_iceberg_demo_spark.operators.round6 import _cogroup_buckets
+
+    small = spark.range(1000).repartition(2)
+    big = spark.range(1000).repartition(64)
+    assert _cogroup_buckets(small) == 32  # floor: 4 * max(8, 2)
+    assert _cogroup_buckets(big) == 256   # scales: 4 * 64
+    assert _cogroup_buckets(big) > _cogroup_buckets(small)
+
+
 def test_bpe_merge_table_deterministic_and_ranked(spark):
     """Top-5 merge pairs: ranks dense 1..5, frequencies non-increasing,
     ties broken by pair string ascending."""

@@ -7,8 +7,10 @@ broadcast threshold, no Arrow flag). Our pytest parity suite uses the tuned
 config would pass locally and fail the gate. This script closes that gap:
 plain session + every registered query + oracle compare at sf0.01.
 
-Run: timeout 1800 python tools/driver_rehearsal.py [sf_dir]
-Prints one line per query and a final summary; exit 1 on any failure.
+Run: timeout 1800 python tools/driver_rehearsal.py [sf_dir] [name1 name2 ...]
+Optional trailing names restrict the run to those queries (fast re-checks of
+freshly converted oracles). Prints one line per query and a final summary;
+exit 1 on any failure.
 """
 
 from __future__ import annotations
@@ -36,6 +38,13 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
 
     from tests.oracle_utils import compare, duck_connect
 
