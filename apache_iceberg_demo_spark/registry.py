@@ -169,6 +169,11 @@ _PRIORITY: list[str] = [
     "b9_stateful_sessionize",
     "b9_stream_dedup_watermark",
     "c1_dedup_incremental_index",
+    "b9_foreachbatch_merge_sink",
+    "b9_file_sink_exactly_once",
+    "b9_stream_left_outer_interval_join",
+    "c6_merge_on_read_delete",
+    "c6_branch_fast_forward",
 ]
 
 

@@ -2581,7 +2581,25 @@ def c6_expire_snapshots_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("c6_branch_fast_forward")  # rows-only: engine-specific branch surface
+@register(
+    "c6_branch_fast_forward",
+    # Deterministic fixture + deterministic audit batches: main = the demo
+    # subset, branch head = main + first-line-items + their % 40 slice; the
+    # two branch commits on the 2-snapshot demo table are snapshots 3 and 4.
+    oracle="""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+        SELECT CAST(count(*) AS BIGINT) AS main_rows,
+               CAST(count(*)
+                    + count(*) FILTER (WHERE l_linenumber = 1)
+                    + count(*) FILTER (WHERE l_linenumber = 1
+                                       AND l_orderkey % 40 = 0) AS BIGINT)
+                   AS branch_rows,
+               CAST(4 AS BIGINT) AS published_head,
+               TRUE AS isolation_held,
+               TRUE AS divergence_refused
+        FROM src
+    """,
+)
 def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: Iceberg v2 named BRANCHES — an audit branch takes two append
     commits while main stays frozen (readers see nothing), then publishing
@@ -2600,9 +2618,11 @@ def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     main_rows = main_hash[0]
 
     wh.create_branch(t, "audit")
-    extra = wh.read(t).limit(120)
+    # deterministic audit batches (first line items; their % 40 slice) so
+    # the branch-head row count is relationally recomputable
+    extra = wh.read(t).filter("l_linenumber = 1")
     wh.append_to_branch(t, "audit", extra)
-    wh.append_to_branch(t, "audit", extra.limit(30))
+    wh.append_to_branch(t, "audit", extra.filter("l_orderkey % 40 = 0"))
 
     _check(
         _content_hash(wh.read(t)) == main_hash,
@@ -2611,9 +2631,10 @@ def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = wh.resolve_branch(t, "audit")
     head_hash = _content_hash(wh.read(t, snapshot_id=head))
     branch_rows = head_hash[0]
+    n_batches = extra.count() + extra.filter("l_orderkey % 40 = 0").count()
     _check(
-        branch_rows == main_rows + 150,
-        f"branch head rows {branch_rows} != main {main_rows} + 150",
+        branch_rows == main_rows + n_batches,
+        f"branch head rows {branch_rows} != main {main_rows} + {n_batches}",
     )
 
     wh.fast_forward(t, "audit")
@@ -2637,7 +2658,28 @@ def c6_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_merge_on_read_delete")  # rows-only: engine-specific MoR surface
+@register(
+    "c6_merge_on_read_delete",
+    # Relational ledger over the deterministic fixture: deleted = the
+    # predicate matches, late re-appends = their % 60 slice (file-scoped
+    # delete entries must NOT touch them). Physical file counts stay
+    # self-asserted; the frame carries the boolean they prove.
+    oracle="""
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+        SELECT TRUE AS metadata_only_commit,
+               CAST(count(*) FILTER (WHERE l_linenumber = 2) AS BIGINT)
+                   AS deleted_rows,
+               CAST(count(*) FILTER (WHERE l_linenumber = 2
+                                     AND l_orderkey % 60 = 0) AS BIGINT)
+                   AS late_appended,
+               CAST(count(*) FILTER (WHERE l_linenumber = 2
+                                     AND l_orderkey % 60 = 0) AS BIGINT)
+                   AS late_survivors,
+               TRUE AS mor_equals_cow,
+               TRUE AS debt_paid
+        FROM src
+    """,
+)
 def c6_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: MERGE-ON-READ row-level delete (Iceberg v2) vs copy-on-write —
     the same logical DELETE executed both ways, proving the v2 trade:
@@ -2655,6 +2697,7 @@ def c6_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
     pred = "l_linenumber = 2"
     files_before = wh.files(t).count()
+    deleted_rows = wh.read(t).filter(pred).count()
     expected = wh.read(t).filter(f"NOT coalesce({pred}, false)")
     expected_hash = _content_hash(expected)
 
@@ -2666,8 +2709,13 @@ def c6_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MoR read != CoW-equivalent content",
     )
 
-    # post-delete appends matching the predicate must SURVIVE (scoping)
-    late = wh.read(t, snapshot_id=snap["snapshot_id"] - 1).filter(pred).limit(40)
+    # post-delete appends matching the predicate must SURVIVE (scoping);
+    # deterministic slice so the ledger is relationally recomputable
+    late = (
+        wh.read(t, snapshot_id=snap["snapshot_id"] - 1)
+        .filter(pred)
+        .filter(F.col("l_orderkey") % 60 == 0)
+    )
     n_late = late.count()
     _check(n_late > 0, "no late rows to append")
     wh.append(t, late)
@@ -2688,8 +2736,10 @@ def c6_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         not meta_cur.get("delete_predicates"),
         "apply_deletes left delete entries behind",
     )
+    # physical file counts stay in the self-asserts (writer-parallelism-
+    # dependent); the frame carries the boolean they prove + relational counts
     return spark.createDataFrame(
-        [(files_before, files_after, n_late, survivors, True, True)],
-        "files_before bigint, files_after_mor bigint, late_appended bigint, "
+        [(files_after == files_before, deleted_rows, n_late, survivors, True, True)],
+        "metadata_only_commit boolean, deleted_rows bigint, late_appended bigint, "
         "late_survivors bigint, mor_equals_cow boolean, debt_paid boolean",
     )

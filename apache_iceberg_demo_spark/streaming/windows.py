@@ -425,7 +425,21 @@ def b9_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_foreachbatch_merge_sink")  # rows-only: genuine streaming run + versioned sink
+@register(
+    "b9_foreachbatch_merge_sink",
+    # The merged sink's final state is the batch aggregate — DECIMAL
+    # accumulation is associative, so the 4-batch MERGE chain and a one-shot
+    # GROUP BY agree exactly on both engines.
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6)
+                   AS value_sum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
 def b9_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9+C6: streaming ingest into the table format — the `foreachBatch`
     MERGE pattern (SURVEY.md §2 B9 "foreachBatch sink to Iceberg"). The
@@ -690,7 +704,42 @@ def b9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_stream_left_outer_interval_join")  # rows-only: genuine streaming run
+@register(
+    "b9_stream_left_outer_interval_join",
+    # The attribution ledger is relational: matched = the interval inner
+    # join; emitted nulls = anti-join clicks older than the settled cutoff
+    # (min of the two sides' max event time − watermark delay − join
+    # interval = min − 2 h); total unmatched = the full anti-join. µs-exact.
+    oracle="""
+        WITH c AS (
+            SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS p_user, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT least(
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+                (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+            ) - 7200000000 AS cutoff
+        ), unmatched AS (
+            SELECT c.c_id, c.c_us FROM c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.p_user = c.user_id
+                  AND p.p_us >= c.c_us AND p.p_us < c.c_us + 3600000000)
+        )
+        SELECT CAST((SELECT count(*) FROM c JOIN p
+                     ON p.p_user = c.user_id
+                     AND p.p_us >= c.c_us
+                     AND p.p_us < c.c_us + 3600000000) AS BIGINT) AS n_matched,
+               CAST((SELECT count(*) FROM unmatched, m
+                     WHERE c_us < cutoff) AS BIGINT) AS n_null_emitted,
+               CAST((SELECT count(*) FROM unmatched) AS BIGINT)
+                   AS n_unmatched_batch_total,
+               TRUE AS outer_semantics_exact
+    """,
+)
 def b9_stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: stream-stream LEFT OUTER interval join — click→purchase
     attribution that also emits the clicks that converted to NOTHING.
@@ -1152,7 +1201,20 @@ def b9_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b9_file_sink_exactly_once")  # rows-only: sink-semantics audit
+@register(
+    "b9_file_sink_exactly_once",
+    # Exactly-once means every ledger column equals the input count, and the
+    # raw listing exceeds the committed set by exactly the one planted rogue.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_input,
+               CAST(count(*) AS BIGINT) AS n_first_run,
+               CAST(count(*) AS BIGINT) AS n_second_run,
+               CAST(count(*) AS BIGINT) AS n_log_aware_read,
+               CAST(1 AS BIGINT) AS n_rogue_in_raw_listing,
+               TRUE AS exactly_once
+        FROM events
+    """,
+)
 def b9_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: EXACTLY-ONCE file sink semantics — the parquet streaming sink
     commits files through the ``_spark_metadata`` transaction log, so
@@ -1229,10 +1291,12 @@ def b9_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if n_raw_files != n_committed + 1:
         raise AssertionError("rogue file not present in raw listing")
+    # n_committed (writer-parallelism-dependent) stays self-asserted above;
+    # the returned frame carries only relationally-determined columns
     return spark.createDataFrame(
-        [(n_input, n_first, n_second, n_with_rogue, n_raw_files, True)],
+        [(n_input, n_first, n_second, n_with_rogue, n_raw_files - n_committed, True)],
         "n_input bigint, n_first_run bigint, n_second_run bigint, "
-        "n_log_aware_read bigint, n_raw_files bigint, exactly_once boolean",
+        "n_log_aware_read bigint, n_rogue_in_raw_listing bigint, exactly_once boolean",
     )
 
 
