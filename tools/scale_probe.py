@@ -131,6 +131,23 @@ def main() -> int:
         ).save()
         return time.perf_counter() - t0
 
+    def plan_shape(name: str, sf_dir: str) -> dict:
+        """Physical-strategy fingerprint: a scale-safe plan keeps the same
+        join strategies and exchange count as data grows (broadcasts must
+        not silently flip to shuffle joins of the FACT side, and no new
+        exchanges may appear)."""
+        plan = (
+            registry.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "smj": plan.count("SortMergeJoin"),
+        }
+
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     for mult in mults:
         t0 = time.perf_counter()
@@ -141,7 +158,10 @@ def main() -> int:
             best = min(run(n, sf_dir) for _ in range(2))
             results[n][mult] = round(best, 3)
             print(
-                json.dumps({"mult": mult, "query": n, "sec": results[n][mult]}),
+                json.dumps(
+                    {"mult": mult, "query": n, "sec": results[n][mult],
+                     "plan": plan_shape(n, sf_dir)}
+                ),
                 flush=True,
             )
         print(json.dumps({"mult": mult, "dir": sf_dir, "build_sec": build_s}), flush=True)
