@@ -36,8 +36,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BASE = "/root/testdata/sf0.1"
-SCRATCH = "/tmp/spark_graft_scale_probe"
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+SCRATCH = os.environ.get("SPARK_GRAFT_SCALE_SCRATCH", "/tmp/spark_graft_scale_probe")
 
 # fact table → columns to shift by i*stride per copy i
 SHIFTED = {
