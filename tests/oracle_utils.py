@@ -11,6 +11,7 @@ CORRECTNESS_r{N}.json from the driver.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import duckdb
@@ -21,9 +22,14 @@ from apache_iceberg_demo_spark.io import TABLES, table_path
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written tables are directories of part files (e.g. the
+            # tools/scale_probe.py scaled dirs); DuckDB needs the glob form
+            path = os.path.join(path, "*.parquet")
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 
