@@ -27,8 +27,19 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Defaults replicate the driver's plain session exactly. The env knobs
+    # exist for BEYOND-gate hardening sweeps (e.g. the tools/scale_probe.py
+    # 10x dirs): the default 1g driver heap OOMs around 10x sf0.1, which is
+    # a harness limit, not an operator property — a real cluster sizes
+    # executor memory to the data.
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_REHEARSAL_MASTER", "local[8]")
+        )
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_REHEARSAL_MEM", "1g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
