@@ -276,7 +276,25 @@ def b3_join_runtime_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, joined.schema)
 
 
-@register("b4_countmin_heavy_hitters")  # rows-only: hash-sketch internals not DuckDB-expressible
+@register(
+    "b4_countmin_heavy_hitters",
+    # The sketch internals (xxhash64 buckets) are not DuckDB-expressible,
+    # but the heavy hitters themselves ARE relational: top-10 exact token
+    # counts with a deterministic tie-break. The CMS estimates are audited
+    # in-query (linearity, est >= exact, eps·N bound, and <= 5% relative
+    # error on the heavy hitters — measured 0 overestimate at sf0.01/0.1)
+    # and surfaced as the asserted est_within_5pct column.
+    oracle="""
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count,
+               TRUE AS est_within_5pct
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        )
+        GROUP BY token
+        ORDER BY exact_count DESC, token
+        LIMIT 10
+    """,
+)
 def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 (late registration, see module docstring): mergeable Count-Min
     sketch over the token stream — the frequency counterpart of the HLL
@@ -353,16 +371,25 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"CMS worst overestimate {worst} exceeds eps*N = {eps_n:.1f}"
         )
-    return (
+    top = (
         audit.orderBy(F.desc("exact_count"), "token")
         .limit(10)
         .select(
             "token",
             "exact_count",
-            "est_count",
-            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+            (
+                (F.col("est_count") - F.col("exact_count"))
+                <= 0.05 * F.col("exact_count")
+            ).alias("est_within_5pct"),
         )
     )
+    loose = [r["token"] for r in top.collect() if not r["est_within_5pct"]]
+    if loose:
+        raise AssertionError(
+            f"CMS heavy-hitter estimates off by >5% for {loose} — heavy "
+            "hitters dominate their buckets, this should never happen"
+        )
+    return top
 
 
 @register(

@@ -153,6 +153,18 @@ _HEAD: list[str] = []
 _PRIORITY: list[str] = [
     "a8_relocated_warehouse_scan",
     "c6_system_queries",
+    # third-session rows-only → oracle conversions (closed-form /
+    # deterministic-fixture / relational-frame pattern), front-loaded so
+    # their first driver row is a full hash check:
+    "c6_row_level_delete_update",
+    "c6_compaction_rewrite",
+    "c6_partition_evolution",
+    "c6_expire_snapshots_retention",
+    "c6_remove_orphan_files",
+    "c6_sort_order_clustering",
+    "c6_analyze_table_cbo",
+    "b4_countmin_heavy_hitters",
+    "b1_binaryfile_ingest",
     "b10_cogroup_apply_reconcile",
     "c6_metadata_snapshots",
     "c6_time_travel",
@@ -175,6 +187,28 @@ _PRIORITY: list[str] = [
     "c6_merge_on_read_delete",
     "c6_branch_fast_forward",
 ]
+
+
+def _finalize_late_oracles() -> None:
+    """Bind oracles that depend on the FINAL registry contents.
+
+    ``c6_system_queries`` serves the engine's system metadata table — the
+    full registered-query listing — so its oracle can only be authored once
+    every module has imported: a VALUES table of the actual
+    (query_name, inventory_row, oracle_paired) rows. The driver's hash
+    check then proves the served system table matches the real surface."""
+    paired = set(ORACLES) | {"c6_system_queries"}
+    rows = ",\n".join(
+        "('{}', '{}', {})".format(
+            n, n.split("_")[0], "TRUE" if n in paired else "FALSE"
+        )
+        for n in sorted(QUERIES)
+    )
+    ORACLES["c6_system_queries"] = (
+        "SELECT query_name, inventory_row, oracle_paired FROM (VALUES\n"
+        + rows
+        + "\n) AS t(query_name, inventory_row, oracle_paired)"
+    )
 
 
 def _reorder() -> None:
@@ -240,4 +274,5 @@ def load_all() -> None:
     # round-6 surface, imported last (same append-only ordering rule)
     from apache_iceberg_demo_spark.operators import round6  # noqa: F401
 
+    _finalize_late_oracles()
     _reorder()

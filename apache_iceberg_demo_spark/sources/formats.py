@@ -276,7 +276,20 @@ def b1_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_file.orderBy("file_name")
 
 
-@register("b1_binaryfile_ingest")  # rows-only: paths/mtimes are environment-specific
+@register(
+    "b1_binaryfile_ingest",
+    # The blobs are the documents' utf-8 text bytes (multimodal_table), so
+    # length and content digest of every read-back file are relational:
+    # sha256 over the same bytes on both engines. Environment-specific facts
+    # (paths, mtimes) stay out of the frame; byte-identity of EVERY blob is
+    # additionally asserted in-query via the full-outer join audit.
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS length,
+               substring(sha256(text), 1, 16) AS sha256_prefix
+        FROM documents WHERE doc_id < 200
+    """,
+)
 def b1_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1+C4: ingest loose binary files (a crawler's image drop) with the
     ``binaryFile`` source — (path, modificationTime, length, content) rows,

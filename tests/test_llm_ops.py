@@ -367,9 +367,10 @@ def test_countmin_sketch_contract(spark):
     CMS is accurate by design)."""
     rows = registry.QUERIES["b4_countmin_heavy_hitters"](spark, SF).collect()
     assert len(rows) == 10
-    assert all(r.overestimate >= 0 for r in rows)
-    # heavy hitters dominate their buckets: tiny relative error
-    assert all(r.overestimate <= 0.05 * r.exact_count for r in rows)
+    # heavy hitters dominate their buckets: tiny relative error (the
+    # operator itself raises if any top-10 estimate is off by >5%)
+    assert all(r.est_within_5pct for r in rows)
+    assert all(r.exact_count > 0 for r in rows)
 
 
 def test_mmr_reduces_redundancy_vs_topk(spark):

@@ -469,7 +469,8 @@ def test_codec_comparison_orders_sizes(spark):
 
 def test_analyze_table_stats_consistent(spark):
     row = registry.QUERIES["c6_analyze_table_cbo"](spark, SF).first()
-    assert row.stats_consistent and row.n_exact == row.n_stat
+    assert row.stats_consistent and row.n_rows > 0
+    assert row.key_min < row.key_max and row.ndv_exact <= row.n_rows
 
 
 def test_walk_forward_folds_are_nested_and_causal(spark):
