@@ -332,9 +332,29 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.unpersist()
 
 
-@register("c4_patch_extraction")  # rows-only: binary fan-out is engine-specific
+@register(
+    "c4_patch_extraction",
+    # The blobs are the documents' utf-8 text bytes (multimodal_table), so
+    # the tiling geometry is pure arithmetic on octet_length: ceil(n/64)
+    # patches of (idx, offset, min(64, n - offset)). Byte-exact reassembly
+    # of the actual patch CONTENT stays the in-query md5 audit.
+    oracle="""
+        WITH src AS (SELECT doc_id, octet_length(encode(text)) AS n
+                     FROM documents),
+        p AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1))
+                       AS patch_idx
+            FROM src
+        )
+        SELECT doc_id, patch_idx,
+               CAST(patch_idx * 64 AS BIGINT) AS "offset",
+               CAST(least(64, n - patch_idx * 64) AS BIGINT) AS patch_len
+        FROM p
+    """,
+)
 def c4_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: patch/tile extraction — each blob fans out into fixed 64-byte
+    """C4 (oracle-paired): patch/tile extraction — each blob fans out into fixed 64-byte
     patches with (patch_idx, offset), the ViT-style tiling stage run as
     ``mapInPandas`` (Arrow batches in, MORE rows out than in — the fan-out
     shape). The pixel-decode step is the documented stub (no codec libs in
@@ -393,7 +413,35 @@ def c4_patch_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_multimodal_prep")  # rows-only: binary CAS is engine-specific
+@register(
+    "pipeline_multimodal_prep",
+    # The CAS ledger is relational because patches are byte slices of the
+    # documents' utf-8 text (ASCII in every testdata vintage — asserted
+    # loudly in-query, round-4 drift class): distinct 64-char substrings ==
+    # distinct 64-byte patches. The md5 reassembly audit stays in-query.
+    oracle="""
+        WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        p AS (
+            SELECT doc_id, n,
+                   substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS patch
+            FROM src,
+                 unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1))
+                     AS t(i)
+        ),
+        tot AS (SELECT count(*) AS n_patches, sum(length(patch)) AS total_bytes
+                FROM p),
+        st AS (SELECT count(*) AS n_stored, sum(length(patch)) AS stored_bytes
+               FROM (SELECT DISTINCT patch FROM p))
+        SELECT CAST(n_patches AS BIGINT) AS n_patches,
+               CAST(n_stored AS BIGINT) AS n_stored,
+               CAST(total_bytes AS BIGINT) AS total_bytes,
+               CAST(stored_bytes AS BIGINT) AS stored_bytes,
+               round(1 - CAST(stored_bytes AS DOUBLE) / total_bytes, 6)
+                   AS bytes_saved_ratio,
+               TRUE AS cas_roundtrip_exact
+        FROM tot, st
+    """,
+)
 def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline capstone for the C4 surface: blobs → fixed 64-byte patches →
     content-addressed store. The store keeps ONE copy of every distinct
@@ -417,6 +465,19 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     mm = multimodal_table(spark, sf_dir)
+
+    # The DuckDB oracle equates 64-CHAR substrings with 64-BYTE patches,
+    # which holds only while the corpus is pure ASCII (true for every
+    # testdata vintage so far). Fail loudly if that drifts rather than
+    # letting the parity gate report a confusing hash mismatch.
+    d = load(spark, sf_dir, "documents")
+    non_ascii = d.where(F.octet_length("text") != F.length("text")).count()
+    if non_ascii:
+        raise AssertionError(
+            f"testdata drift: {non_ascii} non-ASCII documents — the "
+            "pipeline_multimodal_prep oracle's char==byte slicing "
+            "assumption no longer holds; re-derive the oracle"
+        )
 
     def tile(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:

@@ -181,7 +181,48 @@ def c5_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c5_language_id")  # rows-only: two-pass profile model, not ANSI SQL
+@register(
+    "c5_language_id",
+    # The whole two-pass profile model IS ANSI-expressible: char bigrams via
+    # list_transform(generate_series), per-lang top-30 profiles and the
+    # per-doc argmax both via row_number with the same deterministic
+    # tie-breaks (freq DESC, bg ASC / hits DESC, profile_lang ASC) as the
+    # Spark windows. DuckDB regexp_replace needs the explicit 'g' flag.
+    oracle=r"""
+        WITH chars AS (
+            SELECT doc_id, lang, regexp_replace(text, '\s+', '_', 'g') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, length(t) - 1),
+                                         i -> substring(t, i, 2))) AS bg
+            FROM chars
+        ),
+        counts AS (SELECT lang, bg, count(*) AS freq FROM bg GROUP BY lang, bg),
+        profile AS (
+            SELECT lang AS profile_lang, bg FROM (
+                SELECT lang, bg,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY freq DESC, bg) AS rk
+                FROM counts
+            ) WHERE rk <= 30
+        ),
+        scored AS (
+            SELECT b.doc_id, b.lang, p.profile_lang, count(*) AS hits
+            FROM bg b JOIN profile p ON b.bg = p.bg
+            GROUP BY b.doc_id, b.lang, p.profile_lang
+        ),
+        best AS (
+            SELECT doc_id, lang AS true_lang, profile_lang AS predicted_lang,
+                   CAST(hits AS BIGINT) AS hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, profile_lang) AS rk
+            FROM scored
+        )
+        SELECT doc_id, true_lang, predicted_lang, hits FROM best WHERE rk = 1
+    """,
+)
 def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: n-gram-profile language ID — train character-bigram profiles per
     lang from the corpus itself, then classify each doc by profile overlap.

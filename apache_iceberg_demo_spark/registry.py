@@ -165,6 +165,9 @@ _PRIORITY: list[str] = [
     "c6_analyze_table_cbo",
     "b4_countmin_heavy_hitters",
     "b1_binaryfile_ingest",
+    "c5_language_id",
+    "c4_patch_extraction",
+    "pipeline_multimodal_prep",
     "b10_cogroup_apply_reconcile",
     "c6_metadata_snapshots",
     "c6_time_travel",
