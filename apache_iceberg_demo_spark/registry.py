@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     "c5_language_id",
     "c4_patch_extraction",
     "pipeline_multimodal_prep",
+    "c6_file_skipping",
     "b10_cogroup_apply_reconcile",
     "c6_metadata_snapshots",
     "c6_time_travel",

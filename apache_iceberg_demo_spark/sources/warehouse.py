@@ -1831,7 +1831,29 @@ def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_file_skipping")  # rows-only
+@register(
+    "c6_file_skipping",
+    # Deterministic fixture (l_orderkey % 20 = 0) + deterministic probe (the
+    # MIN ship month, not whatever file happens to lead the manifest): the
+    # pruned-read row count is relational; how many files the manifest
+    # pruner kept is layout-dependent and stays an in-query assert.
+    oracle="""
+        WITH src AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS m
+            FROM lineitem WHERE l_orderkey % 20 = 0
+        ),
+        lo AS (SELECT min(m) AS m0 FROM src)
+        SELECT m0 AS pred_month,
+               CAST(count(*) FILTER (WHERE m = m0) AS BIGINT)
+                   AS rows_pruned_read,
+               CAST(count(*) FILTER (WHERE m = m0) AS BIGINT)
+                   AS rows_full_read,
+               TRUE AS results_match,
+               TRUE AS files_skipped
+        FROM src, lo
+        GROUP BY m0
+    """,
+)
 def c6_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: manifest min/max file skipping — a selective predicate scans fewer
     files than the full manifest (the Presto 6.55 MB-of-2 GB effect,
@@ -1840,7 +1862,7 @@ def c6_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = wh._load_meta(t)
     snap = wh._snapshot(meta, meta["current_snapshot_id"])
     total = len(snap["manifest"])
-    first_month = snap["manifest"][0]["partition"]["ship_day"]
+    first_month = min(str(f["partition"]["ship_day"]) for f in snap["manifest"])
     pred = f"ship_day = '{first_month}'"
     kept = [f for f in snap["manifest"] if not wh._can_skip(f, pred)]
     pruned_rows = wh.read(t, where=pred).count()
@@ -1848,9 +1870,9 @@ def c6_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     _check(pruned_rows == full_rows, "file-skipping read diverged from full scan")
     _check(len(kept) < total, "selective predicate skipped no files")
     return spark.createDataFrame(
-        [(total, len(kept), pruned_rows, full_rows, pruned_rows == full_rows)],
-        "manifest_files bigint, files_after_skip bigint, rows_pruned_read bigint, "
-        "rows_full_read bigint, results_match boolean",
+        [(first_month, pruned_rows, full_rows, pruned_rows == full_rows, len(kept) < total)],
+        "pred_month string, rows_pruned_read bigint, "
+        "rows_full_read bigint, results_match boolean, files_skipped boolean",
     )
 
 
