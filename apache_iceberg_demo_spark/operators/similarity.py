@@ -876,7 +876,53 @@ def c3_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c3_binary_hamming_topk")  # rows-only: bit packing is engine-specific
+@register(
+    "c3_binary_hamming_topk",
+    # Bit PACKING is engine-side, but the semantics are relational: hamming
+    # distance between sign codes == count of dims whose signs differ, and
+    # both the 50-deep shortlist and the exact-cosine re-rank carry
+    # deterministic tie-breaks — so the whole coarse-then-exact search,
+    # recall audit included, has a closed-form DuckDB twin.
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[64]) AS qv, vec_id AS qid
+            FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        c AS (
+            SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[64]) AS ev, q.qv,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> CASE WHEN (e.embedding[i] > 0) <> (q.qv[i] > 0)
+                            THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ),
+        short AS (
+            SELECT *, row_number() OVER (ORDER BY hamming, vec_id) AS hrk FROM c
+        ),
+        rr AS (
+            SELECT vec_id, label, hamming,
+                   round(list_cosine_similarity(ev, qv), 6) AS sim
+            FROM short WHERE hrk <= 50
+        ),
+        top10 AS (
+            SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk FROM rr
+        ),
+        exact10 AS (
+            SELECT vec_id FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY round(list_cosine_similarity(ev, qv), 6) DESC,
+                             vec_id) AS rk
+                FROM c
+            ) WHERE rk <= 10
+        ),
+        rec AS (
+            SELECT CAST(count(*) AS DOUBLE) / 10 AS recall
+            FROM top10 t JOIN exact10 x USING (vec_id) WHERE t.rk <= 10
+        )
+        SELECT vec_id, label, hamming, sim,
+               (SELECT recall FROM rec) AS recall_at_10
+        FROM top10 WHERE rk <= 10
+    """,
+)
 def c3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: binary (sign) quantization search — each 64-dim float vector
     compresses 16× into two 32-bit sign words; candidate generation is

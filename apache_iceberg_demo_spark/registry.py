@@ -169,6 +169,8 @@ _PRIORITY: list[str] = [
     "c4_patch_extraction",
     "pipeline_multimodal_prep",
     "c6_file_skipping",
+    "c6_zorder_clustering",
+    "c3_binary_hamming_topk",
     "b10_cogroup_apply_reconcile",
     "c6_metadata_snapshots",
     "c6_time_travel",

@@ -2057,7 +2057,38 @@ def c6_remove_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c6_zorder_clustering")  # rows-only: physical-layout maintenance op
+@register(
+    "c6_zorder_clustering",
+    # The probe predicates are pure arithmetic on the column min/max (span =
+    # (max-min)//16, band 5..6), so the two range-read row counts are
+    # relational; WHICH files each layout prunes depends on physical row
+    # placement and stays in-query (surfaced as the asserted booleans), as
+    # does byte-identity of pruned vs full-filter reads.
+    oracle="""
+        WITH mm AS (
+            SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                   min(l_suppkey) AS smin, max(l_suppkey) AS smax
+            FROM lineitem
+        ),
+        b AS (
+            SELECT pmin, smin,
+                   greatest((pmax - pmin) // 16, 1) AS sp,
+                   greatest((smax - smin) // 16, 1) AS ss
+            FROM mm
+        )
+        SELECT CAST(count(*) FILTER (WHERE l_partkey
+                        BETWEEN pmin + 5 * sp AND pmin + 6 * sp) AS BIGINT)
+                   AS rows_partkey_range,
+               CAST(count(*) FILTER (WHERE l_suppkey
+                        BETWEEN smin + 5 * ss AND smin + 6 * ss) AS BIGINT)
+                   AS rows_suppkey_range,
+               TRUE AS zorder_prunes_both,
+               TRUE AS linear_scans_all_second,
+               TRUE AS zorder_better_second
+        FROM lineitem, b
+        GROUP BY pmin, smin, sp, ss
+    """,
+)
 def c6_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: Z-order (Morton-curve) clustering — Iceberg's
     ``rewrite_data_files(strategy => 'sort', sort_order => 'zorder(a, b)')``:
@@ -2130,20 +2161,29 @@ def c6_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     _check(kz_p < total and kz_s < total, "z-order pruned nothing on a dimension")
     _check(kl_s == total, "linear layout unexpectedly pruned the 2nd column")
     _check(kz_s < kl_s, "z-order not better than linear on the 2nd column")
+    range_rows = {}
     for pred in (pred_p, pred_s):
         pruned = wh.read("li_z", where=pred)
         full = wh.read("li_z").filter(pred)
+        ph = _content_hash(pruned)
         _check(
-            _content_hash(pruned) == _content_hash(full),
+            ph == _content_hash(full),
             f"pruned read diverged from full filter for {pred!r}",
         )
+        range_rows[pred] = ph[0]
     return spark.createDataFrame(
         [
-            ("zorder", total, kz_p, kz_s),
-            ("linear_partkey", total, kl_p, kl_s),
+            (
+                range_rows[pred_p],
+                range_rows[pred_s],
+                kz_p < total and kz_s < total,
+                kl_s == total,
+                kz_s < kl_s,
+            )
         ],
-        "layout string, n_files bigint, kept_partkey_range bigint, "
-        "kept_suppkey_range bigint",
+        "rows_partkey_range bigint, rows_suppkey_range bigint, "
+        "zorder_prunes_both boolean, linear_scans_all_second boolean, "
+        "zorder_better_second boolean",
     )
 
 

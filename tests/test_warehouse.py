@@ -448,8 +448,12 @@ def test_zorder_registered_query(spark):
     from apache_iceberg_demo_spark.registry import QUERIES, load_all
 
     load_all()
-    rows = {r.layout: r for r in QUERIES["c6_zorder_clustering"](spark, SF).collect()}
-    assert rows["zorder"].kept_suppkey_range < rows["linear_partkey"].kept_suppkey_range
+    row = QUERIES["c6_zorder_clustering"](spark, SF).first()
+    # the second-dimension win vs the linear layout is asserted in-query and
+    # surfaced as the boolean (file-level kept counts are layout-dependent)
+    assert row.zorder_better_second and row.zorder_prunes_both
+    assert row.linear_scans_all_second
+    assert row.rows_partkey_range > 0 and row.rows_suppkey_range > 0
 
 
 def test_update_moves_row_across_partitions(spark, wh):
