@@ -904,9 +904,22 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.crossJoin(F.broadcast(nn)).select(
+    result = ranks.crossJoin(F.broadcast(nn)).select(
         "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")
     )
+    # materialize the 10-iteration lineage ONCE under an input-sized shuffle
+    # scope (a plain 200-partition session otherwise schedules ~200 tasks ×
+    # 2 shuffles × 10 iterations, and every later action — the driver runs
+    # count THEN collect — would re-execute the whole chain)
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
+    ):
+        result = result.persist()
+        result.count()
+    _live_caches.append(result)
+    return result
 
 
 @register(
