@@ -313,6 +313,16 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).persist()
         _live_caches.append(visited)
         frontier = nxt.select("node")
+    # materialize the whole hop cascade ONCE under an input-sized shuffle
+    # scope (same as b3_pagerank_copurchase: a plain 200-partition session
+    # otherwise pays ~200 tasks per hop join on a toy frontier, and the
+    # driver's first action triggers the full unmaterialized cascade)
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
+    ):
+        visited.count()
     return visited
 
 
