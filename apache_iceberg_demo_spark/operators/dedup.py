@@ -353,7 +353,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-@register("c2_simhash_neardup")  # rows-only
+@register("c2_simhash_neardup")  # rows-only: xxhash bit-plane internals not ANSI SQL
 def c2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: SimHash near-dup pairs on the documents corpus (see
     :func:`simhash_pairs`; planted-mutant recall lives in tests)."""

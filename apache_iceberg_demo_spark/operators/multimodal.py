@@ -115,7 +115,7 @@ def c4_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c4_frame_sample_stub")  # rows-only
+@register("c4_frame_sample_stub")  # rows-only: decode kernel is a stub
 def c4_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: video frame sampling shape — blob → array of frame blobs (every
     k-th chunk), then explode to one row per sampled frame. Chunking is the

@@ -786,7 +786,9 @@ def c3_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c3_mmr_diverse_topk")  # rows-only: iterative greedy selection
+@register("c3_mmr_diverse_topk")  # rows-only: greedy argmax over unrounded
+# float scores is tie-fragile across engines (probed r07) — the per-step
+# optimality re-check in-query is the trustworthy form
 def c3_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: Maximal Marginal Relevance retrieval — top-10 for the query
     vector balancing relevance against redundancy:

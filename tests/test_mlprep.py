@@ -334,3 +334,18 @@ def test_session_window_agrees_with_handrolled(spark):
     # sessions are disjoint per user and ordered: first_us <= last_us
     bad = out.where(F.col("first_us") > F.col("last_us")).count()
     assert bad == 0
+
+
+def test_iterative_graph_ops_return_materialized_frames(spark):
+    """Regression (r07): PageRank/BFS must hand back an ALREADY-cached,
+    materialized frame — the driver runs count then collect, and an
+    unmaterialized 10-join lineage re-executes the whole chain per action
+    (77s -> 28s when fixed). storageLevel proves the persist survived."""
+    from apache_iceberg_demo_spark import registry
+
+    registry.load_all()
+    for name in ("b3_pagerank_copurchase", "b3_bfs_reachability"):
+        df = registry.QUERIES[name](spark, SF)
+        assert df.storageLevel.useMemory, f"{name} returned an uncached frame"
+        # a second action must be cache-cheap and, more importantly, stable
+        assert df.count() == df.count()
