@@ -38,3 +38,50 @@ def test_system_queries_oracle_is_late_bound(spark):
         (n, n.split("_")[0], n in registry.ORACLES) for n in registry.QUERIES
     }
     assert rows == expected
+
+
+def test_spark_submit_entry_a17():
+    """A17: the engine runs under the standard cluster submission tool —
+    `spark-submit tools/submit_job.py` with its own driver JVM (only the
+    cluster manager differs from a real cluster; the script takes the
+    submitter's SparkSession unchanged)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pyspark
+
+        submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    if not os.path.exists(submit):
+        import pytest
+
+        pytest.skip("spark-submit not available")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            submit,
+            "--master",
+            "local[2]",
+            "--conf",
+            "spark.ui.enabled=false",
+            os.path.join(repo, "tools", "submit_job.py"),
+            "/root/testdata/sf0.001",
+            "a12_q3_group_agg_sort",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["query"] == "a12_q3_group_agg_sort" and out["rows"] > 0
+    assert len(out["columns"]) >= 2
