@@ -1788,16 +1788,22 @@ def c6_system_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c6_sort_order_clustering",
-    # Deterministic fixture (l_orderkey % 3 = 0): the pruned point-lookup
-    # row count is relational; per-file min/max tightening (clustered scans
-    # no more files than unclustered, and the pruned read equals the full
-    # filter) depends on physical row placement and stays in-query asserts.
+    # Deterministic fixture (l_orderkey % 3 = 0) + deterministic probe (the
+    # MIN key of the slice, guaranteed non-empty — TPC-H orderkeys are
+    # sparse, so a fixed literal could probe a hole and make the pruned-read
+    # check vacuous): the point-lookup row count is relational; per-file
+    # min/max tightening (clustered scans no more files than unclustered,
+    # pruned read == full filter) depends on physical row placement and
+    # stays in-query asserts.
     oracle="""
-        SELECT CAST(count(*) FILTER (WHERE l_orderkey = 42) AS BIGINT)
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0),
+        k AS (SELECT min(l_orderkey) AS k0 FROM src)
+        SELECT CAST(count(*) FILTER (WHERE l_orderkey = k0) AS BIGINT)
                    AS rows_at_key,
                TRUE AS results_match,
                TRUE AS clustering_no_worse
-        FROM lineitem WHERE l_orderkey % 3 = 0
+        FROM src, k
+        GROUP BY k0
     """,
 )
 def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,8 +1825,10 @@ def c6_sort_order_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = wh._snapshot(meta, meta["current_snapshot_id"])
         return sum(0 if wh._can_skip(f, pred) else 1 for f in snap["manifest"])
 
-    pred = "l_orderkey = 42"
+    k0 = li.agg(F.min("l_orderkey")).collect()[0][0]
+    pred = f"l_orderkey = {int(k0)}"
     n_pruned = wh.read("clustered", where=pred).count()
+    _check(n_pruned > 0, "probe key matched nothing — the check is vacuous")
     rows_match = n_pruned == wh.read("unclustered").filter(pred).count()
     _check(rows_match, "pruned clustered read lost/gained rows")
     no_worse = kept("clustered", pred) <= kept("unclustered", pred)
