@@ -1426,21 +1426,33 @@ def _demo_warehouse(
     table — ~3000 rows at sf0.01), never a ``limit(n)``: a relationally
     defined content set is what lets the c6 queries built on this fixture
     carry real DuckDB oracles (r06 closed-form pattern) instead of
-    rows-only checks."""
+    rows-only checks.
+
+    Mutable copies are a ``copytree`` of the shared instance, not a
+    re-build: manifest paths are table-root-relative (the A8 relocatability
+    property, proven by ``a8_relocated_warehouse_scan``), so a directory
+    copy IS a fully independent warehouse — ~10 committing c6 queries each
+    save the multi-job Spark write this way."""
     from apache_iceberg_demo_spark.io import load, scratch_dir
 
     key = (str(id(spark)), sf_dir)
-    if not mutable and key in _demo_cache:
-        return _demo_cache[key]
-    tmp = scratch_dir("wh_q_", unique=True)
-    wh = Warehouse(spark, tmp)
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
-    base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
-    wh.create_or_replace("lineitem_v", base.filter(F.col("l_linenumber") <= 4), "ship_day")
-    wh.append("lineitem_v", base.filter(F.col("l_linenumber") > 4))
-    if not mutable:
+    if key not in _demo_cache:
+        tmp = scratch_dir("wh_q_", unique=True)
+        wh = Warehouse(spark, tmp)
+        li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+        base = li.withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
+        wh.create_or_replace(
+            "lineitem_v", base.filter(F.col("l_linenumber") <= 4), "ship_day"
+        )
+        wh.append("lineitem_v", base.filter(F.col("l_linenumber") > 4))
         _demo_cache[key] = (wh, "lineitem_v")
-    return wh, "lineitem_v"
+    if not mutable:
+        return _demo_cache[key]
+    shared_wh, t = _demo_cache[key]
+    copy_root = scratch_dir("wh_q_mut_", unique=True)
+    os.rmdir(copy_root)  # copytree wants to create the destination itself
+    shutil.copytree(shared_wh.root, copy_root)
+    return Warehouse(spark, copy_root), t
 
 
 @register(
