@@ -852,10 +852,13 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     each of the {_PR_ITERS} iterations would rebuild the lineitem self-join),
     and each iteration is contributions = ranks ⋈ edges, groupBy(dst),
     sum(rank/outdeg) — one hash shuffle of (node, double) pairs per
-    iteration, never payload data. The teleport constant comes from a
-    broadcast 1-row frame (the repo's scalar-subquery pattern; no driver
-    collect anywhere). At 100 TB this is the exact Pregel-style plan GraphX
-    runs, expressed in DataFrames so AQE handles skewed hubs.
+    iteration, never payload data. The node count N is collected ONCE as a
+    driver scalar (O(1) driver data — one aggregated row, the same thing
+    GraphX does) and inlined as a literal: the earlier per-iteration
+    ``crossJoin(broadcast(nn))`` added 12 BroadcastExchanges/jobs to the
+    chain and cost ~30% of its materialization time at sf0.01. At 100 TB
+    this is the exact Pregel-style plan GraphX runs, expressed in
+    DataFrames so AQE handles skewed hubs.
 
     The oracle recomputes the identical iteration in DuckDB's recursive CTE
     (Spark 4 forbids aggregates over the recursive reference, so the Spark
@@ -874,38 +877,42 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
+    # persist the canonical pair list BEFORE symmetrizing: Catalyst does
+    # not share common subplans, so without this the lineitem
+    # self-join+distinct executes once per downstream traversal (both
+    # union branches × both sides of the ew join, then nodes) instead of
+    # once total.
+    e0 = e0.persist()
+    _live_caches.append(e0)
     edges = e0.selectExpr("a AS s", "b AS d").unionAll(
         e0.selectExpr("b AS s", "a AS d")
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("outd"))
     ew = edges.join(deg, "s").persist()
     _live_caches.append(ew)
-    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     nodes = deg.select(F.col("s").alias("node")).persist()
     _live_caches.append(nodes)
+    # N as a driver scalar: one aggregated row, O(1) driver data. The
+    # division stays JVM-side (lit/lit) so the doubles are bit-identical
+    # to the former broadcast-column form.
+    n_lit = F.lit(float(nodes.count()))
 
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
             ranks.join(ew, ranks["node"] == ew["s"])
             .groupBy("d")
             .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.lit(1 - _PR_DAMP) / F.col("n")
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["d"], "left").select(
+            "node",
+            (
+                F.lit(1 - _PR_DAMP) / n_lit
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
         )
-    result = ranks.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")
+    result = ranks.select(
+        "node", F.round(F.col("rank") * n_lit, 6).alias("rank_x_n")
     )
     # materialize the 10-iteration lineage ONCE under an input-sized shuffle
     # scope (a plain 200-partition session otherwise schedules ~200 tasks ×
