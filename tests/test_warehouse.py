@@ -678,3 +678,39 @@ def test_iceberg_builder_conf_matches_reference(spark):
         "spark.sql.catalog.local.type": "hadoop",
         "spark.sql.catalog.local.warehouse": "/wh",
     }
+
+
+def test_partitioned_write_emits_one_file_per_partition_value(spark, wh):
+    """_write_data hash-repartitions on the partition column, so each
+    partition value gets exactly ONE data file per snapshot regardless of
+    upstream parallelism — the layout that stops a W-task writer from
+    spraying W x values small files at cluster scale."""
+    li = _lineitem(spark).repartition(8)  # deliberately wide upstream
+    wh.create_or_replace("t", li, partition_by="ship_day")
+    snap = wh._snapshot(wh._load_meta("t"), 1)
+    per_value: dict[str, int] = {}
+    for f in snap["manifest"]:
+        v = f["partition"]["ship_day"]
+        per_value[v] = per_value.get(v, 0) + 1
+    assert per_value, "no partitioned files in manifest"
+    assert max(per_value.values()) == 1, f"multi-file partitions: {per_value}"
+    # distinct partition values must all be present
+    n_vals = li.select("ship_day").distinct().count()
+    assert len(per_value) == n_vals
+
+
+def test_clustered_write_keeps_range_layout(spark, wh):
+    """cluster_by (sort-order) tables skip the hash repartition: file
+    min/max ranges on the cluster key must stay disjoint-ish (each file a
+    tight range), which a hash shuffle would destroy."""
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li, cluster_by=["l_orderkey"])
+    snap = wh._snapshot(wh._load_meta("t"), 1)
+    ranges = sorted(
+        (f["stats"]["l_orderkey"][0], f["stats"]["l_orderkey"][1])
+        for f in snap["manifest"]
+        if "l_orderkey" in f.get("stats", {})
+    )
+    assert ranges, "no per-file stats recorded"
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping clustered ranges: {ranges}"
