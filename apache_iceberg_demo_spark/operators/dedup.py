@@ -514,6 +514,12 @@ def c2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comps = connected_components(pairs)
+    # NOT persisted deliberately: the final groupBy re-runs per driver
+    # action (~1.5 s over cached comps), but persist-and-materialize here
+    # measured consistently SLOWER overall (+4 s plain-session: the cache
+    # build pays more than the repeat saves), and a scoped conf around the
+    # count misses the CC loop's caches entirely (19 s -> 32 s). Measured,
+    # both ways, before settling on the plain lazy return.
     return (
         comps.groupBy("comp")
         .agg(

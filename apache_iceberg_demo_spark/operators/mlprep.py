@@ -382,7 +382,21 @@ def b3_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wedge_n = wedge.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
     edge_n = e0.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return tri_n.crossJoin(F.broadcast(wedge_n)).crossJoin(F.broadcast(edge_n))
+    result = tri_n.crossJoin(F.broadcast(wedge_n)).crossJoin(F.broadcast(edge_n))
+    # one execution total: e0 feeds deg/oriented/tri_n/edge_n (4 traversals
+    # uncached — Catalyst shares no subplans) and the driver's
+    # count-then-collect would re-run the wedge pipeline per action
+    # (audited: 3.3 s + 2.9 s at sf0.01). Materialize under an input-sized
+    # scope; e0's cache builds inside it.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
+    ):
+        result = result.persist()
+        result.count()
+    _live_caches.append(result)
+    return result
 
 
 @register(
