@@ -344,7 +344,12 @@ def test_iterative_graph_ops_return_materialized_frames(spark):
     from apache_iceberg_demo_spark import registry
 
     registry.load_all()
-    for name in ("b3_pagerank_copurchase", "b3_bfs_reachability"):
+    for name in (
+        "b3_pagerank_copurchase",
+        "b3_bfs_reachability",
+        "b3_triangle_count_copurchase",
+        "pipeline_rag_retrieval",
+    ):
         df = registry.QUERIES[name](spark, SF)
         assert df.storageLevel.useMemory, f"{name} returned an uncached frame"
         # a second action must be cache-cheap and, more importantly, stable
