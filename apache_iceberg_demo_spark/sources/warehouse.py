@@ -1742,17 +1742,17 @@ def c6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_relocated_warehouse_scan",
-    # Deterministic fixture (l_orderkey % 15 = 0; snapshot 1 = line numbers
-    # <= 3, snapshot 2 appends the rest), so every visible count is
-    # relational; relocation transparency itself is the in-query content-
-    # fingerprint check (same bytes before/after the move).
+    # Deterministic fixture (the shared demo warehouse: l_orderkey % 20 = 0;
+    # snapshot 1 = line numbers <= 4, snapshot 2 appends the rest), so every
+    # visible count is relational; relocation transparency itself is the
+    # in-query content-fingerprint check (same bytes before/after the move).
     oracle="""
-        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 15 = 0)
+        WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
         SELECT CAST(count(*) AS BIGINT) AS rows_before_move,
                CAST(count(*) AS BIGINT) AS rows_after_move,
-               CAST(count(*) FILTER (WHERE l_linenumber <= 3) AS BIGINT)
+               CAST(count(*) FILTER (WHERE l_linenumber <= 4) AS BIGINT)
                    AS v1_before,
-               CAST(count(*) FILTER (WHERE l_linenumber <= 3) AS BIGINT)
+               CAST(count(*) FILTER (WHERE l_linenumber <= 4) AS BIGINT)
                    AS v1_after,
                TRUE AS relocation_transparent
         FROM src
@@ -1763,30 +1763,29 @@ def a8_relocated_warehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB option, ``README.md:92-95``): manifest paths are stored RELATIVE
     to the table root, so physically moving the whole table keeps every
     snapshot readable — no path rewrite, exactly what Iceberg's
-    metadata-relative layout buys."""
+    metadata-relative layout buys.
+
+    Uses a private CLONE of the shared demo warehouse (``mutable=True`` —
+    the move is destructive) rather than building its own: the clone is a
+    copytree, so the op measures pure relocation semantics instead of
+    re-paying two Spark write jobs, and the clone-then-move is itself a
+    second proof of the relative-path property (a copied root already read
+    correctly before the move)."""
     import shutil
 
-    from apache_iceberg_demo_spark.io import load, scratch_dir
+    wh, t = _demo_warehouse(spark, sf_dir, mutable=True)
+    n_before = wh.read(t).count()
+    v1_before = wh.read(t, snapshot_id=1).count()
 
-    tmp = scratch_dir("wh_move_", unique=True)
-    wh = Warehouse(spark, os.path.join(tmp, "orig"))
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 15 == 0
-    ).withColumn("ship_day", F.date_format("l_shipdate", "yyyy-MM"))
-    wh.create_or_replace("t_move", li.filter(F.col("l_linenumber") <= 3), "ship_day")
-    wh.append("t_move", li.filter(F.col("l_linenumber") > 3))
-    n_before = wh.read("t_move").count()
-    v1_before = wh.read("t_move", snapshot_id=1).count()
+    before_hash = _content_hash(wh.read(t))
 
-    before_hash = _content_hash(wh.read("t_move"))
-
-    moved_root = os.path.join(tmp, "relocated")
-    shutil.move(os.path.join(tmp, "orig"), moved_root)
+    moved_root = wh.root.rstrip(os.sep) + "_relocated"
+    shutil.move(wh.root, moved_root)
     wh2 = Warehouse(spark, moved_root)
-    n_after = wh2.read("t_move").count()
-    v1_after = wh2.read("t_move", snapshot_id=1).count()
+    n_after = wh2.read(t).count()
+    v1_after = wh2.read(t, snapshot_id=1).count()
     _check(
-        _content_hash(wh2.read("t_move")) == before_hash,
+        _content_hash(wh2.read(t)) == before_hash,
         "relocated read returned different content",
     )
     _check(
