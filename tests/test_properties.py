@@ -207,3 +207,55 @@ def test_weighted_median_crossing_identity(weights, prices):
     expanded = sorted(v for v, w in pairs for _ in range(w))
     idx = (len(expanded) + 1) // 2 - 1  # first position with cum >= half
     assert crossing == expanded[idx]
+
+
+@given(
+    mn=finite,
+    width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    value=finite,
+    lo=finite,
+    span=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_skip_between_is_sound(mn, width, value, lo, span):
+    """BETWEEN fast path: if any value inside [mn, mx] lies in [lo, hi],
+    the file must NOT be skippable."""
+    mx = mn + width
+    hi = lo + span
+    value = min(max(value, mn), mx)
+    entry = {"partition": {}, "stats": {"c": [mn, mx]}}
+    if lo <= value <= hi:
+        assert not Warehouse._can_skip(entry, f"c BETWEEN {lo} AND {hi}")
+
+
+@given(
+    mn=finite,
+    width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    value=finite,
+    lit1=finite,
+    lit2=finite,
+    op1=st.sampled_from(["<", "<=", ">", ">=", "=", "=="]),
+    op2=st.sampled_from(["<", "<=", ">", ">=", "=", "=="]),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_skip_conjunction_is_sound(mn, width, value, lit1, lit2, op1, op2):
+    """AND fast path: if one value inside [mn, mx] satisfies BOTH
+    conjuncts, the file must NOT be skippable."""
+    mx = mn + width
+    value = min(max(value, mn), mx)
+
+    def holds(op, lit):
+        return {
+            "<": value < lit,
+            "<=": value <= lit,
+            ">": value > lit,
+            ">=": value >= lit,
+            "=": value == lit,
+            "==": value == lit,
+        }[op]
+
+    entry = {"partition": {}, "stats": {"c": [mn, mx]}}
+    if holds(op1, lit1) and holds(op2, lit2):
+        assert not Warehouse._can_skip(
+            entry, f"c {op1} {lit1} AND c {op2} {lit2}"
+        )
