@@ -714,3 +714,24 @@ def test_clustered_write_keeps_range_layout(spark, wh):
     assert ranges, "no per-file stats recorded"
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping clustered ranges: {ranges}"
+
+
+def test_missing_data_file_fails_loudly(spark, wh):
+    """A manifest entry whose data file vanished must raise, never serve a
+    silently partial result — the worst failure class for a table format."""
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li, partition_by="ship_day")
+    snap = wh._snapshot(wh._load_meta("t"), 1)
+    victim = wh._abs_path("t", snap["manifest"][0]["path"])
+    os.remove(victim)
+    with pytest.raises(Exception):
+        wh.read("t").count()
+
+
+def test_corrupt_metadata_fails_loudly(spark, wh):
+    li = _lineitem(spark)
+    wh.create_or_replace("t", li)
+    with open(wh._meta_path("t"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(Exception):
+        wh.read("t")
