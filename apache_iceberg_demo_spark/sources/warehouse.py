@@ -46,6 +46,13 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit failure: the table's metadata advanced
+    after this writer loaded it (Iceberg's ``CommitFailedException``
+    analog). Commutative operations (fast appends) catch this, reload, and
+    reapply; non-commutative ones surface it to the caller."""
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -65,12 +72,49 @@ class Warehouse:
             return json.load(f)
 
     def _store_meta(self, name: str, meta: dict) -> None:
-        # atomic rename commit — the hadoop-catalog pattern the reference's
-        # Iceberg setup relies on (file-based catalog, csv_to_ice.py:12)
-        tmp = self._meta_path(name) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(tmp, self._meta_path(name))
+        """Atomic rename commit with OPTIMISTIC CONCURRENCY (the Iceberg
+        commit contract, HadoopTableOperations pattern): every metadata
+        write validates, under a short-lived lock file, that the on-disk
+        ``commit_seq`` still equals the one this writer LOADED — a
+        concurrent commit in between raises :class:`CommitConflictError`
+        (Iceberg's ``CommitFailedException``) instead of silently
+        overwriting the other writer's snapshot (lost update). Every
+        load→modify→store path inherits the check automatically because
+        ``_load_meta`` carries the seq inside the dict."""
+        meta_path = self._meta_path(name)
+        lock = meta_path + ".lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"table {name!r}: commit lock held too long"
+                    )
+                time.sleep(0.01)
+        try:
+            expected = int(meta.get("commit_seq", 0))
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    on_disk = int(json.load(f).get("commit_seq", 0))
+                if on_disk != expected:
+                    raise CommitConflictError(
+                        f"table {name!r}: metadata advanced under this "
+                        f"writer (seq {on_disk} != base {expected})"
+                    )
+            elif expected:
+                raise CommitConflictError(
+                    f"table {name!r}: metadata file vanished under writer"
+                )
+            meta["commit_seq"] = expected + 1
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1)
+            os.replace(tmp, meta_path)
+        finally:
+            os.unlink(lock)
 
     def _abs_path(self, name: str, entry_path: str) -> str:
         """Resolve a manifest path. Paths are stored RELATIVE to the table
@@ -319,7 +363,7 @@ class Warehouse:
         exists = os.path.exists(self._meta_path(name))
         meta = self._load_meta(name) if exists else None
         parent = meta["current_snapshot_id"] if meta else None
-        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         # a pre-clustered frame (sort-order tables) must keep its range
         # layout — the hash repartition in _write_data would destroy it
         data_dir = self._write_data(name, df, tag, partition_by, shuffle=not cluster_by)
@@ -338,21 +382,40 @@ class Warehouse:
     def append(self, name: str, df: DataFrame) -> dict:
         """Snapshot-append: new files + previous snapshot's files stay live.
         Hidden-partition transforms recorded at create time are re-applied to
-        the incoming batch (the writer, not the user, owns the derivation)."""
+        the incoming batch (the writer, not the user, owns the derivation).
+
+        Fast-append RETRY (Iceberg's commit loop): an append is commutative
+        — its data files don't depend on the base manifest — so on a
+        :class:`CommitConflictError` the already-written files are
+        re-committed against the freshly-loaded head instead of failing the
+        writer. The uuid-suffixed data dir guarantees concurrent appends
+        never share a directory, so retries move metadata only."""
         meta = self._load_meta(name)
         spec = meta.get("partition_spec")
         if spec and meta.get("partition_by") not in df.columns:
             df, _ = self._apply_transform(df, spec)
         parent = meta["current_snapshot_id"]
-        prev = self._snapshot(meta, parent)
-        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
         files = self._manifest_for_dir(name, data_dir)
-        all_files = prev["manifest"] + files
-        snap = self._commit(
-            name, "append", all_files, meta["schema"], meta.get("partition_by"), parent, meta
-        )
-        return snap
+        for attempt in range(3):
+            prev = self._snapshot(meta, parent)
+            all_files = prev["manifest"] + files
+            try:
+                return self._commit(
+                    name,
+                    "append",
+                    all_files,
+                    meta["schema"],
+                    meta.get("partition_by"),
+                    parent,
+                    meta,
+                )
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
+                meta = self._load_meta(name)
+                parent = meta["current_snapshot_id"]
 
     def rollback_to(self, name: str, snapshot_id: int) -> dict:
         """Iceberg ``rollback_to_snapshot``: a NEW commit whose manifest (and
@@ -490,7 +553,7 @@ class Warehouse:
         else:
             carry = list(prev["manifest"])
         parent = meta["current_snapshot_id"]
-        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, new_rows, tag, part_col)
         files = self._manifest_for_dir(name, data_dir)
         return self._commit(
@@ -509,7 +572,7 @@ class Warehouse:
         if not part_col:
             meta2 = self._load_meta(name)
             parent = meta2["current_snapshot_id"]
-            tag = f"snap-{self._next_snap_id(meta2, parent):05d}"
+            tag = f"snap-{self._next_snap_id(meta2, parent):05d}-{uuid.uuid4().hex[:8]}"
             data_dir = self._write_data(name, target.filter(~cond), tag, None)
             files = self._manifest_for_dir(name, data_dir)
             return self._commit(
@@ -595,7 +658,7 @@ class Warehouse:
         if not part_col:
             meta2 = self._load_meta(name)
             parent = meta2["current_snapshot_id"]
-            tag = f"snap-{self._next_snap_id(meta2, parent):05d}"
+            tag = f"snap-{self._next_snap_id(meta2, parent):05d}-{uuid.uuid4().hex[:8]}"
             data_dir = self._write_data(name, updated_all.drop("_upd"), tag, None)
             files = self._manifest_for_dir(name, data_dir)
             return self._commit(
@@ -1317,7 +1380,7 @@ class Warehouse:
         # partial-partition commit: write only the rewritten partitions, then
         # union the untouched file entries into the new manifest unchanged
         parent = meta["current_snapshot_id"]
-        tag = f"snap-{self._next_snap_id(meta, parent):05d}"
+        tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, result, tag, part_col)
         new_files = self._manifest_for_dir(name, data_dir)
         return self._commit(

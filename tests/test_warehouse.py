@@ -735,3 +735,56 @@ def test_corrupt_metadata_fails_loudly(spark, wh):
         f.write("{not json")
     with pytest.raises(Exception):
         wh.read("t")
+
+
+def test_stale_writer_commit_conflicts(spark, wh):
+    """Optimistic concurrency: a writer holding metadata loaded BEFORE a
+    competing commit must get CommitConflictError on store, never silently
+    overwrite the other writer's snapshot (lost update)."""
+    from apache_iceberg_demo_spark.sources.warehouse import CommitConflictError
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.filter(F.col("l_orderkey") % 2 == 0))
+    stale = wh._load_meta("t")  # writer B's view
+    wh.append("t", li.filter(F.col("l_orderkey") % 2 == 1))  # writer A wins
+    with pytest.raises(CommitConflictError):
+        wh._store_meta("t", stale)
+    # the winning commit is intact
+    assert wh._load_meta("t")["current_snapshot_id"] == 2
+
+
+def test_concurrent_append_retries_and_merges(spark, wh, monkeypatch):
+    """Fast-append retry: writer B's commit hits a conflict because writer A
+    commits in between; B must reload and reapply, ending with BOTH batches
+    live on a linear snapshot log."""
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    base = li.filter(F.col("l_orderkey") % 3 == 0)
+    batch_a = li.filter(F.col("l_orderkey") % 3 == 1)
+    batch_b = li.filter(F.col("l_orderkey") % 3 == 2)
+    wh.create_or_replace("t", base)
+
+    rival = Warehouse(spark, wh.root)
+    real_store = Warehouse._store_meta
+    fired = {"done": False}
+
+    def racing_store(self, name, meta):
+        # writer A sneaks its append in right before B's first store
+        if not fired["done"] and self is wh:
+            fired["done"] = True
+            rival.append("t", batch_a)
+        return real_store(self, name, meta)
+
+    monkeypatch.setattr(Warehouse, "_store_meta", racing_store)
+    snap = wh.append("t", batch_b)  # writer B: conflicts once, retries
+    monkeypatch.undo()
+
+    assert fired["done"]
+    n = wh.read("t").count()
+    assert n == base.count() + batch_a.count() + batch_b.count()
+    meta = wh._load_meta("t")
+    # linear log: B's final snapshot parents A's, nothing lost
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    assert snap["parent_id"] in by_id
+    assert by_id[snap["parent_id"]]["operation"] == "append"
