@@ -398,7 +398,8 @@ class Warehouse:
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
         files = self._manifest_for_dir(name, data_dir)
-        for attempt in range(3):
+        retries = 5  # Iceberg commit.retry.num-retries-class default (4) + 1 base try
+        for attempt in range(retries):
             prev = self._snapshot(meta, parent)
             all_files = prev["manifest"] + files
             try:
@@ -412,7 +413,7 @@ class Warehouse:
                     meta,
                 )
             except CommitConflictError:
-                if attempt == 2:
+                if attempt == retries - 1:
                     raise
                 meta = self._load_meta(name)
                 parent = meta["current_snapshot_id"]

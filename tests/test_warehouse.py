@@ -788,3 +788,60 @@ def test_concurrent_append_retries_and_merges(spark, wh, monkeypatch):
     by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
     assert snap["parent_id"] in by_id
     assert by_id[snap["parent_id"]]["operation"] == "append"
+
+
+def test_threaded_appends_all_land(spark, wh):
+    """True-thread commit race: N writers append concurrently through the
+    lock-file CAS; every batch must land on one linear snapshot log with
+    no lost update and no shared data directory."""
+    import threading
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.filter(F.col("l_orderkey") % 5 == 4))
+    batches = [li.filter(F.col("l_orderkey") % 5 == i) for i in range(3)]
+    errors: list[Exception] = []
+
+    def writer(df):
+        try:
+            wh.append("t", df)
+        except Exception as ex:  # surfaced after join
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join()
+    assert not errors, errors
+    expected = li.filter(F.col("l_orderkey") % 5 == 4).count() + sum(
+        b.count() for b in batches
+    )
+    assert wh.read("t").count() == expected
+    meta = wh._load_meta("t")
+    # linear ancestry: each append parents the previous head
+    ids = sorted(s["snapshot_id"] for s in meta["snapshots"])
+    assert len(ids) == 4
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    head = meta["current_snapshot_id"]
+    seen = []
+    while head is not None:
+        seen.append(head)
+        head = by_id[head]["parent_id"]
+    assert sorted(seen) == ids, "snapshot log is not one linear chain"
+    # each append ADDS a data dir its parent lacks, and no two appends
+    # added the same dir (the uuid-tag guarantee under concurrency)
+    def dirs_of(s):
+        return {
+            e["path"].split(os.sep)[1]
+            for e in s["manifest"]
+            if e["path"].startswith("data")
+        }
+
+    added = [
+        dirs_of(s) - dirs_of(by_id[s["parent_id"]])
+        for s in meta["snapshots"]
+        if s["operation"] == "append"
+    ]
+    assert all(added), "an append committed no new files"
+    flat = [d for a in added for d in a]
+    assert len(flat) == len(set(flat)), "two appends shared a data dir"
