@@ -89,6 +89,15 @@ class Warehouse:
                 os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
                 break
             except FileExistsError:
+                # break STALE locks (a crashed writer's leak would otherwise
+                # block every future commit): a healthy store holds the lock
+                # for milliseconds, so a minute-old lock file is abandoned
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # raced with the holder's release — retry
                 if time.monotonic() > deadline:
                     raise CommitConflictError(
                         f"table {name!r}: commit lock held too long"

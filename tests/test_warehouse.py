@@ -845,3 +845,18 @@ def test_threaded_appends_all_land(spark, wh):
     assert all(added), "an append committed no new files"
     flat = [d for a in added for d in a]
     assert len(flat) == len(set(flat)), "two appends shared a data dir"
+
+
+def test_stale_commit_lock_is_broken(spark, wh):
+    """A crashed writer's leaked lock file must not block commits forever:
+    locks older than the staleness horizon are broken and the commit
+    proceeds."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.filter(F.col("l_orderkey") % 2 == 0))
+    lock = wh._meta_path("t") + ".lock"
+    open(lock, "w").close()
+    old = __import__("time").time() - 120
+    os.utime(lock, (old, old))
+    snap = wh.append("t", li.filter(F.col("l_orderkey") % 2 == 1))
+    assert snap["operation"] == "append"
+    assert not os.path.exists(lock)
