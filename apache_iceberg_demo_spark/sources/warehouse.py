@@ -213,6 +213,7 @@ class Warehouse:
         partition_by: Optional[str],
         parent: Optional[int],
         meta: Optional[dict],
+        advance_current: bool = True,
     ) -> dict:
         snap_id = self._next_snap_id(meta, parent)
         if meta is None:
@@ -276,7 +277,8 @@ class Warehouse:
                     dict(d) for d in par["delete_predicates"]
                 ]
         meta["schema"] = schema_ddl  # schema-wins-on-replace (SURVEY.md §1.3)
-        meta["current_snapshot_id"] = snap_id
+        if advance_current:
+            meta["current_snapshot_id"] = snap_id
         meta["snapshots"].append(snapshot)
         self._store_meta(name, meta)
         return snapshot
@@ -388,7 +390,14 @@ class Warehouse:
         self._store_meta(name, meta)
         return snap
 
-    def append(self, name: str, df: DataFrame) -> dict:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        _parent: Optional[int] = None,
+        _advance_current: bool = True,
+    ) -> dict:
         """Snapshot-append: new files + previous snapshot's files stay live.
         Hidden-partition transforms recorded at create time are re-applied to
         the incoming batch (the writer, not the user, owns the derivation).
@@ -398,12 +407,18 @@ class Warehouse:
         :class:`CommitConflictError` the already-written files are
         re-committed against the freshly-loaded head instead of failing the
         writer. The uuid-suffixed data dir guarantees concurrent appends
-        never share a directory, so retries move metadata only."""
+        never share a directory, so retries move metadata only.
+
+        ``_parent``/``_advance_current`` are the internal no-isolation-leak
+        hooks for branch appends and WAP staging: the commit chains off an
+        explicit parent and leaves ``current_snapshot_id`` untouched, so
+        concurrent readers can never observe unpublished data through a
+        temporarily-redirected main pointer."""
         meta = self._load_meta(name)
         spec = meta.get("partition_spec")
         if spec and meta.get("partition_by") not in df.columns:
             df, _ = self._apply_transform(df, spec)
-        parent = meta["current_snapshot_id"]
+        parent = meta["current_snapshot_id"] if _parent is None else _parent
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
         files = self._manifest_for_dir(name, data_dir)
@@ -420,12 +435,14 @@ class Warehouse:
                     meta.get("partition_by"),
                     parent,
                     meta,
+                    advance_current=_advance_current,
                 )
             except CommitConflictError:
                 if attempt == retries - 1:
                     raise
                 meta = self._load_meta(name)
-                parent = meta["current_snapshot_id"]
+                if _parent is None:
+                    parent = meta["current_snapshot_id"]
 
     def rollback_to(self, name: str, snapshot_id: int) -> dict:
         """Iceberg ``rollback_to_snapshot``: a NEW commit whose manifest (and
@@ -731,23 +748,23 @@ class Warehouse:
 
     def append_to_branch(self, name: str, branch: str, df: DataFrame) -> dict:
         """Append a snapshot whose parent is the BRANCH head; the branch
-        pointer advances, main does not (readers of the table see nothing)."""
+        pointer advances, main does not (readers of the table see nothing).
+
+        Commits directly against the branch head (``_parent`` hook) — the
+        old temporarily-point-main-at-the-branch dance let a concurrent
+        reader observe unpublished branch data through the redirected main
+        pointer, and a concurrent main append chain off the branch."""
         head = self.resolve_branch(name, branch)
-        meta = self._load_meta(name)
-        main_cur = meta["current_snapshot_id"]
-        # chain the commit off the branch head by temporarily pointing the
-        # writer there (same pointer dance as stage_append's WAP staging)
-        meta["current_snapshot_id"] = head
-        self._store_meta(name, meta)
-        snap = None
-        try:
-            snap = self.append(name, df)
-        finally:
+        snap = self.append(name, df, _parent=head, _advance_current=False)
+        for attempt in range(5):
             meta = self._load_meta(name)
-            meta["current_snapshot_id"] = main_cur
-            if snap is not None:
-                meta.setdefault("branches", {})[branch] = snap["snapshot_id"]
-            self._store_meta(name, meta)
+            meta.setdefault("branches", {})[branch] = snap["snapshot_id"]
+            try:
+                self._store_meta(name, meta)
+                return snap
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
         return snap
 
     def fast_forward(self, name: str, branch: str) -> dict:
@@ -785,15 +802,18 @@ class Warehouse:
         pointer stays on the parent — readers see NOTHING until `publish`.
         The staged snapshot is auditable via ``read(name, snapshot_id=...)``.
         """
-        meta_before = self._load_meta(name)
-        parent = meta_before["current_snapshot_id"]
-        snap = self.append(name, df)
-        meta = self._load_meta(name)
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] == snap["snapshot_id"]:
-                s["staged"] = True
-        meta["current_snapshot_id"] = parent
-        self._store_meta(name, meta)
+        snap = self.append(name, df, _advance_current=False)
+        for attempt in range(5):
+            meta = self._load_meta(name)
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snap["snapshot_id"]:
+                    s["staged"] = True
+            try:
+                self._store_meta(name, meta)
+                break
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
         snap["staged"] = True
         return snap
 

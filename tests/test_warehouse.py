@@ -860,3 +860,35 @@ def test_stale_commit_lock_is_broken(spark, wh):
     snap = wh.append("t", li.filter(F.col("l_orderkey") % 2 == 1))
     assert snap["operation"] == "append"
     assert not os.path.exists(lock)
+
+
+def test_branch_and_stage_never_expose_unpublished_state(spark, wh, monkeypatch):
+    """Isolation regression: NO intermediate metadata store during a branch
+    append or a WAP stage may leave main's current pointer on the
+    unpublished snapshot — the old temporarily-redirect-main dance let a
+    concurrent reader see branch/staged data."""
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.filter(F.col("l_orderkey") % 2 == 0))
+    main_head = wh._load_meta("t")["current_snapshot_id"]
+
+    observed: list[int] = []
+    real_store = Warehouse._store_meta
+
+    def spying_store(self, name, meta):
+        observed.append(meta["current_snapshot_id"])
+        return real_store(self, name, meta)
+
+    monkeypatch.setattr(Warehouse, "_store_meta", spying_store)
+    wh.create_branch("t", "audit")
+    wh.append_to_branch("t", "audit", li.filter(F.col("l_orderkey") % 2 == 1))
+    wh.stage_append("t", li.limit(10))
+    monkeypatch.undo()
+
+    assert observed, "no stores observed"
+    assert set(observed) == {main_head}, (
+        f"an intermediate store moved main off {main_head}: {observed}"
+    )
+    # and main still reads only its own rows
+    assert wh.read("t").count() == li.filter(F.col("l_orderkey") % 2 == 0).count()
