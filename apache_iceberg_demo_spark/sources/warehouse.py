@@ -1195,6 +1195,13 @@ class Warehouse:
         live_paths = {
             self._abs_path(name, f["path"]) for s in keep for f in s["manifest"]
         }
+        # COMMIT FIRST, delete after (Iceberg's expire order): a crash — or
+        # a CommitConflictError from a concurrent writer — before the store
+        # must leave only extra files on disk (orphans, cleaned by
+        # remove_orphan_files), never committed metadata that references
+        # already-deleted files (broken time travel).
+        meta["snapshots"] = keep
+        self._store_meta(name, meta)
         removed = 0
         for s in expired:
             for f in s["manifest"]:
@@ -1202,8 +1209,6 @@ class Warehouse:
                 if path not in live_paths and os.path.exists(path):
                     os.remove(path)
                     removed += 1
-        meta["snapshots"] = keep
-        self._store_meta(name, meta)
         # drop now-empty snapshot dirs
         data_root = os.path.join(self._table_dir(name), "data")
         if os.path.isdir(data_root):
@@ -1215,14 +1220,20 @@ class Warehouse:
                     shutil.rmtree(full)
         return removed
 
-    def remove_orphan_files(self, name: str) -> int:
+    def remove_orphan_files(self, name: str, min_age_s: float = 0.0) -> int:
         """Iceberg ``remove_orphan_files``: delete data files under the table
         location that NO snapshot references — the debris of failed/aborted
         writes (a task wrote its file, the commit never happened). Distinct
         from ``expire_snapshots``, which GCs files of *known* dropped
         snapshots; orphans are unknown to the metadata entirely, so the scan
         is location-driven: walk the data dir, keep what any manifest
-        claims, remove the rest."""
+        claims, remove the rest.
+
+        ``min_age_s`` is Iceberg's ``older_than`` safety valve (its default
+        is 3 DAYS): a concurrent writer's files are unreferenced between
+        its data write and its commit, so production GC must only remove
+        files older than any plausible in-flight write. 0 here keeps the
+        demo deterministic — pass a real age when writers may be live."""
         meta = self._load_meta(name)
         live = {
             os.path.realpath(self._abs_path(name, f["path"]))
@@ -1231,10 +1242,15 @@ class Warehouse:
         }
         removed = 0
         data_root = os.path.join(self._table_dir(name), "data")
+        cutoff = time.time() - min_age_s
         for dirpath, _dirs, files in os.walk(data_root):
             for fn in files:
                 path = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and os.path.realpath(path) not in live:
+                if (
+                    fn.endswith(".parquet")
+                    and os.path.realpath(path) not in live
+                    and os.path.getmtime(path) <= cutoff
+                ):
                     os.remove(path)
                     removed += 1
         return removed

@@ -892,3 +892,47 @@ def test_branch_and_stage_never_expose_unpublished_state(spark, wh, monkeypatch)
     )
     # and main still reads only its own rows
     assert wh.read("t").count() == li.filter(F.col("l_orderkey") % 2 == 0).count()
+
+
+def test_expire_commits_metadata_before_deleting_files(spark, wh, monkeypatch):
+    """Crash-safety order (Iceberg expire contract): if the metadata store
+    fails, NO data file may have been deleted — the failure mode is extra
+    orphan files, never committed metadata referencing deleted files."""
+    from apache_iceberg_demo_spark.sources.warehouse import (
+        CommitConflictError,
+        Warehouse,
+    )
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(100))
+    wh.create_or_replace("t", li.limit(200))
+    old_files = [
+        wh._abs_path("t", f["path"])
+        for f in wh._snapshot(wh._load_meta("t"), 1)["manifest"]
+    ]
+
+    def failing_store(self, name, meta):
+        raise CommitConflictError("injected")
+
+    monkeypatch.setattr(Warehouse, "_store_meta", failing_store)
+    with pytest.raises(CommitConflictError):
+        wh.expire_snapshots("t", keep_last=1)
+    monkeypatch.undo()
+    # every snapshot-1 file survived the failed expire; time travel intact
+    assert all(os.path.exists(p) for p in old_files)
+    assert wh.read("t", snapshot_id=1).count() == 100
+
+
+def test_orphan_removal_age_guard_spares_fresh_files(spark, wh):
+    """min_age_s (Iceberg's older_than valve): a fresh unreferenced file —
+    a concurrent writer's not-yet-committed output — must survive an aged
+    GC pass and fall to an immediate one."""
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(50))
+    fresh = os.path.join(wh._table_dir("t"), "data", "inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(fresh), exist_ok=True)
+    li.limit(5).toPandas().to_parquet(fresh)
+    assert wh.remove_orphan_files("t", min_age_s=3600) == 0
+    assert os.path.exists(fresh)
+    assert wh.remove_orphan_files("t") == 1
+    assert not os.path.exists(fresh)
