@@ -505,42 +505,62 @@ def b4_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 _DIM = 64
 
 
+#: fixed-point scale for the covariance quantization (6 decimal places).
+#: Headroom: |x| < 1 → |q| < 1e6 → |q·q| < 1e12 → an int64 partial sum is
+#: exact past 9e6 rows PER PARTITION and the cross-partition merge is
+#: DECIMAL, so no row count overflows it.
+_COV_SCALE = 1_000_000
+
+
 @register(
     "c3_covariance_matrix",
     oracle=f"""
         WITH x AS (
             SELECT vec_id,
-                   CAST(unnest(embedding) AS DOUBLE) AS v,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_COV_SCALE})
+                        AS BIGINT) AS q,
                    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
             FROM embeddings
         )
         SELECT a.i AS i, b.i AS j,
-               round((sum(a.v * b.v)
-                      - sum(a.v) * sum(b.v) / count(*))
+               round((CAST(sum(a.q * b.q) AS DOUBLE) / {float(_COV_SCALE) ** 2}
+                      - (CAST(sum(a.q) AS DOUBLE) / {float(_COV_SCALE)})
+                        * (CAST(sum(b.q) AS DOUBLE) / {float(_COV_SCALE)})
+                        / count(*))
                      / (count(*) - 1), 6) AS cov
         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY a.i, b.i
     """,
 )
 def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3: the data-parallel half of PCA — the exact d×d covariance matrix
-    of the embedding corpus (upper triangle, 0-based indices), computed as
+    """C3: the data-parallel half of PCA — the d×d covariance matrix of the
+    embedding corpus (upper triangle, 0-based indices), computed as
     per-partition Gram partials (numpy ``XᵀX`` per Arrow batch via
     ``mapInPandas``) that reduce with a plain groupBy-sum. The driver-side
     eigendecomposition of a 64×64 matrix is O(d³) trivial — tested against
     ``numpy.cov`` in tests/test_mlprep.py.
 
     This is the canonical "matrix statistic at 100 TB" pattern: each
-    executor folds its rows into an O(d²) partial (one 4096-float row per
-    partition — NOT per input row), so the shuffle moves
-    partitions×d² floats regardless of corpus size; the oracle's
-    unnest-self-join formulation would shuffle rows×d² and is exactly what
-    NOT to run at scale (it's here as the independent correctness check).
+    executor folds its rows into an O(d²) partial (one 4096-entry row per
+    partition — NOT per input row), so the shuffle moves partitions×d²
+    values regardless of corpus size; the oracle's unnest-self-join
+    formulation would shuffle rows×d² and is exactly what NOT to run at
+    scale (it's here as the independent correctness check).
 
-    Numeric note: float32 embeddings widen to float64 before any product;
-    partials use numpy's pairwise summation; cov = (C − s·sᵀ/n)/(n−1) from
-    merged (n, s, C) state — algebraic, so partition count never changes
-    the result beyond the round-6 contract.
+    Numeric determinism (the round-7 driver red row was a float64
+    cross-partition merge whose reduce order flipped the 6th decimal):
+    inputs quantize to 6-decimal fixed point — ``round(x·1e6)`` as int64 —
+    on BOTH engines before any arithmetic, so every sum is exact integer
+    math, order-insensitive, and bitwise identical across engines and
+    partition layouts. Ties in the rounding are impossible: a float32
+    value times 1e6 is computed exactly in float64 (24+14 mantissa bits),
+    and x·1e6 = k+0.5 would need x = (2k+1)/(2^7·5^6), which no binary
+    float can represent — so numpy's half-even and DuckDB's half-away
+    rounding always agree. Quantization error ~6e-7 per covariance cell,
+    an order below the numpy-reference test tolerance. The cross-partition
+    merge casts the int64 partials to DECIMAL(38,0) so ANSI mode can never
+    overflow it at scale; the final (C − s·sᵀ/n)/(n−1) runs in float64 on
+    identical integer inputs both sides.
     """
     import numpy as np
     import pandas as pd
@@ -549,21 +569,22 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gram_partials(batches):
         n = 0
-        s = np.zeros(_DIM)
-        c = np.zeros((_DIM, _DIM))
+        s = np.zeros(_DIM, dtype=np.int64)
+        c = np.zeros((_DIM, _DIM), dtype=np.int64)
         for pdf in batches:
             if len(pdf):
                 x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                n += x.shape[0]
-                s += x.sum(axis=0)
-                c += x.T @ x
+                q = np.round(x * _COV_SCALE).astype(np.int64)
+                n += q.shape[0]
+                s += q.sum(axis=0)
+                c += q.T @ q
         if n:
             yield pd.DataFrame(
                 {"n": [n], "s": [s.tolist()], "c": [c.reshape(-1).tolist()]}
             )
 
     parts = emb.mapInPandas(
-        gram_partials, "n bigint, s array<double>, c array<double>"
+        gram_partials, "n bigint, s array<bigint>, c array<bigint>"
     )
     # one narrow reuse point: the partial frame feeds three reductions
     parts = parts.persist()
@@ -571,13 +592,14 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     svec = (
         parts.select(F.posexplode("s").alias("i", "v"))
         .groupBy("i")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
     )
     cmat = (
         parts.select(F.posexplode("c").alias("p", "v"))
         .groupBy("p")
-        .agg(F.sum("v").alias("c"))
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("c"))
     )
+    scale = float(_COV_SCALE)
     out = (
         cmat.select(
             (F.col("p") / _DIM).cast("int").alias("i"),
@@ -592,7 +614,12 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.round(
-                (F.col("c") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                (
+                    F.col("c").cast("double") / F.lit(scale * scale)
+                    - (F.col("s_i").cast("double") / F.lit(scale))
+                    * (F.col("s_j").cast("double") / F.lit(scale))
+                    / F.col("n")
+                )
                 / (F.col("n") - 1),
                 6,
             ).alias("cov"),

@@ -135,64 +135,50 @@ _DRIVER_VERIFIED: set[str] = {
     "s1_balanced_class_downsample", "c5_chunk_surgery_dedup",
     "b5_distinct_count_window", "b8_url_funcs", "b4_ohlc_bars",
     "b4_time_weighted_avg", "b4_skew_diagnosis", "c5_passage_chunking",
+    # --- r07 driver greens (CORRECTNESS_r07.json — 49 of 50 rows fully
+    # green; the one red, c3_covariance_matrix, is re-proven via _HEAD
+    # after the fixed-point determinism fix), folded in per VERDICT r07
+    # item 2 so the round-8 budget reaches the 63 never-run oracle-paired
+    # queries (b4/b5 statistical tail, graph ops, roundout leftovers):
+    "a8_relocated_warehouse_scan", "c6_system_queries",
+    "c6_row_level_delete_update", "c6_compaction_rewrite",
+    "c6_partition_evolution", "c6_expire_snapshots_retention",
+    "c6_remove_orphan_files", "c6_sort_order_clustering",
+    "c6_analyze_table_cbo", "b4_countmin_heavy_hitters",
+    "b1_binaryfile_ingest", "c5_language_id", "c4_patch_extraction",
+    "pipeline_multimodal_prep", "c6_file_skipping", "c6_zorder_clustering",
+    "c3_binary_hamming_topk", "b10_cogroup_apply_reconcile",
+    "c6_metadata_snapshots", "c6_time_travel", "c6_named_refs",
+    "c6_rollback_cherry_pick", "c6_snapshot_diff_cdc",
+    "c6_merge_into_upsert", "c6_schema_evolution",
+    "c6_write_audit_publish", "c6_partitions_metadata",
+    "b9_update_mode_counts", "b9_complete_mode_topk", "b4_observe_metrics",
+    "b9_stateful_sessionize", "b9_stream_dedup_watermark",
+    "c1_dedup_incremental_index", "b9_foreachbatch_merge_sink",
+    "b9_file_sink_exactly_once", "b9_stream_left_outer_interval_join",
+    "c6_merge_on_read_delete", "c6_branch_fast_forward", "s1_epoch_shuffle",
+    "b4_target_encoding_loo", "b4_column_entropy",
+    "b4_markov_event_transitions", "b5_session_window_batch",
+    "b3_triangle_count_copurchase", "s1_weighted_sample_topk",
+    "b4_incremental_agg_maintenance", "c5_bm25_search",
+    "s1_stratified_exact_split", "b4_winsorized_robust_stats",
 }
 
 # Names that must lead the registry regardless of verification history
-# (regression re-checks of previously-failed/erred rows). Empty after r05:
-# all five prior members came back fully green, so re-proving them would
-# burn driver budget (VERDICT r05 item 1).
-_HEAD: list[str] = []
+# (regression re-checks of previously-failed/erred rows).
+# c3_covariance_matrix was the sole red r07 row (hash flake: float64
+# cross-partition partial merge whose reduce order flipped the 6th decimal);
+# the fixed-point int64 quantization fix makes every sum exact and
+# order-insensitive — the driver must re-prove it first in r08
+# (VERDICT r07 item 1).
+_HEAD: list[str] = ["c3_covariance_matrix"]
 
-# Within the driver-unverified block, run these FIRST (VERDICT r06 items
-# 2-4): the two §2 rows with zero driver evidence (A8, A16 — rows-only by
-# design), the re-parameterized cogroup query, then the 11 queries converted
-# from rows-only to real oracle pairs this round (closed-form/deterministic-
-# fixture oracles) so their first driver row is a full hash check. Order
-# here is the run order; the ~36 remaining budget slots flow to the b4/b5
-# statistical tail + graph ops in registration order via _reorder.
-_PRIORITY: list[str] = [
-    "a8_relocated_warehouse_scan",
-    "c6_system_queries",
-    # third-session rows-only → oracle conversions (closed-form /
-    # deterministic-fixture / relational-frame pattern), front-loaded so
-    # their first driver row is a full hash check:
-    "c6_row_level_delete_update",
-    "c6_compaction_rewrite",
-    "c6_partition_evolution",
-    "c6_expire_snapshots_retention",
-    "c6_remove_orphan_files",
-    "c6_sort_order_clustering",
-    "c6_analyze_table_cbo",
-    "b4_countmin_heavy_hitters",
-    "b1_binaryfile_ingest",
-    "c5_language_id",
-    "c4_patch_extraction",
-    "pipeline_multimodal_prep",
-    "c6_file_skipping",
-    "c6_zorder_clustering",
-    "c3_binary_hamming_topk",
-    "b10_cogroup_apply_reconcile",
-    "c6_metadata_snapshots",
-    "c6_time_travel",
-    "c6_named_refs",
-    "c6_rollback_cherry_pick",
-    "c6_snapshot_diff_cdc",
-    "c6_merge_into_upsert",
-    "c6_schema_evolution",
-    "c6_write_audit_publish",
-    "c6_partitions_metadata",
-    "b9_update_mode_counts",
-    "b9_complete_mode_topk",
-    "b4_observe_metrics",
-    "b9_stateful_sessionize",
-    "b9_stream_dedup_watermark",
-    "c1_dedup_incremental_index",
-    "b9_foreachbatch_merge_sink",
-    "b9_file_sink_exactly_once",
-    "b9_stream_left_outer_interval_join",
-    "c6_merge_on_read_delete",
-    "c6_branch_fast_forward",
-]
+# Within the driver-unverified block, run these FIRST. Empty after r07:
+# all 38 prior members came back fully green (folded into _DRIVER_VERIFIED
+# above), so the full round-8 budget flows to the never-run oracle-paired
+# b4/b5/b3 statistical tail in registration order via _reorder
+# (VERDICT r07 item 2).
+_PRIORITY: list[str] = []
 
 
 def _finalize_late_oracles() -> None:
