@@ -315,6 +315,7 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to audit the sketch — production keeps the 1024 counters and drops the
     shuffle.
     """
+    _release_caches()
     D, WID = 4, 256
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -382,7 +383,13 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05 * F.col("exact_count")
             ).alias("est_within_5pct"),
         )
+        # the audit collect below would otherwise be a throwaway execution:
+        # persist so the caller's count/collect reuse it instead of
+        # re-running the sketch + exact-count pipeline (the double-execution
+        # class fixed in pagerank/RAG/triangle-count)
+        .persist()
     )
+    _live_caches.append(top)
     loose = [r["token"] for r in top.collect() if not r["est_within_5pct"]]
     if loose:
         raise AssertionError(

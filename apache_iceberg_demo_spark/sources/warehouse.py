@@ -91,10 +91,26 @@ class Warehouse:
             except FileExistsError:
                 # break STALE locks (a crashed writer's leak would otherwise
                 # block every future commit): a healthy store holds the lock
-                # for milliseconds, so a minute-old lock file is abandoned
+                # for milliseconds, so a minute-old lock file is abandoned.
+                # The break is an atomic RENAME so exactly one breaker wins:
+                # a plain unlink is a TOCTOU — between our mtime read and the
+                # unlink, another breaker may remove the stale file and a new
+                # writer acquire a FRESH lock, which our unlink would then
+                # destroy, letting two writers into the commit window.
                 try:
-                    if time.time() - os.path.getmtime(lock) > 60.0:
-                        os.unlink(lock)
+                    st = os.stat(lock)
+                    if time.time() - st.st_mtime > 60.0:
+                        broken = lock + f".broken-{uuid.uuid4().hex}"
+                        os.rename(lock, broken)
+                        if os.stat(broken).st_ino == st.st_ino:
+                            os.unlink(broken)  # broke the lock we observed
+                        else:
+                            # between our stat and rename another breaker
+                            # removed the stale file and a NEW writer
+                            # acquired a fresh lock — we renamed THAT one.
+                            # Give it back untouched; the inode check means
+                            # we never destroy a lock we didn't verify stale.
+                            os.rename(broken, lock)
                         continue
                 except OSError:
                     continue  # raced with the holder's release — retry
@@ -758,14 +774,50 @@ class Warehouse:
         snap = self.append(name, df, _parent=head, _advance_current=False)
         for attempt in range(5):
             meta = self._load_meta(name)
-            meta.setdefault("branches", {})[branch] = snap["snapshot_id"]
+            branches = meta.setdefault("branches", {})
+            if branch not in branches:
+                raise KeyError(
+                    f"table {name!r}: branch {branch!r} dropped while appending"
+                )
+            cur_head = branches[branch]
+            if cur_head != head and cur_head != snap["snapshot_id"]:
+                # A rival append advanced the branch between our resolve and
+                # this store. Blindly overwriting the pointer would drop the
+                # rival's snapshot from the branch lineage (branch-level lost
+                # update). Appends are commutative, so RE-CHAIN instead
+                # (Iceberg's fast-append retry at the branch level): rebuild
+                # our snapshot's cumulative manifest as the new head's
+                # manifest + our own delta files, reparent onto the new head,
+                # and re-inherit its merge-on-read delete predicates.
+                old_paths = {
+                    e["path"] for e in self._snapshot(meta, head)["manifest"]
+                }
+                delta = [e for e in snap["manifest"] if e["path"] not in old_paths]
+                new_head = self._snapshot(meta, cur_head)
+                merged = new_head["manifest"] + delta
+                for s in meta["snapshots"]:
+                    if s["snapshot_id"] == snap["snapshot_id"]:
+                        s["parent_id"] = cur_head
+                        s["manifest"] = merged
+                        s["summary"] = {
+                            "added-files": len(merged),
+                            "total-records": sum(f["row_count"] for f in merged),
+                        }
+                        if new_head.get("delete_predicates"):
+                            s["delete_predicates"] = [
+                                dict(d) for d in new_head["delete_predicates"]
+                            ]
+                        else:
+                            s.pop("delete_predicates", None)
+                        snap = dict(s)
+                head = cur_head
+            branches[branch] = snap["snapshot_id"]
             try:
                 self._store_meta(name, meta)
                 return snap
             except CommitConflictError:
                 if attempt == 4:
                     raise
-        return snap
 
     def fast_forward(self, name: str, branch: str) -> dict:
         """Publish a branch: move main to the branch head, allowed only when

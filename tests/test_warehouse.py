@@ -847,6 +847,56 @@ def test_threaded_appends_all_land(spark, wh):
     assert len(flat) == len(set(flat)), "two appends shared a data dir"
 
 
+def test_branch_append_rechains_on_rival_advance(spark, wh, monkeypatch):
+    """Regression (ADVICE r07, medium): two concurrent appends to the SAME
+    branch both chain off the same resolved head; the loser must RE-CHAIN
+    its already-written snapshot onto the rival's new branch head (manifest
+    = new head's manifest + own delta), not overwrite the branch pointer
+    and silently drop the rival's snapshot from the branch lineage."""
+    from apache_iceberg_demo_spark.sources.warehouse import (
+        Warehouse,
+        _content_hash,
+    )
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    base = li.filter(F.col("l_orderkey") % 4 == 0)
+    batch_r = li.filter(F.col("l_orderkey") % 4 == 1)
+    batch_a = li.filter(F.col("l_orderkey") % 4 == 2)
+    wh.create_or_replace("t", base)  # snap 1
+    wh.create_branch("t", "b")
+    stale_head = wh.resolve_branch("t", "b")
+
+    rival = Warehouse(spark, wh.root)
+    rsnap = rival.append_to_branch("t", "b", batch_r)
+
+    # writer A resolved the branch BEFORE the rival committed: pin its
+    # resolve to the stale head so the pointer-store retry sees the advance
+    monkeypatch.setattr(
+        Warehouse, "resolve_branch", lambda self, n, b: stale_head
+    )
+    snap = wh.append_to_branch("t", "b", batch_a)
+    monkeypatch.undo()
+
+    # A's snapshot was reparented onto the rival's — nothing dropped
+    assert snap["parent_id"] == rsnap["snapshot_id"]
+    meta = wh._load_meta("t")
+    assert meta["branches"]["b"] == snap["snapshot_id"]
+    # the branch head's content is base + BOTH appends
+    got = wh.read("t", snapshot_id=snap["snapshot_id"])
+    assert _content_hash(got) == _content_hash(
+        base.unionByName(batch_r).unionByName(batch_a)
+    )
+    # lineage from the branch head reaches the rival's snapshot
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    node, seen = snap["snapshot_id"], []
+    while node is not None:
+        seen.append(node)
+        node = by_id[node]["parent_id"]
+    assert rsnap["snapshot_id"] in seen
+    # main never moved
+    assert meta["current_snapshot_id"] == 1
+
+
 def test_stale_commit_lock_is_broken(spark, wh):
     """A crashed writer's leaked lock file must not block commits forever:
     locks older than the staleness horizon are broken and the commit
