@@ -205,7 +205,14 @@ _pairs_memo: dict[str, DataFrame] = {}
 def _release_caches() -> None:
     _pairs_memo.clear()
     while _live_caches:
-        _live_caches.pop().unpersist()
+        df = _live_caches.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            # the frame's SparkSession was stopped (session-restart
+            # consumers, e.g. tools/determinism_probe.py): its cached
+            # blocks died with the session — nothing to release
+            pass
 
 
 def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:

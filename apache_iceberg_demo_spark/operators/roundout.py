@@ -35,7 +35,14 @@ _live_caches: list[DataFrame] = []
 
 def _release_caches() -> None:
     while _live_caches:
-        _live_caches.pop().unpersist()
+        df = _live_caches.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            # the frame's SparkSession was stopped (session-restart
+            # consumers, e.g. tools/determinism_probe.py): its cached
+            # blocks died with the session — nothing to release
+            pass
 
 
 @register(
