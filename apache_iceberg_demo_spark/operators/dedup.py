@@ -289,8 +289,13 @@ def c2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set is memoized per sf_dir so a same-process consumer
     (c2_dedup_clusters) reuses it instead of re-running the LSH pipeline.
     """
-    if sf_dir in _pairs_memo:
-        return _pairs_memo[sf_dir]
+    memo = _pairs_memo.get(sf_dir)
+    # the memo must be SESSION-aware: a frame built in a since-stopped
+    # session crashes any method call (session-restart consumers, e.g.
+    # tools/determinism_probe.py) — identity-compare its session and
+    # rebuild on mismatch (the PQ/demo-warehouse memos key by session id)
+    if memo is not None and memo.sparkSession is spark:
+        return memo
     out = minhash_lsh_pairs(load(spark, sf_dir, "documents").select("doc_id", "text"))
     _pairs_memo[sf_dir] = out
     return out
