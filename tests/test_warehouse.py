@@ -847,6 +847,54 @@ def test_threaded_appends_all_land(spark, wh):
     assert len(flat) == len(set(flat)), "two appends shared a data dir"
 
 
+def test_threaded_branch_appends_all_land(spark, wh):
+    """True-thread race on ONE branch: N writers append_to_branch
+    concurrently; every batch must land in the branch head's manifest (the
+    losers re-chain instead of overwriting the pointer) and the branch
+    lineage must be one chain reaching every appended snapshot."""
+    import threading
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    base = li.filter(F.col("l_orderkey") % 5 == 4)
+    wh.create_or_replace("t", base)
+    wh.create_branch("t", "b")
+    batches = [li.filter(F.col("l_orderkey") % 5 == i) for i in range(3)]
+    errors: list[Exception] = []
+
+    def writer(df):
+        try:
+            wh.append_to_branch("t", "b", df)
+        except Exception as ex:  # surfaced after join
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join()
+    assert not errors, errors
+
+    meta = wh._load_meta("t")
+    head = meta["branches"]["b"]
+    expected = base.count() + sum(b.count() for b in batches)
+    assert wh.read("t", snapshot_id=head).count() == expected, (
+        "a concurrent branch append's rows were lost"
+    )
+    # main never moved, and the branch lineage is one chain over all appends
+    assert meta["current_snapshot_id"] == 1
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    node, chain = head, set()
+    while node is not None:
+        chain.add(node)
+        node = by_id[node]["parent_id"]
+    appended = {
+        s["snapshot_id"]
+        for s in meta["snapshots"]
+        if s["operation"] == "append"
+    }
+    assert appended <= chain, "an appended snapshot fell out of the lineage"
+
+
 def test_branch_append_rechains_on_rival_advance(spark, wh, monkeypatch):
     """Regression (ADVICE r07, medium): two concurrent appends to the SAME
     branch both chain off the same resolved head; the loser must RE-CHAIN
