@@ -550,3 +550,243 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_patches bigint, n_stored bigint, total_bytes bigint, stored_bytes bigint, "
         "bytes_saved_ratio double, cas_roundtrip_exact boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode kernels. WAV/PCM and 24-bit BMP need no codec library — both
+# containers parse with struct + numpy — so unlike the jpeg/png/video stubs
+# above, these two operators run GENUINE format decoding distributed through
+# mapInPandas, and their features carry full DuckDB value-hash oracles: the
+# synthesized fixtures are closed-form in doc_id, so the oracle knows what a
+# CORRECT decoder must report (a parser bug — wrong stride, forgotten
+# bottom-up flip, misread fmt chunk — flips the hash).
+
+_WAV_SR, _WAV_N = 8000, 800
+
+
+def wav_pcm_encode(doc_id: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE blob: a pure sine whose frequency and
+    amplitude derive from doc_id. freq = 200 + (doc_id%8)·100 Hz is an
+    INTEGER number of cycles over the 0.1 s window (freq·N/SR = freq/10),
+    so the decoder's FFT bin is leakage-free and the dominant frequency is
+    exactly recoverable; amp = 0.25 + (doc_id%4)·0.15 keeps int16 headroom."""
+    import struct
+
+    import numpy as np
+
+    freq = 200 + (doc_id % 8) * 100
+    amp = 0.25 + (doc_id % 4) * 0.15
+    t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+    x = np.round(amp * 32767.0 * np.sin(2.0 * np.pi * freq * t)).astype("<i2")
+    data = x.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_SR, _WAV_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_pcm_decode(blob: bytes) -> tuple:
+    """REAL RIFF/WAVE parser: validates the RIFF/WAVE magics, walks the
+    chunk list (word-aligned, tolerating unknown chunks), requires
+    PCM/mono/16-bit from the fmt chunk, and returns (sample_rate,
+    float64 samples scaled to [-1, 1])."""
+    import struct
+
+    import numpy as np
+
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, sr, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        csize = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1:
+                raise ValueError("not PCM")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    if sr is None or samples is None or channels != 1 or bits != 16:
+        raise ValueError("missing/unsupported fmt or data chunk")
+    return sr, samples
+
+
+@register(
+    "c4_wav_pcm_decode",
+    oracle="""
+        SELECT doc_id,
+               800  AS n_samples,
+               8000 AS sample_rate,
+               CAST(200 + (doc_id % 8) * 100 AS DOUBLE) AS dominant_freq_hz,
+               TRUE AS rms_within_tol
+        FROM documents
+    """,
+)
+def c4_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: REAL audio decode — synth-encode a PCM WAV per document, then
+    run a genuine RIFF parser + numpy feature extraction (sample count,
+    header sample rate, FFT dominant frequency, RMS) inside mapInPandas
+    Arrow batches. Unlike c4_decode_features_stub this is not a fake: a
+    wrong chunk walk, byte order, or scale factor fails the value hash,
+    because the oracle states what a correct decoder must recover from the
+    closed-form fixture (dominant bin is leakage-free by construction; RMS
+    of a quantized integer-cycle sine is amp/sqrt(2) to ~1e-5, asserted in
+    the rms_within_tol column at 1e-3).
+
+    Scale: the kernel is per-row CPU work over Arrow batches — the honest
+    distributed tier for codec work (same shape the PIL/ffmpeg kernels would
+    use); blobs are created and consumed inside the executor, never
+    shuffled, never driver-side."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr, x = wav_pcm_decode(wav_pcm_encode(did))
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x)))
+                spec = np.abs(np.fft.rfft(x))
+                dom_hz = (int(np.argmax(spec[1:])) + 1) * sr / n
+                amp = 0.25 + (did % 4) * 0.15
+                rows.append(
+                    (
+                        did,
+                        n,
+                        sr,
+                        float(dom_hz),
+                        abs(rms * 2.0**0.5 - amp) <= 1e-3,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "dominant_freq_hz",
+                    "rms_within_tol",
+                ],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        schema="doc_id bigint, n_samples int, sample_rate int, "
+        "dominant_freq_hz double, rms_within_tol boolean",
+    )
+
+
+def bmp24_encode(doc_id: int) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP blob, bottom-up rows with 4-byte
+    stride padding: a solid body color plus a DISTINCT top-row color.
+    Widths 4..8 exercise every stride pad (0..3 bytes); the distinct top
+    row forces the decoder to undo the bottom-up row order (in the file the
+    top row is stored LAST)."""
+    import struct
+
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 3
+    body = bytes((doc_id % 251, (7 * doc_id) % 251, (13 * doc_id) % 251))  # B,G,R
+    top = bytes(((3 * doc_id) % 251, (11 * doc_id) % 251, (17 * doc_id) % 251))
+    pad = (-3 * w) % 4
+    data = (body * w + b"\0" * pad) * (h - 1) + (top * w + b"\0" * pad)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def bmp24_decode(blob: bytes):
+    """REAL BMP parser: magic, pixel-array offset from the file header,
+    24 bpp + BI_RGB only, positive height = bottom-up; returns an
+    (h, w, 3) uint8 array in B,G,R channel order with row 0 = TOP row
+    (the bottom-up storage order undone)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    off = struct.unpack("<I", blob[10:14])[0]
+    w, h = struct.unpack("<ii", blob[18:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    comp = struct.unpack("<I", blob[30:34])[0]
+    if bpp != 24 or comp != 0 or planes != 1 or h <= 0 or w <= 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(blob[off : off + stride * h], dtype=np.uint8)
+    arr = arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return arr[::-1]
+
+
+@register(
+    "c4_bmp_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INT) AS width,
+               CAST(3 + doc_id % 3 AS INT) AS height,
+               CAST((3 * doc_id) % 251 AS DOUBLE)  AS top_row_blue,
+               CAST(doc_id % 251 AS DOUBLE)        AS body_blue,
+               CAST((13 * doc_id) % 251 AS DOUBLE) AS body_red
+        FROM documents
+    """,
+)
+def c4_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: REAL image decode — synth-encode a 24-bit BMP per document, then
+    run a genuine BMP parser (header offsets, stride padding, BGR order,
+    bottom-up row flip) inside mapInPandas and report header dims + channel
+    means per region. The oracle knows the closed-form fixture, so a parser
+    that forgets the row flip (top_row vs body swap), miscomputes the
+    stride (pad bytes bleed into pixels), or confuses B/R order fails the
+    value hash. Same distributed shape as c4_wav_pcm_decode."""
+    import numpy as np  # noqa: F401  (kernel uses numpy via bmp24_decode)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = bmp24_decode(bmp24_encode(did))
+                h, w = arr.shape[0], arr.shape[1]
+                rows.append(
+                    (
+                        did,
+                        w,
+                        h,
+                        float(arr[0, :, 0].mean()),
+                        float(arr[1:, :, 0].mean()),
+                        float(arr[1:, :, 2].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "top_row_blue",
+                    "body_blue",
+                    "body_red",
+                ],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        schema="doc_id bigint, width int, height int, "
+        "top_row_blue double, body_blue double, body_red double",
+    )

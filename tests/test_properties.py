@@ -259,3 +259,89 @@ def test_file_skip_conjunction_is_sound(mn, width, value, lit1, lit2, op1, op2):
         assert not Warehouse._can_skip(
             entry, f"c {op1} {lit1} AND c {op2} {lit2}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/BMP codec kernels (operators/multimodal.py) — pure functions, so
+# hypothesis can sweep doc_ids and corruption cases without a SparkSession.
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_recovers_signal(doc_id):
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        wav_pcm_decode,
+        wav_pcm_encode,
+    )
+
+    sr, x = wav_pcm_decode(wav_pcm_encode(doc_id))
+    assert sr == 8000 and len(x) == 800
+    assert float(np.max(np.abs(x))) <= 1.0
+    amp = 0.25 + (doc_id % 4) * 0.15
+    rms = float(np.sqrt(np.mean(x * x)))
+    assert abs(rms * 2.0**0.5 - amp) <= 1e-3
+    # leakage-free dominant bin == encoded frequency, exactly
+    dom = (int(np.argmax(np.abs(np.fft.rfft(x))[1:])) + 1) * sr / len(x)
+    assert dom == 200 + (doc_id % 8) * 100
+
+
+def test_wav_decode_rejects_corruption_and_walks_extra_chunks():
+    import struct
+
+    import pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        wav_pcm_decode,
+        wav_pcm_encode,
+    )
+
+    blob = wav_pcm_encode(7)
+    with pytest.raises(ValueError):
+        wav_pcm_decode(b"JUNK" + blob[4:])
+    # splice an unknown (odd-sized, word-aligned) chunk before fmt/data:
+    # a correct chunk walk skips it and still finds both
+    extra = b"LIST" + struct.pack("<I", 5) + b"xxxxx" + b"\0"
+    spliced = blob[:12] + extra + blob[12:]
+    sr, x = wav_pcm_decode(spliced)
+    assert sr == 8000 and len(x) == 800
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_bmp_roundtrip_undoes_stride_and_row_order(doc_id):
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        bmp24_decode,
+        bmp24_encode,
+    )
+
+    arr = bmp24_decode(bmp24_encode(doc_id))
+    w, h = 4 + doc_id % 5, 3 + doc_id % 3
+    assert arr.shape == (h, w, 3)
+    # row 0 must be the TOP row (stored LAST in the bottom-up file)
+    assert tuple(arr[0, 0]) == (
+        (3 * doc_id) % 251,
+        (11 * doc_id) % 251,
+        (17 * doc_id) % 251,
+    )
+    # body rows are the solid body color on every pixel (stride pad bytes
+    # must not bleed into decoded pixels at any width 4..8)
+    assert (arr[1:] == [doc_id % 251, (7 * doc_id) % 251, (13 * doc_id) % 251]).all()
+
+
+def test_bmp_decode_rejects_unsupported_variants():
+    import pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        bmp24_decode,
+        bmp24_encode,
+    )
+
+    blob = bmp24_encode(3)
+    with pytest.raises(ValueError):
+        bmp24_decode(b"XX" + blob[2:])
+    # 8-bpp claim must be refused, not mis-parsed
+    bad_bpp = blob[:28] + b"\x08\x00" + blob[30:]
+    with pytest.raises(ValueError):
+        bmp24_decode(bad_bpp)
