@@ -524,19 +524,35 @@ _COV_SCALE = 1_000_000
     oracle=f"""
         WITH x AS (
             SELECT vec_id,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_COV_SCALE})
-                        AS BIGINT) AS q,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * {_COV_SCALE}.0 + 0.5) AS BIGINT) AS q,
                    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
             FROM embeddings
+        ),
+        g AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS c,
+                   CAST(sum(a.q) AS HUGEINT) AS s_i,
+                   CAST(sum(b.q) AS HUGEINT) AS s_j,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        ),
+        r AS (
+            SELECT i, j,
+                   n * c - s_i * s_j AS num,
+                   n * (n - 1) * CAST({_COV_SCALE * _COV_SCALE} AS HUGEINT)
+                       AS den,
+                   n * (n - 1)
+                       * CAST({_COV_SCALE * _COV_SCALE // 2} AS HUGEINT)
+                       AS half
+            FROM g
         )
-        SELECT a.i AS i, b.i AS j,
-               round((CAST(sum(a.q * b.q) AS DOUBLE) / {float(_COV_SCALE) ** 2}
-                      - (CAST(sum(a.q) AS DOUBLE) / {float(_COV_SCALE)})
-                        * (CAST(sum(b.q) AS DOUBLE) / {float(_COV_SCALE)})
-                        / count(*))
-                     / (count(*) - 1), 6) AS cov
-        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        GROUP BY a.i, b.i
+        SELECT i, j,
+               CAST(CASE WHEN num >= 0 THEN (num * 1000000 + half) // den
+                         ELSE -(((-num) * 1000000 + half) // den)
+                    END AS DOUBLE) / 1000000.0 AS cov
+        FROM r
     """,
 )
 def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,20 +570,38 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would shuffle rows×d² and is exactly what NOT to run at
     scale (it's here as the independent correctness check).
 
-    Numeric determinism (the round-7 driver red row was a float64
-    cross-partition merge whose reduce order flipped the 6th decimal):
-    inputs quantize to 6-decimal fixed point — ``round(x·1e6)`` as int64 —
-    on BOTH engines before any arithmetic, so every sum is exact integer
-    math, order-insensitive, and bitwise identical across engines and
-    partition layouts. Ties in the rounding are impossible: a float32
-    value times 1e6 is computed exactly in float64 (24+14 mantissa bits),
-    and x·1e6 = k+0.5 would need x = (2k+1)/(2^7·5^6), which no binary
-    float can represent — so numpy's half-even and DuckDB's half-away
-    rounding always agree. Quantization error ~6e-7 per covariance cell,
-    an order below the numpy-reference test tolerance. The cross-partition
-    merge casts the int64 partials to DECIMAL(38,0) so ANSI mode can never
-    overflow it at scale; the final (C − s·sᵀ/n)/(n−1) runs in float64 on
-    identical integer inputs both sides.
+    Numeric determinism — the engine-proof formulation (3rd iteration; the
+    r07 red row was float64 merge-order, the r08 red row was rounding-TIE
+    semantics): no step anywhere in the pipeline invokes either engine's
+    rounding mode.
+
+    1. Quantize with ``floor(x·1e6 + 0.5)`` on BOTH engines. The float64
+       multiply, add and floor are each correctly-rounded IEEE ops, so the
+       int64 result is bitwise identical cross-engine — even on exact
+       .5 ties, which DO exist (any odd multiple of 1/128: x·1e6 =
+       (2k+1)·5⁶/2⁷ is an exact float64 ending in .5; sf0.001 data
+       contains two). ``round()`` was the r08 bug: numpy rounds half-even,
+       DuckDB half-away, so each tie was a coin flip between engines.
+       (The old docstring's "ties are impossible" proof wrongly assumed
+       (2k+1)/(2⁷·5⁶) is never a binary float — it is whenever 5⁶ divides
+       2k+1.)
+    2. Every sum is exact integer math (int64 per partition, DECIMAL(38,0)
+       / HUGEINT across partitions) — order-insensitive, overflow-proof to
+       ~1e9 rows (|q|<1e6 ⇒ n·C·1e6 < 1e38 needs n ≲ 3e9; far past any
+       driver SF, and the scale note below covers the 100 TB form).
+    3. The final 6-decimal rounding runs in INTEGER space: with
+       N = n·C − s_i·s_j and D = n·(n−1)·scale² (both exact),
+       cov = sign(N)·⌊(|N|·10⁶ + D/2) / D⌋ / 10⁶ — integer half-away
+       division, bit-identical on any engine; the only float64 ops left
+       are one exact int→double cast (quotient ≲ 2e6) and one
+       correctly-rounded division by 1e6, identical both sides.
+       (Spark's ``div`` and DuckDB's ``//`` truncate toward zero, so both
+       are applied to non-negative numerators only, where truncate=floor.)
+
+    Verified bit-exact Spark vs DuckDB vs a Python-bigint reference on a
+    fixture of 50 exact-tie values (odd multiples of 1/128) in
+    tests/test_mlprep.py, where half-even vs half-away quantization
+    disagrees on all 50.
     """
     import numpy as np
     import pandas as pd
@@ -581,7 +615,10 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf):
                 x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                q = np.round(x * _COV_SCALE).astype(np.int64)
+                # floor(v+0.5), NOT np.round: half-even vs DuckDB's
+                # half-away diverges on exact .5 ties (odd multiples of
+                # 1/128) — floor(+0.5) is bitwise identical cross-engine
+                q = np.floor(x * _COV_SCALE + 0.5).astype(np.int64)
                 n += q.shape[0]
                 s += q.sum(axis=0)
                 c += q.T @ q
@@ -606,7 +643,8 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("c"))
     )
-    scale = float(_COV_SCALE)
+    n_dec = F.col("n").cast("decimal(38,0)")
+    nn1 = n_dec * (F.col("n") - F.lit(1)).cast("decimal(38,0)")
     out = (
         cmat.select(
             (F.col("p") / _DIM).cast("int").alias("i"),
@@ -620,16 +658,18 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    F.col("c").cast("double") / F.lit(scale * scale)
-                    - (F.col("s_i").cast("double") / F.lit(scale))
-                    * (F.col("s_j").cast("double") / F.lit(scale))
-                    / F.col("n")
-                )
-                / (F.col("n") - 1),
-                6,
-            ).alias("cov"),
+            (n_dec * F.col("c") - F.col("s_i") * F.col("s_j")).alias("num"),
+            (nn1 * F.lit(_COV_SCALE * _COV_SCALE).cast("decimal(38,0)")).alias("den"),
+            (nn1 * F.lit(_COV_SCALE * _COV_SCALE // 2).cast("decimal(38,0)")).alias("half"),
+        )
+        # integer half-away rounding to 6 decimals (docstring step 3);
+        # `div` truncates, so the CASE keeps its numerator non-negative
+        .selectExpr(
+            "i",
+            "j",
+            "CAST(CASE WHEN num >= 0 THEN (num * 1000000 + half) div den "
+            "ELSE -((-num * 1000000 + half) div den) END AS DOUBLE) "
+            "/ 1000000.0 AS cov",
         )
     )
     return out

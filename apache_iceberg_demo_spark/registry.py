@@ -162,15 +162,43 @@ _DRIVER_VERIFIED: set[str] = {
     "b3_triangle_count_copurchase", "s1_weighted_sample_topk",
     "b4_incremental_agg_maintenance", "c5_bm25_search",
     "s1_stratified_exact_split", "b4_winsorized_robust_stats",
+    # --- r08 driver greens (CORRECTNESS_r08.json — 49 of 50 rows fully
+    # green; the one red, c3_covariance_matrix, is re-proven via _HEAD
+    # after the engine-proof integer-rounding rework), folded in per
+    # VERDICT r08 item 2 so the round-9 budget clears the ENTIRE driver
+    # debt: 16 never-run oracle-paired queries then 24 never-run
+    # rows-only entries (41 total incl. _HEAD ≤ the ~50 budget):
+    "c4_wav_pcm_decode", "c4_bmp_decode", "b3_pagerank_copurchase",
+    "b3_join_strategy_hints", "b4_zscore_anomalies", "b5_rolling_median",
+    "b5_ewma_smoothing", "c2_fuzzy_join_blocked", "b2_group_by_all",
+    "b5_interval_union_length", "c3_nearest_centroid_confusion",
+    "b8_collation_compare", "b5_event_pattern_match", "b3_bfs_reachability",
+    "b4_hll_intersection_estimate", "b4_ks_two_sample",
+    "b4_autocorrelation_lag", "c4_binary_header_sniff",
+    "pipeline_dq_expectations", "b2_relational_division",
+    "b5_point_in_time_features", "b4_bitmap_distinct_rollup",
+    "b8_aes_roundtrip", "c5_pii_redaction", "s1_time_based_split",
+    "b6_cached_scan_reuse", "b4_jackknife_ci", "b8_sql_udf",
+    "b4_ols_normal_equations", "s1_negative_sampling", "c3_knn_classifier",
+    "s1_walk_forward_folds", "b2_sql_identifier_clause",
+    "b6_keyset_pagination", "b3_haversine_nearest_hub",
+    "b1_dynamic_partition_overwrite", "b8_xpath_funcs",
+    "b8_csv_conversion_funcs", "b3_scd2_temporal_join", "b4_weighted_median",
+    "b4_conversion_latency", "c5_chat_template_render", "b4_ab_test_ztest",
+    "b4_kaplan_meier", "b3_bellman_ford_bounded", "b4_mann_whitney_u",
+    "b4_gini_concentration", "b2_sql_pivot_clause", "b8_mask_funcs",
 }
 
 # Names that must lead the registry regardless of verification history
 # (regression re-checks of previously-failed/erred rows).
-# c3_covariance_matrix was the sole red r07 row (hash flake: float64
-# cross-partition partial merge whose reduce order flipped the 6th decimal);
-# the fixed-point int64 quantization fix makes every sum exact and
-# order-insensitive — the driver must re-prove it first in r08
-# (VERDICT r07 item 1).
+# c3_covariance_matrix is the sole red driver row across 8 rounds (r07:
+# float64 merge-order flake; r08: rounding-TIE semantics — odd multiples
+# of 1/128 quantize to exact .5, which numpy half-even and DuckDB
+# half-away break differently). The r09 rework removes tie semantics
+# entirely: floor(x·1e6+0.5) quantization on both engines + the final
+# 6-decimal rounding done in exact integer space (see the operator
+# docstring). The driver must re-prove it first in r09 (VERDICT r08
+# item 1).
 _HEAD: list[str] = ["c3_covariance_matrix"]
 
 # Within the driver-unverified block, run these FIRST. Empty after r07:

@@ -354,3 +354,78 @@ def test_iterative_graph_ops_return_materialized_frames(spark):
         assert df.storageLevel.useMemory, f"{name} returned an uncached frame"
         # a second action must be cache-cheap and, more importantly, stable
         assert df.count() == df.count()
+
+
+def test_covariance_bit_exact_on_rounding_ties(spark, tmp_path):
+    """Engine-proof determinism (r09, VERDICT r08 item 1): on a fixture
+    DENSE with exact .5 quantization ties (odd multiples of 1/128 — the
+    class the r08 docstring wrongly proved impossible), the Spark query,
+    the DuckDB oracle, and an exact Python-bigint reference must agree
+    BIT-FOR-BIT, because no step invokes either engine's rounding mode.
+    Also pins the regression: half-even (np.round, the r08 bug) disagrees
+    with floor(+0.5) on every tie in the fixture."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SCALE = 1_000_000
+    rng = np.random.default_rng(7)
+    n, dim = 50, 64
+    x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    ties = np.array([(2 * k + 1) / 128 for k in range(-25, 25)], dtype=np.float32)
+    x[:, 1] = ties
+    x[:, 2] = -ties
+
+    # the tie class is real: v*1e6 lands exactly on .5 for every fixture
+    # tie. Half-even (np.round, the r08 bug) matches half-up only when the
+    # floor is odd, so between a tie column and its negation exactly one
+    # side of every pair flips — n disagreements across the two columns.
+    flips = 0
+    for col in (1, 2):
+        v = x[:, col].astype(np.float64) * SCALE
+        assert int(np.sum(np.abs(v - np.floor(v) - 0.5) < 1e-12)) == n
+        flips += int((np.round(v) != np.floor(v + 0.5)).sum())
+    assert flips == n
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in x], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = registry.QUERIES["c3_covariance_matrix"](spark, str(tmp_path))
+    spark_res = {(r["i"], r["j"]): r["cov"] for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet')"
+    )
+    duck_res = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(registry.ORACLES["c3_covariance_matrix"]).fetchall()
+    }
+
+    q = np.floor(x.astype(np.float64) * SCALE + 0.5).astype(np.int64)
+    s = q.sum(axis=0)
+    C = q.T.astype(object) @ q.astype(object)
+    den = n * (n - 1) * SCALE * SCALE
+    half = n * (n - 1) * (SCALE * SCALE // 2)
+    ref = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            num = n * int(C[i, j]) - int(s[i]) * int(s[j])
+            quot = (abs(num) * 1_000_000 + half) // den
+            ref[(i, j)] = float(-quot if num < 0 else quot) / 1e6
+
+    assert set(spark_res) == set(ref) == set(duck_res)
+    # exact ==, deliberately NOT approx: the whole point is bit-identity
+    assert all(spark_res[k] == ref[k] for k in ref)
+    assert all(duck_res[k] == ref[k] for k in ref)
