@@ -397,12 +397,19 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _live_caches.append(top)
-    loose = [r["token"] for r in top.collect() if not r["est_within_5pct"]]
-    if loose:
-        raise AssertionError(
-            f"CMS heavy-hitter estimates off by >5% for {loose} — heavy "
-            "hitters dominate their buckets, this should never happen"
-        )
+    try:
+        loose = [r["token"] for r in top.collect() if not r["est_within_5pct"]]
+        if loose:
+            raise AssertionError(
+                f"CMS heavy-hitter estimates off by >5% for {loose} — heavy "
+                "hitters dominate their buckets, this should never happen"
+            )
+    except BaseException:
+        # don't leak the persisted frame until some later corpus operator
+        # happens to run _release_caches (ADVICE r08)
+        _live_caches.remove(top)
+        top.unpersist()
+        raise
     return top
 
 

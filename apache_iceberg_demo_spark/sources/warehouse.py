@@ -86,7 +86,22 @@ class Warehouse:
         deadline = time.monotonic() + 10.0
         while True:
             try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # FENCING TOKEN: a unique id written INTO the lock file we
+                # created (plus its inode as a cheap first check).
+                # Re-verified immediately before the metadata replace — if
+                # a breaker ever steals this lock (the residual race
+                # below), the holder aborts instead of committing, so a
+                # lock steal can only ever cause a safe retry, never two
+                # writers both passing the commit_seq CAS (lost update).
+                # The content token matters: an inode-only fence is
+                # defeated by filesystem inode RECYCLING (unlink + O_CREAT
+                # routinely hands the freed inode straight to the next
+                # writer — observed on this container's fs).
+                my_token = uuid.uuid4().hex.encode()
+                os.write(fd, my_token)
+                my_ino = os.fstat(fd).st_ino
+                os.close(fd)
                 break
             except FileExistsError:
                 # break STALE locks (a crashed writer's leak would otherwise
@@ -100,17 +115,7 @@ class Warehouse:
                 try:
                     st = os.stat(lock)
                     if time.time() - st.st_mtime > 60.0:
-                        broken = lock + f".broken-{uuid.uuid4().hex}"
-                        os.rename(lock, broken)
-                        if os.stat(broken).st_ino == st.st_ino:
-                            os.unlink(broken)  # broke the lock we observed
-                        else:
-                            # between our stat and rename another breaker
-                            # removed the stale file and a NEW writer
-                            # acquired a fresh lock — we renamed THAT one.
-                            # Give it back untouched; the inode check means
-                            # we never destroy a lock we didn't verify stale.
-                            os.rename(broken, lock)
+                        self._break_stale_lock(lock, st)
                         continue
                 except OSError:
                     continue  # raced with the holder's release — retry
@@ -137,9 +142,65 @@ class Warehouse:
             tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(meta, f, indent=1)
+            # fence check at the point of truth: we commit only while the
+            # lock path still holds the file we created (inode AND token —
+            # inode alone is recyclable)
+            if not self._holds_lock(lock, my_ino, my_token):
+                os.unlink(tmp)
+                meta["commit_seq"] = expected  # caller may retry cleanly
+                raise CommitConflictError(
+                    f"table {name!r}: commit lock stolen under this writer"
+                )
             os.replace(tmp, meta_path)
         finally:
-            os.unlink(lock)
+            # release only a lock we still own — never destroy a fresh
+            # lock some other writer acquired after ours was stolen
+            try:
+                if self._holds_lock(lock, my_ino, my_token):
+                    os.unlink(lock)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _holds_lock(lock: str, ino: int, token: bytes) -> bool:
+        """True iff the lock path still holds the file this writer created."""
+        try:
+            if os.stat(lock).st_ino != ino:
+                return False
+            with open(lock, "rb") as f:
+                return f.read() == token
+        except OSError:
+            return False
+
+    @staticmethod
+    def _break_stale_lock(lock: str, st: os.stat_result) -> None:
+        """Remove an abandoned lock file, verified by inode against the
+        observation ``st`` that judged it stale. If the rename grabbed a
+        DIFFERENT (fresh) lock, give it back via ``os.link`` — which,
+        unlike rename, fails loudly instead of silently replacing a newer
+        lock a third writer created in the gap (that clobber would put two
+        writers inside the commit window at once; the holder-side fence in
+        ``_store_meta`` would still abort them, but the lock must not be
+        the thing that lets it happen)."""
+        broken = lock + f".broken-{uuid.uuid4().hex}"
+        os.rename(lock, broken)
+        try:
+            if os.stat(broken).st_ino == st.st_ino:
+                os.unlink(broken)  # broke the lock we observed
+            else:
+                # between our stat and rename another breaker removed the
+                # stale file and a NEW writer acquired a fresh lock — we
+                # renamed THAT one away. Restore it without clobbering:
+                try:
+                    os.link(broken, lock)
+                except FileExistsError:
+                    # yet another writer already re-created the lock path;
+                    # the displaced holder is protected by its fence token
+                    # (it re-checks the inode before committing)
+                    pass
+                os.unlink(broken)
+        except OSError:
+            pass  # raced with the displaced holder's own release
 
     def _abs_path(self, name: str, entry_path: str) -> str:
         """Resolve a manifest path. Paths are stored RELATIVE to the table
@@ -413,6 +474,7 @@ class Warehouse:
         *,
         _parent: Optional[int] = None,
         _advance_current: bool = True,
+        _delta_out: Optional[list] = None,
     ) -> dict:
         """Snapshot-append: new files + previous snapshot's files stay live.
         Hidden-partition transforms recorded at create time are re-applied to
@@ -438,6 +500,12 @@ class Warehouse:
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         data_dir = self._write_data(name, df, tag, meta.get("partition_by"))
         files = self._manifest_for_dir(name, data_dir)
+        if _delta_out is not None:
+            # hand the caller this append's OWN manifest delta: branch
+            # re-chains need it, and deriving it later by diffing against
+            # the old head's manifest breaks if a concurrent
+            # expire_snapshots removed that head (ADVICE r08)
+            _delta_out.extend(files)
         retries = 5  # Iceberg commit.retry.num-retries-class default (4) + 1 base try
         for attempt in range(retries):
             prev = self._snapshot(meta, parent)
@@ -771,7 +839,15 @@ class Warehouse:
         reader observe unpublished branch data through the redirected main
         pointer, and a concurrent main append chain off the branch."""
         head = self.resolve_branch(name, branch)
-        snap = self.append(name, df, _parent=head, _advance_current=False)
+        # this append's own files, captured at write time — the re-chain
+        # delta must NOT be derived by diffing against the old head's
+        # manifest: once a rival advances the branch the old head loses its
+        # ref pin, and a concurrent expire_snapshots may leave only an
+        # expired_parents stub behind (KeyError + stranded snapshot)
+        own_files: list = []
+        snap = self.append(
+            name, df, _parent=head, _advance_current=False, _delta_out=own_files
+        )
         for attempt in range(5):
             meta = self._load_meta(name)
             branches = meta.setdefault("branches", {})
@@ -789,12 +865,8 @@ class Warehouse:
                 # our snapshot's cumulative manifest as the new head's
                 # manifest + our own delta files, reparent onto the new head,
                 # and re-inherit its merge-on-read delete predicates.
-                old_paths = {
-                    e["path"] for e in self._snapshot(meta, head)["manifest"]
-                }
-                delta = [e for e in snap["manifest"] if e["path"] not in old_paths]
                 new_head = self._snapshot(meta, cur_head)
-                merged = new_head["manifest"] + delta
+                merged = new_head["manifest"] + own_files
                 for s in meta["snapshots"]:
                     if s["snapshot_id"] == snap["snapshot_id"]:
                         s["parent_id"] = cur_head

@@ -1034,3 +1034,185 @@ def test_orphan_removal_age_guard_spares_fresh_files(spark, wh):
     assert os.path.exists(fresh)
     assert wh.remove_orphan_files("t") == 1
     assert not os.path.exists(fresh)
+
+
+def test_lock_break_restore_never_clobbers_fresh_lock(spark, wh, monkeypatch):
+    """Three-way race (VERDICT r08 item 3): breaker B judged a lock stale,
+    renamed it away — but it was actually fresh acquirer C's lock (another
+    breaker had already removed the stale one), and while B noticed the
+    inode mismatch a THIRD writer D grabbed the vacated path. B's restore
+    must NOT replace D's lock: POSIX rename silently clobbers (the old
+    bug, demonstrated below); os.link fails loudly and leaves D alone."""
+    import uuid as _uuid
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(10))
+    lock = wh._meta_path("t") + ".lock"
+
+    # the observation that judged the (long-gone) original lock stale
+    dummy = lock + ".gone"
+    open(dummy, "w").close()
+    st_old = os.stat(dummy)
+    os.unlink(dummy)
+
+    # fresh acquirer C holds the path when B's rename lands
+    open(lock, "w").close()
+
+    d_ino = []
+    real_rename = os.rename
+
+    def rename_then_d_acquires(src, dst):
+        real_rename(src, dst)
+        if ".broken-" in dst and not d_ino:
+            # writer D wins the vacated path in B's mismatch window
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            d_ino.append(os.fstat(fd).st_ino)
+            os.close(fd)
+
+    monkeypatch.setattr(os, "rename", rename_then_d_acquires)
+    wh._break_stale_lock(lock, st_old)
+    monkeypatch.undo()
+
+    assert d_ino, "interleave did not fire"
+    assert os.stat(lock).st_ino == d_ino[0], "D's fresh lock was clobbered"
+    assert not [
+        f for f in os.listdir(os.path.dirname(lock)) if ".broken-" in f
+    ], "broken temp file leaked"
+
+    # the OLD restore primitive (os.rename) demonstrably clobbers: same
+    # fixture, rename instead of link — D2's lock is silently replaced
+    broken2 = lock + f".broken-{_uuid.uuid4().hex}"
+    open(broken2, "w").close()
+    os.unlink(lock)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    d2_ino = os.fstat(fd).st_ino
+    os.close(fd)
+    real_rename(broken2, lock)  # old code path: silent replace
+    assert os.stat(lock).st_ino != d2_ino, (
+        "rename no longer clobbers?? POSIX changed"
+    )
+    os.unlink(lock)
+
+
+def test_fence_aborts_commit_when_lock_stolen(spark, wh, monkeypatch):
+    """Holder-side fencing token (VERDICT r08 item 3): if the holder's lock
+    is stolen between acquisition and the metadata replace (breaker broke
+    it as 'stale', a rival re-acquired), the holder must raise
+    CommitConflictError and leave the on-disk metadata AND the thief's
+    lock untouched — a lock steal becomes a safe retry, never a lost
+    update past the commit_seq CAS."""
+    import json as _json
+
+    from apache_iceberg_demo_spark.sources.warehouse import (
+        CommitConflictError,
+    )
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    wh.create_or_replace("t", li.limit(10))
+    meta_path = wh._meta_path("t")
+    lock = meta_path + ".lock"
+    before = open(meta_path).read()
+
+    thief_ino = []
+    real_dump = _json.dump
+
+    def dump_then_steal(obj, f, **kw):
+        real_dump(obj, f, **kw)
+        # between the holder's tmp write and its fence check: a breaker
+        # removes the holder's lock and a rival acquires a fresh one
+        if not thief_ino and os.path.exists(lock):
+            os.unlink(lock)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            thief_ino.append(os.fstat(fd).st_ino)
+            os.close(fd)
+
+    meta = wh._load_meta("t")
+    meta["properties"] = {"x": "1"}
+    monkeypatch.setattr(_json, "dump", dump_then_steal)
+    with pytest.raises(CommitConflictError, match="stolen"):
+        wh._store_meta("t", meta)
+    monkeypatch.undo()
+
+    assert thief_ino, "steal interleave did not fire"
+    assert open(meta_path).read() == before, "fenced commit still landed"
+    assert os.stat(lock).st_ino == thief_ino[0], (
+        "holder's release destroyed the thief's lock"
+    )
+    assert not [
+        f
+        for f in os.listdir(os.path.dirname(meta_path))
+        if ".tmp-" in f
+    ], "tmp file leaked on the fence path"
+    os.unlink(lock)
+    # the aborted writer retries cleanly after a fresh load
+    meta2 = wh._load_meta("t")
+    meta2["properties"] = {"x": "2"}
+    wh._store_meta("t", meta2)
+    assert wh._load_meta("t")["properties"] == {"x": "2"}
+
+
+def test_branch_rechain_survives_expired_old_head(spark, wh, monkeypatch):
+    """ADVICE r08: the re-chain delta must come from the append's OWN file
+    list, not a diff against the old head's manifest — once a rival
+    advances the branch the old head loses its ref pin, and a concurrent
+    expire_snapshots can reduce it to an expired_parents stub. The old
+    diff-based code then raised KeyError and stranded the already-
+    committed snapshot as an orphan."""
+    from apache_iceberg_demo_spark.sources.warehouse import (
+        Warehouse,
+        _content_hash,
+    )
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    base = li.filter(F.col("l_orderkey") % 4 == 0)
+    batch_r = li.filter(F.col("l_orderkey") % 4 == 1)
+    batch_a = li.filter(F.col("l_orderkey") % 4 == 2)
+    wh.create_or_replace("t", base)  # snap 1
+    wh.create_branch("t", "b")
+    wh.append_to_branch("t", "b", li.filter(F.col("l_orderkey") % 4 == 3))
+    stale_head = wh.resolve_branch("t", "b")
+
+    rival = Warehouse(spark, wh.root)
+    real_append = Warehouse.append
+    rsnap = {}
+
+    def append_then_rival_advances_and_head_expires(self, name, df, **kw):
+        snap = real_append(self, name, df, **kw)
+        if not rsnap:
+            # between A's commit and its branch-pointer store: the rival
+            # advances the branch, then an expire_snapshots run removes
+            # the now-unpinned old head, leaving only a lineage stub
+            monkeypatch.setattr(Warehouse, "append", real_append)
+            rsnap.update(rival.append_to_branch(name, "b", batch_r))
+            meta = self._load_meta(name)
+            gone = [
+                s for s in meta["snapshots"] if s["snapshot_id"] == stale_head
+            ][0]
+            meta["snapshots"] = [
+                s for s in meta["snapshots"] if s["snapshot_id"] != stale_head
+            ]
+            meta.setdefault("expired_parents", {})[str(stale_head)] = gone[
+                "parent_id"
+            ]
+            self._store_meta(name, meta)
+        return snap
+
+    monkeypatch.setattr(
+        Warehouse, "resolve_branch", lambda self, n, b: stale_head
+    )
+    monkeypatch.setattr(
+        Warehouse, "append", append_then_rival_advances_and_head_expires
+    )
+    snap = wh.append_to_branch("t", "b", batch_a)
+    monkeypatch.undo()
+
+    assert rsnap, "rival interleave did not fire"
+    assert snap["parent_id"] == rsnap["snapshot_id"]
+    meta = wh._load_meta("t")
+    assert meta["branches"]["b"] == snap["snapshot_id"]
+    got = wh.read("t", snapshot_id=snap["snapshot_id"])
+    assert _content_hash(got) == _content_hash(
+        base.unionByName(li.filter(F.col("l_orderkey") % 4 == 3))
+        .unionByName(batch_r)
+        .unionByName(batch_a)
+    )
