@@ -1,11 +1,13 @@
 """Multimodal-column operators (north-star C4).
 
 Images/audio/video are opaque `binary` columns with typed metadata structs —
-the lakehouse pattern for multimodal training data. The image/audio codec
-libraries are not in this container, so the *decode kernels* are stubbed
-(deterministic fakes, clearly marked), while everything Spark-owned is real
-and tested: schema (BinaryType + StructType metadata), Arrow batch transfer
-through `mapInPandas`, partition behavior, and UDF signatures.
+the lakehouse pattern for multimodal training data. Three decode kernels are
+REAL parsers (RIFF/PCM WAV, 24-bit BMP, 8-bit RGB PNG — struct/zlib/numpy
+only, oracle-hash-verified against closed-form fixtures); jpeg/video decode
+stay honest env-stubs (no codec libs in this container, clearly marked). All
+the Spark-owned plumbing is real and tested either way: schema (BinaryType +
+StructType metadata), Arrow batch transfer through `mapInPandas`, partition
+behavior, and UDF signatures.
 
 Scale notes: decode/feature-extract runs as `mapInPandas` — per-partition
 Arrow batches into Python, the one place Python in the hot path is justified
@@ -28,10 +30,11 @@ from apache_iceberg_demo_spark.registry import register
 
 
 def real_image_decode(blob: bytes) -> object:
-    """The real decode kernel — requires an image codec library.
+    """The general-purpose decode kernel — requires an image codec library.
 
-    Not available in this container (no PIL/cv2); the pipeline uses
-    `_fake_decode_features` instead, keeping schema and batching identical.
+    Not available in this container (no PIL/cv2). The formats parseable
+    with the stdlib are decoded for real instead: see `wav_pcm_decode`,
+    `bmp24_decode` and `png_rgb8_decode` below.
     """
     try:
         import PIL.Image  # noqa: F401
@@ -83,35 +86,6 @@ def c4_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
         F.col("meta.codec").alias("codec"),
-    )
-
-
-@register("c4_decode_features_stub")  # rows-only: decode kernel is a stub
-def c4_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: decode → feature-extract over Arrow batches via mapInPandas.
-
-    The decode step is a deterministic fake (first-8-bytes histogram) because
-    codec libs are absent (see `real_image_decode`); the distributed shape —
-    binary column in, fixed-width float features out, per-batch vectorized —
-    is exactly the production form.
-    """
-    mm = multimodal_table(spark, sf_dir)
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf["image"].map(
-                lambda b: [float(x) / 255.0 for x in bytes(b[:8]).ljust(8, b"\0")]
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"],
-                    "features": feats,
-                }
-            )
-
-    return mm.mapInPandas(
-        decode_batches, schema="doc_id bigint, n_bytes bigint, features array<double>"
     )
 
 
@@ -634,7 +608,7 @@ def c4_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: REAL audio decode — synth-encode a PCM WAV per document, then
     run a genuine RIFF parser + numpy feature extraction (sample count,
     header sample rate, FFT dominant frequency, RMS) inside mapInPandas
-    Arrow batches. Unlike c4_decode_features_stub this is not a fake: a
+    Arrow batches. Unlike the frame-sample env-stub this is not a fake: a
     wrong chunk walk, byte order, or scale factor fails the value hash,
     because the oracle states what a correct decoder must recover from the
     closed-form fixture (dominant bin is leakage-free by construction; RMS
@@ -789,4 +763,236 @@ def c4_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_and_decode,
         schema="doc_id bigint, width int, height int, "
         "top_row_blue double, body_blue double, body_red double",
+    )
+
+
+# PNG geometry/content parameters, closed-form in doc_id (same pattern as
+# the WAV/BMP fixtures above). Gradients are chosen so no channel value
+# wraps past 255: base <= 199, x-slope*(w-1) + y-slope*(h-1) <= 33.
+_PNG_W = lambda d: 4 + d % 5  # noqa: E731
+_PNG_H = lambda d: 3 + d % 3  # noqa: E731
+#: per-channel (base(doc_id), x-slope, y-slope)
+_PNG_CH = (
+    (lambda d: d % 200, 1, 2),  # R
+    (lambda d: (7 * d) % 200, 2, 1),  # G
+    (lambda d: (13 * d) % 200, 3, 3),  # B
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_rgb8_encode(doc_id: int) -> bytes:
+    """8-bit RGB PNG blob built from scratch (stdlib zlib only): IHDR,
+    zlib-compressed filtered scanlines split across TWO IDAT chunks (the
+    spec allows it and a correct decoder must concatenate before
+    inflating), IEND, each chunk CRC32-stamped. Scanline y uses filter
+    type y % 5, so every PNG filter (None/Sub/Up/Average/Paeth) is
+    exercised and the decoder must implement all five inverse filters —
+    the forward filter here is applied for real, byte for byte."""
+    import struct
+    import zlib
+
+    w, h = _PNG_W(doc_id), _PNG_H(doc_id)
+    bpp = 3
+    raws = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            for base, kx, ky in _PNG_CH:
+                row.append(base(doc_id) + kx * x + ky * y)
+        raws.append(bytes(row))
+
+    stream = bytearray()
+    for y, raw in enumerate(raws):
+        ft = y % 5
+        prior = raws[y - 1] if y else bytes(len(raw))
+        out = bytearray()
+        for i, v in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, upleft)
+            out.append((v - pred) & 0xFF)
+        stream.append(ft)
+        stream.extend(out)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_rgb8_decode(blob: bytes):
+    """REAL PNG parser (stdlib zlib): signature check, chunk walk with
+    CRC32 VERIFICATION per chunk, IHDR validation (8-bit, color type 2
+    truecolor, no interlace), multi-IDAT concatenation, zlib inflate, and
+    the per-scanline inverse of all five PNG filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Returns an (h, w, 3) uint8 array in R,G,B order."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG blob")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        clen = struct.unpack(">I", blob[pos : pos + 4])[0]
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack(">I", blob[pos + 8 + clen : pos + 12 + clen])[0]
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    stream = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * w
+    if len(stream) != h * (stride + 1):
+        raise ValueError("scanline stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = stream[y * (stride + 1)]
+        row = bytearray(stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = int(prior[i])
+            upleft = int(prior[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                pred = _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            row[i] = (row[i] + pred) & 0xFF
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    return out.reshape(h, w, 3)
+
+
+@register(
+    "c4_png_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INT) AS width,
+               CAST(3 + doc_id % 3 AS INT) AS height,
+               CAST(doc_id % 200
+                    + 0.5 * (3 + doc_id % 5)
+                    + 1.0 * (2 + doc_id % 3) AS DOUBLE) AS mean_r,
+               CAST((7 * doc_id) % 200
+                    + 1.0 * (3 + doc_id % 5)
+                    + 0.5 * (2 + doc_id % 3) AS DOUBLE) AS mean_g,
+               CAST((13 * doc_id) % 200
+                    + 1.5 * (3 + doc_id % 5)
+                    + 1.5 * (2 + doc_id % 3) AS DOUBLE) AS mean_b,
+               CAST(doc_id % 200 + (7 * doc_id) % 200 + (13 * doc_id) % 200
+                    + 6 * (3 + doc_id % 5)
+                    + 6 * (2 + doc_id % 3) AS BIGINT) AS corner_px_sum
+        FROM documents
+    """,
+)
+def c4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: REAL PNG decode (retires the former c4_decode_features_stub,
+    VERDICT r08 item 4) — synth-encode an 8-bit RGB PNG per document, then
+    run a genuine parser (chunk walk + per-chunk CRC32 verify + IHDR
+    validation + multi-IDAT concat + zlib inflate + all five inverse
+    scanline filters) inside mapInPandas Arrow batches, and report header
+    dims, per-channel means, and the bottom-right pixel's channel sum.
+
+    The fixture is a closed-form linear gradient (value = base_c + kx·x +
+    ky·y, never wrapping 255), with scanline y forward-filtered as type
+    y % 5 — so a decoder that botches ANY inverse filter, drops an IDAT
+    chunk, misreads the stride, or shifts a row flips the value hash: the
+    per-channel means pin the whole pixel field (mean = base + kx·(w−1)/2
+    + ky·(h−1), exact halves, float64-exact both engines) and the corner
+    pixel pins orientation. Same distributed shape as the WAV/BMP kernels:
+    per-row CPU inside Arrow batches, blobs never shuffled or
+    driver-side."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = png_rgb8_decode(png_rgb8_encode(did))
+                h, w = arr.shape[0], arr.shape[1]
+                rows.append(
+                    (
+                        did,
+                        w,
+                        h,
+                        float(arr[:, :, 0].mean()),
+                        float(arr[:, :, 1].mean()),
+                        float(arr[:, :, 2].mean()),
+                        int(arr[h - 1, w - 1, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "corner_px_sum",
+                ],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        schema="doc_id bigint, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, corner_px_sum bigint",
     )

@@ -345,3 +345,52 @@ def test_bmp_decode_rejects_unsupported_variants():
     bad_bpp = blob[:28] + b"\x08\x00" + blob[30:]
     with pytest.raises(ValueError):
         bmp24_decode(bad_bpp)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_inverts_all_five_filters(doc_id):
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        png_rgb8_decode,
+        png_rgb8_encode,
+    )
+
+    arr = png_rgb8_decode(png_rgb8_encode(doc_id))
+    w, h = 4 + doc_id % 5, 3 + doc_id % 3
+    assert arr.shape == (h, w, 3)
+    # every pixel of the linear-gradient fixture, exactly (scanline y is
+    # forward-filtered with type y % 5 — any wrong inverse filter, stride
+    # slip, or dropped IDAT byte corrupts some pixel)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(arr[y, x]) == (
+                doc_id % 200 + x + 2 * y,
+                (7 * doc_id) % 200 + 2 * x + y,
+                (13 * doc_id) % 200 + 3 * x + 3 * y,
+            ), (doc_id, x, y)
+
+
+def test_png_decode_verifies_crc_and_rejects_corruption():
+    import pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        png_rgb8_decode,
+        png_rgb8_encode,
+    )
+
+    blob = png_rgb8_encode(7)
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_rgb8_decode(b"JUNK" + blob[4:])
+    # flip one byte inside the first IDAT body: the per-chunk CRC check
+    # must catch it (a decoder that skips CRC would inflate garbage or
+    # "succeed" with wrong pixels)
+    idat_at = blob.index(b"IDAT")
+    corrupt = bytearray(blob)
+    corrupt[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        png_rgb8_decode(bytes(corrupt))
+    # truncating the second IDAT chunk entirely (drop from its length
+    # field) leaves a well-CRC'd but incomplete stream → loud failure
+    second_idat = blob.index(b"IDAT", idat_at + 4)
+    with pytest.raises(Exception):
+        png_rgb8_decode(blob[: second_idat - 4] + blob[blob.index(b"IEND") - 4 :])
