@@ -394,3 +394,158 @@ def test_png_decode_verifies_crc_and_rejects_corruption():
     second_idat = blob.index(b"IDAT", idat_at + 4)
     with pytest.raises(Exception):
         png_rgb8_decode(blob[: second_idat - 4] + blob[blob.index(b"IEND") - 4 :])
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_avi_roundtrip_recovers_every_frame(doc_id):
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        avi_rgb24_decode,
+        avi_rgb24_encode,
+    )
+
+    fps, frames = avi_rgb24_decode(avi_rgb24_encode(doc_id))
+    w, h = 4 + doc_id % 5, 3 + doc_id % 3
+    assert fps == 10 + doc_id % 5
+    assert len(frames) == 3 + doc_id % 4
+    for f, fr in enumerate(frames):
+        assert fr.shape == (h, w, 3)
+        # row 0 must be the TOP row of THIS frame (bottom-up undo must not
+        # mix rows across frames); stride pad must not bleed at any width
+        assert tuple(fr[0, 0]) == (
+            (3 * doc_id + 5 * f) % 251,
+            (11 * doc_id + 7 * f) % 251,
+            (17 * doc_id + 19 * f) % 251,
+        )
+        assert (
+            fr[1:]
+            == [
+                (doc_id + 29 * f) % 251,
+                (7 * doc_id + 11 * f) % 251,
+                (13 * doc_id + 17 * f) % 251,
+            ]
+        ).all()
+
+
+def test_avi_decode_validates_headers_and_frame_count():
+    import struct
+
+    import pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        avi_rgb24_decode,
+        avi_rgb24_encode,
+    )
+
+    blob = avi_rgb24_encode(11)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        avi_rgb24_decode(b"RIFX" + blob[4:])
+    # drop the LAST movi frame chunk but leave headers claiming n frames:
+    # the header cross-check must refuse (a sampler that trusts the movi
+    # walk alone would silently return fewer frames)
+    movi_at = blob.index(b"movi")
+    first_frame_at = blob.index(b"00db", movi_at)
+    fsize = struct.unpack("<I", blob[first_frame_at + 4 : first_frame_at + 8])[0]
+    step = 8 + fsize + (fsize & 1)
+    n = 3 + 11 % 4
+    last_frame_at = first_frame_at + (n - 1) * step
+    truncated = blob[:last_frame_at] + blob[last_frame_at + step :]
+    # fix up the two RIFF LIST sizes that contain the removed chunk
+    t = bytearray(truncated)
+    t[4:8] = struct.pack("<I", struct.unpack("<I", t[4:8])[0] - step)
+    t[movi_at - 4 : movi_at] = struct.pack(
+        "<I", struct.unpack("<I", t[movi_at - 4 : movi_at])[0] - step
+    )
+    with pytest.raises(ValueError, match="frame count"):
+        avi_rgb24_decode(bytes(t))
+    # a 'vids' stream claiming 8 bpp must be refused, not mis-parsed
+    strf_at = blob.index(b"strf")
+    bad = bytearray(blob)
+    bad[strf_at + 8 + 14 : strf_at + 8 + 16] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="unsupported AVI"):
+        avi_rgb24_decode(bytes(bad))
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_constant_mcu_roundtrip_is_exact(doc_id):
+    """A constant 8x8 block has an integer DC and zero ACs, so with the
+    flat quantization table the whole baseline pipeline (DCT → quantize →
+    zigzag → huffman+stuffing → huffman decode → dequant → IDCT) must
+    roundtrip EXACTLY — the property the closed-form oracle of
+    c4_jpeg_baseline_decode relies on. DC prediction chains across the
+    full MCU sequence, so one slip anywhere corrupts later MCUs too."""
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        jpeg_baseline_decode,
+        jpeg_baseline_encode,
+    )
+
+    wm, hm = 2 + doc_id % 3, 2 + doc_id % 2
+    w, h = wm * 8, hm * 8
+    y = np.zeros((h, w), dtype=np.uint8)
+    cb = np.zeros_like(y)
+    cr = np.zeros_like(y)
+    for k in range(wm * hm):
+        my, mx = divmod(k, wm)
+        sl = (slice(my * 8, my * 8 + 8), slice(mx * 8, mx * 8 + 8))
+        y[sl] = 30 + (doc_id + 7 * k) % 200
+        cb[sl] = 28 + (5 * doc_id + 11 * k) % 200
+        cr[sl] = 28 + (3 * doc_id + 13 * k) % 200
+    rgb, (yd, cbd, crd) = jpeg_baseline_decode(jpeg_baseline_encode(y, cb, cr))
+    assert rgb.shape == (h, w, 3)
+    assert (yd == y).all() and (cbd == cb).all() and (crd == cr).all()
+    # and the RGB conversion matches the engine-proof closed form
+    k = wm * hm - 1
+    my, mx = divmod(k, wm)
+    Y, Cb, Cr = int(y[my * 8, mx * 8]), int(cb[my * 8, mx * 8]), int(cr[my * 8, mx * 8])
+    exp_r = min(255, max(0, int(np.floor(Y + 1.402 * (Cr - 128) + 0.5))))
+    exp_b = min(255, max(0, int(np.floor(Y + 1.772 * (Cb - 128) + 0.5))))
+    assert rgb[my * 8 + 3, mx * 8 + 3, 0] == exp_r
+    assert rgb[my * 8 + 3, mx * 8 + 3, 2] == exp_b
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_random_content_roundtrip_near_lossless(seed):
+    """Dense random planes force the FULL AC path — run-length coding, ZRL
+    for 16+ zero runs, EOB, category/extend bits, IDCT of dense blocks.
+    With the flat quantization table the only loss is DCT-coefficient
+    rounding: every decoded plane must stay within 2 of the original."""
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        jpeg_baseline_decode,
+        jpeg_baseline_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    w = h = 16
+    planes = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(3)]
+    _rgb, decoded = jpeg_baseline_decode(jpeg_baseline_encode(*planes))
+    for orig, got in zip(planes, decoded):
+        assert np.abs(orig.astype(int) - got.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_validates_stream():
+    import numpy as np
+    import pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import (
+        jpeg_baseline_decode,
+        jpeg_baseline_encode,
+    )
+
+    y = np.full((8, 8), 99, np.uint8)
+    blob = jpeg_baseline_encode(y, y, y)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_baseline_decode(b"\x00\x00" + blob[2:])
+    # progressive SOF2 must be refused, not mis-parsed as baseline
+    sof_at = blob.index(b"\xff\xc0")
+    prog = blob[:sof_at] + b"\xff\xc2" + blob[sof_at + 2 :]
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_baseline_decode(prog)
+    # truncating the entropy stream must fail loudly, not return pixels
+    with pytest.raises(ValueError):
+        jpeg_baseline_decode(blob[: blob.rindex(b"\xff\xd9") - 3] + b"\xff\xd9")
