@@ -32,6 +32,24 @@ from apache_iceberg_demo_spark.io import load
 from apache_iceberg_demo_spark.registry import register
 
 
+#: result frames persisted so a consumer's count()+collect() executes the
+#: expensive synth-encode→decode pipeline once (the r07 re-execution-audit
+#: pattern); released on the next invocation of the owning operator
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _live_caches:
+        df = _live_caches.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            # the frame's SparkSession was stopped (session-restart
+            # consumers, e.g. tools/determinism_probe.py): its cached
+            # blocks died with the session — nothing to release
+            pass
+
+
 def real_image_decode(blob: bytes) -> object:
     """The any-format decode kernel — requires an image codec library.
 
@@ -1683,8 +1701,17 @@ def c4_jpeg_baseline_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "mcu_idx", "width", "height", "r", "g", "b"],
             )
 
-    return d.mapInPandas(
+    out = d.mapInPandas(
         synth_and_decode,
         schema="doc_id bigint, mcu_idx int, width int, height int, "
         "r double, g double, b double",
     )
+    # The huffman+DCT roundtrip is the most expensive per-row kernel in the
+    # module; persist the tiny stats frame so the driver gate's
+    # count()+collect() runs the pipeline once (reexec-audit flagged the raw
+    # frame at 2.1 s + 1.7 s double execution at sf0.01).
+    _release_caches()
+    out = out.persist()
+    out.count()
+    _live_caches.append(out)
+    return out
