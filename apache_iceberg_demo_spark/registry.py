@@ -166,8 +166,9 @@ _DRIVER_VERIFIED: set[str] = {
     # green; the one red, c3_covariance_matrix, is re-proven via _HEAD
     # after the engine-proof integer-rounding rework), folded in per
     # VERDICT r08 item 2 so the round-9 budget clears the ENTIRE driver
-    # debt: 16 never-run oracle-paired queries then 24 never-run
-    # rows-only entries (41 total incl. _HEAD ≤ the ~50 budget):
+    # debt: 19 never-run oracle-paired queries (incl. the png/avi/jpeg
+    # codec kernels added this round) then 22 never-run rows-only
+    # entries (42 total incl. _HEAD ≤ the ~50 budget):
     "c4_wav_pcm_decode", "c4_bmp_decode", "b3_pagerank_copurchase",
     "b3_join_strategy_hints", "b4_zscore_anomalies", "b5_rolling_median",
     "b5_ewma_smoothing", "c2_fuzzy_join_blocked", "b2_group_by_all",
