@@ -50,6 +50,20 @@ def _release_caches() -> None:
             pass
 
 
+def _cpu_spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow key frame out to the session's full parallelism before a
+    CPU-heavy mapInPandas kernel. A single-file parquet scan arrives as 1-2
+    splits, which would serialize the per-row codec work on one or two cores
+    (measured: c4_jpeg_baseline_decode at sf0.1 ran 20.8 s on the 1-split
+    base table vs 7.2 s on a 2x-the-rows replica that happened to have >=8
+    splits — the scale probe's inversion that exposed this). The shuffled
+    payload is only the key column (bytes per row), negligible next to the
+    kernel CPU; on a real cluster inputs arrive with >= defaultParallelism
+    splits and the max() keeps the fan-out a no-op size-wise."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(df.rdd.getNumPartitions(), sc.defaultParallelism))
+
+
 def real_image_decode(blob: bytes) -> object:
     """The any-format decode kernel — requires an image codec library.
 
@@ -625,7 +639,7 @@ def c4_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled, never driver-side."""
     import numpy as np
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = _cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -732,7 +746,7 @@ def c4_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash. Same distributed shape as c4_wav_pcm_decode."""
     import numpy as np  # noqa: F401  (kernel uses numpy via bmp24_decode)
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = _cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -962,7 +976,7 @@ def c4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel pins orientation. Same distributed shape as the WAV/BMP kernels:
     per-row CPU inside Arrow batches, blobs never shuffled or
     driver-side."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = _cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1181,7 +1195,7 @@ def c4_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     misreads the stride, or forgets the row flip fails the hash. Same
     distributed shape as the WAV/BMP/PNG kernels: per-row CPU in Arrow
     batches, blobs never shuffled or driver-side."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = _cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1663,7 +1677,7 @@ def c4_jpeg_baseline_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per MCU (explode-in-Python), like the AVI frame sampler."""
     import numpy as np
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = _cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
