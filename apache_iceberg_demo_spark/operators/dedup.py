@@ -225,13 +225,19 @@ def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     bucket occupancy; the quadratic all-pairs comparison never happens.
     Recall is property-tested with planted mutants (tests/test_llm_ops.py).
     """
-    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+    from apache_iceberg_demo_spark.tuning import (
+        cpu_spread,
+        input_sized_shuffle,
+        scoped_conf,
+    )
 
     _release_caches()
     # hashed shingle sets, computed ONCE and cached: reused by the two sides
     # of the band join and the verification joins (without the cache, Spark
-    # re-derives the whole shingle+hash pipeline for every self-join branch)
-    hs = hashed_word_shingles(docs).cache()
+    # re-derives the whole shingle+hash pipeline for every self-join branch).
+    # cpu_spread first: the shingle+minhash HOFs are interpreted per-row CPU
+    # that would otherwise serialize on a 1-2 split scan (see tuning.py)
+    hs = hashed_word_shingles(cpu_spread(docs)).cache()
     _live_caches.append(hs)
     # the band/verify shuffles are sized to the input's own partitioning and
     # the result is materialized INSIDE that scope (a lazily-returned frame
@@ -311,6 +317,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     tokens = F.array_distinct(F.split(F.col("text"), r"\s+"))
     # bit vote b_i = sum over tokens of (hash bit i ? +1 : -1); sign → bit i
+    # (cpu_spread measured a wash here — 3x fresh-process A/B at sf0.1 gave
+    # identical distributions; the cost is the banded join + verify, already
+    # parallel — so the input is NOT spread: don't shuffle corpus text for
+    # no measured win)
     th = docs.select("doc_id", F.explode(tokens).alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )

@@ -50,18 +50,9 @@ def _release_caches() -> None:
             pass
 
 
-def _cpu_spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow key frame out to the session's full parallelism before a
-    CPU-heavy mapInPandas kernel. A single-file parquet scan arrives as 1-2
-    splits, which would serialize the per-row codec work on one or two cores
-    (measured: c4_jpeg_baseline_decode at sf0.1 ran 20.8 s on the 1-split
-    base table vs 7.2 s on a 2x-the-rows replica that happened to have >=8
-    splits — the scale probe's inversion that exposed this). The shuffled
-    payload is only the key column (bytes per row), negligible next to the
-    kernel CPU; on a real cluster inputs arrive with >= defaultParallelism
-    splits and the max() keeps the fan-out a no-op size-wise."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(max(df.rdd.getNumPartitions(), sc.defaultParallelism))
+# the codec kernels' fan-out (found via the scale probe's 1x/2x inversion,
+# see PLANS.md) is shared repo-wide from tuning.py
+from apache_iceberg_demo_spark.tuning import cpu_spread as _cpu_spread
 
 
 def real_image_decode(blob: bytes) -> object:

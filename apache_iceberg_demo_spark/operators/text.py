@@ -257,7 +257,12 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # released — the result cache is the only thing kept.
     from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
 
-    db = d.select("doc_id", "lang", F.explode(bigrams).alias("bg")).cache()
+    # cpu_spread: the interpreted zip_with bigram build + explode is per-row
+    # CPU in the scan stage; a 1-2 split documents scan would serialize it
+    # on 1-2 cores (see tuning.py)
+    from apache_iceberg_demo_spark.tuning import cpu_spread
+
+    db = cpu_spread(d).select("doc_id", "lang", F.explode(bigrams).alias("bg")).cache()
     profile = (
         db.groupBy("lang", "bg")
         .agg(F.count("*").alias("freq"))

@@ -46,3 +46,17 @@ def input_sized_shuffle(df: DataFrame, floor: int = 8) -> str:
     with thousands of splits) and overhead-free on a laptop (a 2-split scan
     doesn't fan out to 200 near-empty tasks)."""
     return str(max(floor, df.rdd.getNumPartitions()))
+
+
+def cpu_spread(df: DataFrame) -> DataFrame:
+    """Fan a frame out to the session's full parallelism before a CPU-heavy
+    per-row stage (mapInPandas codec kernels, interpreted-HOF shingle/bigram
+    builds). Spark sizes scan partitions by BYTES (maxPartitionBytes), the
+    wrong currency when per-row CPU dominates per-row I/O: a single-file
+    table arrives as 1-2 splits and the whole kernel serializes on 1-2
+    cores (measured: c4_jpeg_baseline_decode 20.8 s -> 4.4 s at sf0.1).
+    The shuffle moves one narrow row per row, negligible next to the kernel
+    CPU; max() keeps it a size no-op on a real cluster where scans already
+    arrive with >= defaultParallelism splits."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(df.rdd.getNumPartitions(), sc.defaultParallelism))
