@@ -254,6 +254,9 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id bigint, blob binary",
     )
+    # (cpu_spread measured a wash here — fresh-process A/B at sf0.1: the
+    # wall is the multi-action self-verification over the cached chunks,
+    # not the chunker, so the input is deliberately NOT spread)
     blobs = d.unionByName(planted)
 
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3289,9 +3289,13 @@ def c4_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from apache_iceberg_demo_spark.tuning import cpu_spread
+
     H = W_ = 8
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    # cpu_spread: per-row image synthesis is pure CPU on a key-only frame —
+    # a 1-split documents scan would serialize it (see tuning.py)
+    d = cpu_spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_and_fold(batches):
         for pdf in batches:
