@@ -289,15 +289,17 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bad.count() > 0:
             raise AssertionError("CDC chunks do not reassemble to blob length")
 
-        def hash_seq(doc_id: int) -> list:
-            return [
-                r["chunk_hash"]
-                for r in chunks.filter(F.col("doc_id") == doc_id)
-                .orderBy("chunk_idx")
-                .collect()
-            ]
-
-        orig, dup, mut = hash_seq(0), hash_seq(1_000_000), hash_seq(1_000_001)
+        # one collect for all three probe sequences (was 3 filter+collect
+        # round-trips)
+        seqs: dict = {0: [], 1_000_000: [], 1_000_001: []}
+        probe = (
+            chunks.filter(F.col("doc_id").isin(*seqs))
+            .select("doc_id", "chunk_idx", "chunk_hash")
+            .collect()
+        )
+        for r in sorted(probe, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+            seqs[r["doc_id"]].append(r["chunk_hash"])
+        orig, dup, mut = seqs[0], seqs[1_000_000], seqs[1_000_001]
         if orig != dup:
             raise AssertionError("identical blobs produced different chunk hashes")
         shared = len(set(orig) & set(mut))
@@ -305,7 +307,10 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"insert mutation destroyed chunk locality: {shared}/{len(orig)} shared"
             )
-        return (
+        # materialize + persist the tiny summary BEFORE releasing the chunk
+        # cache it is built on — unpersisting first made a consumer's
+        # count()+collect() re-run the whole chunker pipeline twice
+        result = (
             chunks.groupBy("doc_id")
             .agg(
                 F.count("*").cast("bigint").alias("n_chunks"),
@@ -314,6 +319,11 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_id")
         )
+        _release_caches()
+        result = result.persist()
+        result.count()
+        _live_caches.append(result)
+        return result
     finally:
         chunks.unpersist()
 
