@@ -549,3 +549,109 @@ def test_jpeg_decode_validates_stream():
     # truncating the entropy stream must fail loudly, not return pixels
     with pytest.raises(ValueError):
         jpeg_baseline_decode(blob[: blob.rindex(b"\xff\xd9") - 3] + b"\xff\xd9")
+
+
+# --- independent byte-level fixtures (hand-assembled in the test, never
+# through the package's encoders) — pins the decoders to the FILE FORMATS,
+# not to our own encode conventions ---
+
+
+def test_wav_decode_hand_assembled_bytes():
+    import struct
+
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import wav_pcm_decode
+
+    samples = [0, 16384, -16384, 32767]
+    data = struct.pack("<4h", *samples)
+    # deliberately include an unknown chunk with an ODD size before data —
+    # the parser must word-align past it (RIFF padding rule)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 11025, 11025 * 2, 2, 16
+    )
+    body = b"WAVE" + fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, out = wav_pcm_decode(blob)
+    assert sr == 11025
+    np.testing.assert_allclose(out, np.array(samples) / 32767.0, atol=1e-12)
+
+
+def test_wav_decode_rejects_stereo_and_nonpcm():
+    import struct
+
+    import pytest as _pytest
+
+    from apache_iceberg_demo_spark.operators.multimodal import wav_pcm_decode
+
+    def make(fmt_code, channels):
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", fmt_code, channels, 8000, 8000 * 2 * channels, 2, 16
+        )
+        data = b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with _pytest.raises(ValueError):
+        wav_pcm_decode(make(3, 1))  # IEEE float, not PCM
+    with _pytest.raises(ValueError):
+        wav_pcm_decode(make(1, 2))  # stereo unsupported
+
+
+def test_bmp_decode_hand_assembled_bytes():
+    import struct
+
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import bmp24_decode
+
+    # 2x2, 24bpp: stride = 8 (2 pad bytes per row). Stored BOTTOM-UP:
+    # file row 0 is the image's bottom row.
+    bottom = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"  # pixels (B,G,R)
+    top = bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"
+    pixel_array = bottom + top
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_array), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_array), 0, 0, 54)
+    arr = bmp24_decode(header + dib + pixel_array)
+    assert arr.shape == (2, 2, 3)
+    # decoder undoes the bottom-up order: row 0 of the result is the TOP row
+    np.testing.assert_array_equal(arr[0, 0], np.array([70, 80, 90], dtype=np.uint8))
+    np.testing.assert_array_equal(arr[0, 1], np.array([100, 110, 120], dtype=np.uint8))
+    np.testing.assert_array_equal(arr[1, 0], np.array([10, 20, 30], dtype=np.uint8))
+    np.testing.assert_array_equal(arr[1, 1], np.array([40, 50, 60], dtype=np.uint8))
+
+
+def test_png_decode_hand_assembled_bytes():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import png_rgb8_decode
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # 2x2 RGB8: row 0 filter None, row 1 filter Up (RFC 2083 §6.5)
+    top = [(1, 2, 3), (250, 251, 252)]
+    bot = [(11, 22, 33), (44, 55, 66)]
+    raw_row0 = b"\x00" + bytes(v for px in top for v in px)
+    up_deltas = bytes(
+        (bot[i][c] - top[i][c]) % 256 for i in range(2) for c in range(3)
+    )
+    raw = raw_row0 + b"\x02" + up_deltas
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # split the zlib stream across two IDAT chunks (the spec allows any split)
+    z = zlib.compress(raw)
+    idat = chunk(b"IDAT", z[:5]) + chunk(b"IDAT", z[5:])
+    blob = b"\x89PNG\r\n\x1a\n" + ihdr + idat + chunk(b"IEND", b"")
+    arr = png_rgb8_decode(blob)
+    assert arr.shape == (2, 2, 3)
+    np.testing.assert_array_equal(arr[0], np.array(top, dtype=np.uint8))
+    np.testing.assert_array_equal(arr[1], np.array(bot, dtype=np.uint8))
