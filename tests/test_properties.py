@@ -655,3 +655,40 @@ def test_png_decode_hand_assembled_bytes():
     assert arr.shape == (2, 2, 3)
     np.testing.assert_array_equal(arr[0], np.array(top, dtype=np.uint8))
     np.testing.assert_array_equal(arr[1], np.array(bot, dtype=np.uint8))
+
+
+def test_avi_decode_hand_assembled_bytes():
+    import struct
+
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import avi_rgb24_decode
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype, payload):
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + ltype + payload
+
+    w, h, n_frames, rate, scale = 2, 1, 2, 24, 2
+    stride = (3 * w + 3) // 4 * 4  # 8: two pad bytes per row
+    avih = chunk(
+        b"avih",
+        struct.pack("<IIIIIIIIII", 1_000_000 * scale // rate, 0, 0, 0, n_frames, 0, 1, 0, w, h),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + struct.pack("<IHHIIIII", 0, 0, 0, 0, scale, rate, 0, n_frames),
+    )
+    strf = chunk(b"strf", struct.pack("<IiiHHI", 40, w, h, 1, 24, 0) + b"\x00" * 20)
+    frames_px = [bytes([5, 6, 7, 8, 9, 10]), bytes([200, 201, 202, 203, 204, 205])]
+    movi = lst(b"movi", b"".join(chunk(b"00db", px + b"\x00\x00") for px in frames_px))
+    body = b"AVI " + lst(b"hdrl", avih + lst(b"strl", strh + strf)) + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fps, frames = avi_rgb24_decode(blob)
+    assert fps == rate / scale == 12.0
+    assert len(frames) == n_frames
+    for got, px in zip(frames, frames_px):
+        assert got.shape == (1, 2, 3)
+        np.testing.assert_array_equal(got.reshape(-1), np.frombuffer(px, np.uint8))
