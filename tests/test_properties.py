@@ -692,3 +692,45 @@ def test_avi_decode_hand_assembled_bytes():
     for got, px in zip(frames, frames_px):
         assert got.shape == (1, 2, 3)
         np.testing.assert_array_equal(got.reshape(-1), np.frombuffer(px, np.uint8))
+
+
+def test_jpeg_decode_hand_assembled_bytes():
+    """A fully hand-written baseline JPEG: our OWN huffman spec (3 DC
+    categories + a bare EOB table, different from the package encoder's
+    canonical tables), DC-only coefficients, flat qtable of 1s. Expected
+    pixels computed from the JPEG math directly: DC-only IDCT gives
+    F00/8 + 128, then BT.601 YCbCr->RGB with floor(x+0.5):
+    Y DC 40 -> 133; Cb DC -80 -> 118; Cr DC 0 -> 128
+    => R 133, G floor(133 + 0.344136*10 + .5) = 136, B floor(133 - 17.72 + .5) = 115."""
+    import struct
+
+    import numpy as np
+
+    from apache_iceberg_demo_spark.operators.multimodal import jpeg_baseline_decode
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    dc_bits = bytes([0, 3] + [0] * 14)      # three length-2 codes
+    dc_vals = bytes([0x00, 0x06, 0x07])      # cats 0, 6, 7 -> 00, 01, 10
+    ac_bits = bytes([0, 1] + [0] * 14)       # one length-2 code
+    ac_vals = bytes([0x00])                  # EOB -> 00
+    dht = seg(0xC4, b"\x00" + dc_bits + dc_vals + b"\x10" + ac_bits + ac_vals)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # bitstream: Y(DC cat6 '01' + 40='101000' + EOB '00')
+    #            Cb(DC cat7 '10' + (-80 -> 47)='0101111' + EOB '00')
+    #            Cr(DC cat0 '00' + EOB '00'), padded with 1s
+    entropy = bytes([0b01101000, 0b00100101, 0b11100000, 0b01111111])
+    blob = b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9"
+
+    rgb, (y, cb, cr) = jpeg_baseline_decode(blob)
+    assert rgb.shape == (8, 8, 3)
+    np.testing.assert_array_equal(np.unique(rgb[:, :, 0]), [133])
+    np.testing.assert_array_equal(np.unique(rgb[:, :, 1]), [136])
+    np.testing.assert_array_equal(np.unique(rgb[:, :, 2]), [115])
