@@ -57,6 +57,13 @@ def cpu_spread(df: DataFrame) -> DataFrame:
     cores (measured: c4_jpeg_baseline_decode 20.8 s -> 4.4 s at sf0.1).
     The shuffle moves one narrow row per row, negligible next to the kernel
     CPU; max() keeps it a size no-op on a real cluster where scans already
-    arrive with >= defaultParallelism splits."""
+    arrive with >= defaultParallelism splits.
+
+    Spread ONLY when per-row CPU dominates per-row bytes. Measured washes
+    and losses (PLANS.md): codegen'd scans+aggregates (full flagship A/B:
+    plain 1.22 s vs spread 1.28-1.36 s at sf0.1 — the scan stage still
+    decodes the single row group serially and the shuffle then moves
+    full-width rows), simhash (banded-join-bound), CDC chunking
+    (verification-bound)."""
     sc = df.sparkSession.sparkContext
     return df.repartition(max(df.rdd.getNumPartitions(), sc.defaultParallelism))
