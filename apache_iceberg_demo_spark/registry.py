@@ -188,19 +188,36 @@ _DRIVER_VERIFIED: set[str] = {
     "b4_conversion_latency", "c5_chat_template_render", "b4_ab_test_ztest",
     "b4_kaplan_meier", "b3_bellman_ford_bounded", "b4_mann_whitney_u",
     "b4_gini_concentration", "b2_sql_pivot_clause", "b8_mask_funcs",
+    # --- r09 driver greens (CORRECTNESS_r09.json — all 50 rows clean:
+    # 28 oracle hash-green incl. the covariance engine-proof re-run and
+    # all three new codec kernels; 22 rows-only ran with rows > 0).
+    # With this fold every one of the 331 registered queries has been
+    # driver-verified at least once — debt is ZERO (VERDICT r09):
+    "c3_covariance_matrix", "c4_png_decode", "c4_avi_frame_extract",
+    "c4_jpeg_baseline_decode", "b7_symmetric_difference", "b4_runs_test",
+    "c5_blocklist_filter", "b5_islands_gaps", "b4_benford_test",
+    "b4_chisq_independence", "b5_xmr_control_chart",
+    "b4_seasonality_strength", "c5_bigram_backoff_score", "b4_cohort_ltv",
+    "s1_upsample_minority", "b2_sql_scripting_compound",
+    "b4_approx_top_k_events", "b6_group_order_by_all",
+    "b5_session_window_dynamic_gap", "c5_bpe_pair_merges",
+    "c2_minhash_estimate_accuracy", "c4_phash_near_dup",
+    "c4_content_defined_chunking", "s1_stratified_sample_by",
+    "c3_ann_lsh_topk", "c3_ann_ivf_topk", "c3_kmeans_embeddings",
+    "c3_semantic_dedup", "c3_ann_recall_audit", "c3_product_quantization",
+    "c3_ann_pq_adc_topk", "c3_mmr_diverse_topk", "c5_fingerprint_winnow",
+    "pipeline_corpus_release", "b9_stateful_ewma_anomaly",
+    "b9_stream_progress_metrics", "c3_pca_project", "pipeline_rag_retrieval",
+    "c3_random_projection_jl", "pipeline_dedup_cascade",
+    "c4_channel_norm_stats", "c2_lsh_band_tuning",
 }
 
 # Names that must lead the registry regardless of verification history
-# (regression re-checks of previously-failed/erred rows).
-# c3_covariance_matrix is the sole red driver row across 8 rounds (r07:
-# float64 merge-order flake; r08: rounding-TIE semantics — odd multiples
-# of 1/128 quantize to exact .5, which numpy half-even and DuckDB
-# half-away break differently). The r09 rework removes tie semantics
-# entirely: floor(x·1e6+0.5) quantization on both engines + the final
-# 6-decimal rounding done in exact integer space (see the operator
-# docstring). The driver must re-prove it first in r09 (VERDICT r08
-# item 1).
-_HEAD: list[str] = ["c3_covariance_matrix"]
+# (regression re-checks of previously-failed/erred rows). Empty after r09:
+# c3_covariance_matrix — the sole red driver row across 8 rounds — passed
+# its engine-proof re-run (CORRECTNESS_r09.json hash-green), so there is
+# nothing left to re-prove.
+_HEAD: list[str] = []
 
 # Within the driver-unverified block, run these FIRST. Empty after r07:
 # all 38 prior members came back fully green (folded into _DRIVER_VERIFIED
@@ -208,6 +225,35 @@ _HEAD: list[str] = ["c3_covariance_matrix"]
 # b4/b5/b3 statistical tail in registration order via _reorder
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
+
+# Round-10 staleness rotation (VERDICT r09 item 1): with zero debt, the
+# driver's ~50-query budget becomes regression RE-coverage. These are the
+# longest-unseen greens — the r01 slice (minus the 8 names the r09 run
+# happened to re-prove with its spare budget) topped up with the oldest
+# r03 names to fill the budget. They rank directly after any genuinely
+# unverified newcomers; future rounds rotate the next-stalest block in.
+_RECHECK: list[str] = [
+    "b4_rollup", "b4_cube", "b4_grouping_sets", "b4_having",
+    "b4_percentiles", "b4_salted_skew_agg", "b4_corr_regression",
+    "b4_histogram_width_bucket", "b4_collect_sorted_lists",
+    "b4_median_bool", "b4_grouping_id", "asof_join_events",
+    "sessionize_gap30m", "funnel_signup_to_purchase",
+    "c1_dedup_exact_docs", "c1_dedup_content_hash",
+    "c2_minhash_lsh_neardup", "c2_simhash_neardup",
+    "c2_ngram_jaccard_pairs", "c2_dedup_clusters", "b2_filter_between",
+    "b2_filter_in", "b2_filter_like", "b2_filter_null_bool",
+    "b2_project_computed", "b2_filter_regex_ilike",
+    "b3_join_inner_broadcast", "b3_join_star_revenue",
+    "b3_join_left_outer", "b3_join_full_outer", "b3_join_semi",
+    "b3_join_anti", "b3_join_cross", "b3_join_multikey",
+    "b3_join_nonequi_range", "b3_join_bucketed_colocated",
+    "b3_join_salted_skew", "b3_join_null_safe", "b3_join_dpp_partitioned",
+    "b2_agg_membership_big_orders", "b2_disjunctive_pushdown",
+    "b2_exists_late_shipment", "b2_latest_shipper_per_order",
+    "b2_not_exists_quiet_customers", "b2_promotion_part_suppliers",
+    "b2_small_quantity_avg_correlated", "b3_custdist_outer_agg",
+    "b3_local_supplier_volume", "b3_market_share", "b3_min_cost_supplier",
+]
 
 
 def _finalize_late_oracles() -> None:
@@ -247,7 +293,9 @@ def _reorder() -> None:
             # stronger evidence, and the slowest queries (ingest/warehouse/
             # streaming roundtrips) are rows-only by design
             return (1, 1 if name in ORACLES else 2, idx)
-        return (2, 0, idx)
+        if name in _RECHECK:
+            return (2, 0, _RECHECK.index(name))
+        return (3, 0, idx)
 
     ordered = sorted(((i, n) for i, n in enumerate(QUERIES)), key=rank)
     new_q = {n: QUERIES[n] for _, n in ordered}
