@@ -239,13 +239,16 @@ def minhash_lsh_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # that would otherwise serialize on a 1-2 split scan (see tuning.py)
     hs = hashed_word_shingles(cpu_spread(docs)).cache()
     _live_caches.append(hs)
-    # the band/verify shuffles are sized to the input's own partitioning and
-    # the result is materialized INSIDE that scope (a lazily-returned frame
-    # would execute after the conf restore, back at the session default —
-    # e.g. 200 near-empty tasks per stage in the driver's plain session)
+    # the band/verify shuffles are sized to the SPREAD frame's partitioning,
+    # not the raw scan's (sizing from `docs` — 1-2 splits locally — coalesced
+    # the post-shuffle stages back down to the floor of 8, partially undoing
+    # the fan-out; r09 ADVICE), and the result is materialized INSIDE that
+    # scope (a lazily-returned frame would execute after the conf restore,
+    # back at the session default — e.g. 200 near-empty tasks per stage in
+    # the driver's plain session)
     with scoped_conf(
         docs.sparkSession,
-        {"spark.sql.shuffle.partitions": input_sized_shuffle(docs)},
+        {"spark.sql.shuffle.partitions": input_sized_shuffle(hs)},
     ):
         out = _minhash_pairs_plan(hs, min_jaccard).cache()
         out.count()

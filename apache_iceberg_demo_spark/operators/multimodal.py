@@ -34,13 +34,17 @@ from apache_iceberg_demo_spark.registry import register
 
 #: result frames persisted so a consumer's count()+collect() executes the
 #: expensive synth-encode→decode pipeline once (the r07 re-execution-audit
-#: pattern); released on the next invocation of the owning operator
-_live_caches: list[DataFrame] = []
+#: pattern). Keyed PER OPERATOR: a module-wide list meant invoking the jpeg
+#: kernel dropped the CDC summary's cache (and vice versa), silently
+#: re-executing the full chunker pipeline for an interleaved consumer
+#: holding both frames (r09 ADVICE) — each invocation now releases only
+#: its own predecessor.
+_live_caches: dict[str, DataFrame] = {}
 
 
-def _release_caches() -> None:
-    while _live_caches:
-        df = _live_caches.pop()
+def _release_caches(owner: str) -> None:
+    df = _live_caches.pop(owner, None)
+    if df is not None:
         try:
             df.unpersist()
         except Exception:
@@ -319,10 +323,10 @@ def c4_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_id")
         )
-        _release_caches()
+        _release_caches("c4_content_defined_chunking")
         result = result.persist()
         result.count()
-        _live_caches.append(result)
+        _live_caches["c4_content_defined_chunking"] = result
         return result
     finally:
         chunks.unpersist()
@@ -1728,8 +1732,8 @@ def c4_jpeg_baseline_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module; persist the tiny stats frame so the driver gate's
     # count()+collect() runs the pipeline once (reexec-audit flagged the raw
     # frame at 2.1 s + 1.7 s double execution at sf0.01).
-    _release_caches()
+    _release_caches("c4_jpeg_baseline_decode")
     out = out.persist()
     out.count()
-    _live_caches.append(out)
+    _live_caches["c4_jpeg_baseline_decode"] = out
     return out

@@ -290,8 +290,11 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _release_caches()
+    # sized from the SPREAD frame (db), not the raw 1-2 split scan (d), so
+    # the groupBy/window shuffles keep the fan-out's parallelism (r09 ADVICE
+    # fix class — see dedup.minhash_lsh_pairs)
     with scoped_conf(
-        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(db)}
     ):
         result = result.cache()
         result.count()

@@ -55,9 +55,14 @@ def cpu_spread(df: DataFrame) -> DataFrame:
     wrong currency when per-row CPU dominates per-row I/O: a single-file
     table arrives as 1-2 splits and the whole kernel serializes on 1-2
     cores (measured: c4_jpeg_baseline_decode 20.8 s -> 4.4 s at sf0.1).
-    The shuffle moves one narrow row per row, negligible next to the kernel
-    CPU; max() keeps it a size no-op on a real cluster where scans already
-    arrive with >= defaultParallelism splits.
+    The shuffle's per-row payload is whatever columns the frame carries —
+    narrow ids+blobs for the codec kernels, full text for the shingle
+    builds — and is negligible only because the kernel CPU is 10-100x the
+    move cost; an already-wide frame gets NO shuffle at all: when the
+    input arrives with >= defaultParallelism splits (every real-cluster
+    scan of real data) this returns it unchanged, so cluster plans pay
+    zero — ``repartition(n)`` is never free, it inserts a round-robin
+    exchange even when the count doesn't change (r09 ADVICE).
 
     Spread ONLY when per-row CPU dominates per-row bytes. Measured washes
     and losses (PLANS.md): codegen'd scans+aggregates (full flagship A/B:
@@ -66,4 +71,6 @@ def cpu_spread(df: DataFrame) -> DataFrame:
     full-width rows), simhash (banded-join-bound), CDC chunking
     (verification-bound)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(max(df.rdd.getNumPartitions(), sc.defaultParallelism))
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)

@@ -600,13 +600,33 @@ def test_jpeg_decode_result_is_persisted_and_released_on_reinvoke(spark):
 
     first = registry.QUERIES["c4_jpeg_baseline_decode"](spark, SF)
     assert first.storageLevel.useMemory
-    assert mm._live_caches == [first]
+    assert mm._live_caches["c4_jpeg_baseline_decode"] is first
     second = registry.QUERIES["c4_jpeg_baseline_decode"](spark, SF)
     # exactly one live cache — the first frame was released before the
     # second persisted. (storageLevel can't distinguish them: the cache
     # manager resolves it by LOGICAL PLAN, and both invocations build the
     # same plan, so first.storageLevel now reports second's entry.)
-    assert mm._live_caches == [second]
+    assert mm._live_caches["c4_jpeg_baseline_decode"] is second
     second.unpersist()
     mm._live_caches.clear()
     assert not second.storageLevel.useMemory
+
+
+def test_live_caches_are_keyed_per_operator(spark):
+    """r09 ADVICE: a module-wide release list meant invoking the jpeg
+    kernel unpersisted the CDC summary frame returned earlier — an
+    interleaved consumer holding both frames silently re-executed the
+    full chunker pipeline. The caches are now keyed per operator: each
+    invocation releases only its own predecessor."""
+    from apache_iceberg_demo_spark.operators import multimodal as mm
+
+    cdc = registry.QUERIES["c4_content_defined_chunking"](spark, SF)
+    assert cdc.storageLevel.useMemory
+    jpeg = registry.QUERIES["c4_jpeg_baseline_decode"](spark, SF)
+    # the jpeg invocation must NOT have dropped the CDC frame's cache
+    assert cdc.storageLevel.useMemory
+    assert mm._live_caches["c4_content_defined_chunking"] is cdc
+    assert mm._live_caches["c4_jpeg_baseline_decode"] is jpeg
+    for df in (cdc, jpeg):
+        df.unpersist()
+    mm._live_caches.clear()
