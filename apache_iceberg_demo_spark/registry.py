@@ -343,5 +343,9 @@ def load_all() -> None:
     # round-6 surface, imported last (same append-only ordering rule)
     from apache_iceberg_demo_spark.operators import round6  # noqa: F401
 
+    # round-10 interop surface (Iceberg-v2 spec export/scan); _reorder
+    # front-loads its never-verified query regardless of import position
+    from apache_iceberg_demo_spark.sources import iceberg_v2  # noqa: F401
+
     _finalize_late_oracles()
     _reorder()

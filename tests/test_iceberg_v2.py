@@ -1,0 +1,423 @@
+"""Iceberg-v2 interop conformance tests.
+
+Three layers of proof, strongest available offline:
+1. The hand-written Avro OCF bytes are read back by the JVM's REFERENCE
+   Avro implementation (avro-1.12.1.jar bundled with Spark, driven over
+   py4j) and compared value-by-value — an independent implementation, not
+   our own reader checking our own writer.
+2. The metadata JSON layout is pinned against the public Iceberg v2 table
+   spec (required keys, field-id assignments, snapshot-log shape).
+3. The spec-path reader (version-hint → metadata.json → Avro manifest
+   list → Avro manifests → parquet) must reproduce the bespoke warehouse
+   reader's rows exactly, including time travel.
+
+The end-to-end foreign-ENGINE read (DuckDB iceberg_scan, as in
+/root/reference/README.md:52-53) is environment-blocked: the container is
+offline and `INSTALL iceberg` fails with an extension-download
+IOException (verified round 10); no iceberg-spark-runtime jar ships
+either. These tests are the conformance evidence in its place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_demo_spark.sources.avro_ocf import read_ocf, write_ocf
+from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+    MANIFEST_FILE_SCHEMA,
+    bound_value,
+    export_iceberg_v2,
+    read_iceberg_v2,
+    _from_uri,
+)
+from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- avro ocf
+
+
+def test_ocf_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "b", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "bool", "type": ["null", "boolean"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    recs = [
+        {
+            "l": -(2**62),
+            "i": -1,
+            "s": "héllo wörld",
+            "b": b"\x00\xff\x01",
+            "d": 3.141592653589793,
+            "f": 0.5,
+            "bool": True,
+            "arr": [1, -2, 3],
+            "m": {"k1": "v1", "k2": "v2"},
+        },
+        {
+            "l": 2**62,
+            "i": 0,
+            "s": None,
+            "b": b"",
+            "d": -0.0,
+            "f": -1.5,
+            "bool": None,
+            "arr": [],
+            "m": {},
+        },
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"t_{codec}.avro")
+        n = write_ocf(path, schema, recs, metadata={"x": "y"}, codec=codec)
+        assert n == os.path.getsize(path)
+        got_schema, got_meta, got = read_ocf(path)
+        assert got == recs
+        assert got_meta["x"] == "y"
+        assert got_schema["name"] == "t"
+
+
+def test_ocf_detects_corruption(tmp_path):
+    path = str(tmp_path / "c.avro")
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    write_ocf(path, schema, [{"a": 1}, {"a": 2}])
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF  # flip a sync-marker byte
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_ocf(path)
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    """A 2-snapshot partitioned warehouse table + its Iceberg v2 export."""
+    root = str(tmp_path_factory.mktemp("wh"))
+    wh = Warehouse(spark, root)
+    from apache_iceberg_demo_spark.io import load
+
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace(
+        "li", li.filter(F.col("l_linenumber") <= 3), partition_by="l_linenumber"
+    )
+    wh.append("li", li.filter(F.col("l_linenumber") > 3))
+    location = export_iceberg_v2(wh, "li")
+    return wh, "li", location
+
+
+def _load_meta(location):
+    mdir = os.path.join(location, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+# ------------------------------------------------- JVM avro cross-validation
+
+
+def test_jvm_reference_avro_reads_manifest_list(spark, exported):
+    """The reference Java Avro implementation must parse our manifest-list
+    bytes and see identical values — independent-implementation proof."""
+    _, _, location = exported
+    meta = _load_meta(location)
+    snap = meta["snapshots"][-1]
+    path = _from_uri(snap["manifest-list"])
+    ours_schema, _, ours = read_ocf(path)
+    assert ours_schema["name"] == "manifest_file"
+
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert dfr.getSchema().getName() == "manifest_file"
+    # the embedded writer schema must carry the spec's field-ids
+    jschema = json.loads(dfr.getSchema().toString())
+    by_name = {f["name"]: f for f in jschema["fields"]}
+    assert by_name["manifest_path"]["field-id"] == 500
+    assert by_name["sequence_number"]["field-id"] == 515
+    theirs = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        theirs.append(
+            {
+                k: (str(rec.get(k)) if rec.get(k) is not None else None)
+                for k in (
+                    "manifest_path",
+                    "manifest_length",
+                    "partition_spec_id",
+                    "content",
+                    "sequence_number",
+                    "added_snapshot_id",
+                    "added_files_count",
+                    "existing_files_count",
+                    "added_rows_count",
+                    "existing_rows_count",
+                )
+            }
+        )
+    dfr.close()
+    assert len(theirs) == len(ours)
+    for o, t in zip(ours, theirs):
+        for k, v in t.items():
+            assert v == (str(o[k]) if o[k] is not None else None), k
+
+
+def test_jvm_reference_avro_reads_manifest_entries(spark, exported):
+    _, _, location = exported
+    meta = _load_meta(location)
+    snap = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    mpath = _from_uri(mfs[0]["manifest_path"])
+    _, mmeta, ours = read_ocf(mpath)
+    assert mmeta["format-version"] == "2"
+    assert mmeta["content"] == "data"
+
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mpath), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert dfr.getSchema().getName() == "manifest_entry"
+    assert dfr.getMetaString("format-version") == "2"
+    theirs = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        data_file = rec.get("data_file")
+        theirs.append(
+            (
+                rec.get("status"),
+                rec.get("sequence_number"),
+                str(data_file.get("file_path")),
+                str(data_file.get("file_format")),
+                data_file.get("record_count"),
+                data_file.get("file_size_in_bytes"),
+                str(data_file.get("partition").get("l_linenumber")),
+            )
+        )
+    dfr.close()
+    assert len(theirs) == len(ours) > 0
+    for o, t in zip(ours, theirs):
+        d = o["data_file"]
+        assert t == (
+            o["status"],
+            o["sequence_number"],
+            d["file_path"],
+            d["file_format"],
+            d["record_count"],
+            d["file_size_in_bytes"],
+            str(d["partition"]["l_linenumber"]),
+        )
+
+
+# ------------------------------------------------- metadata.json conformance
+
+
+def test_metadata_json_v2_layout(exported):
+    wh, name, location = exported
+    meta = _load_meta(location)
+    # required v2 top-level fields (public spec, "Table Metadata Fields")
+    for key in (
+        "format-version",
+        "table-uuid",
+        "location",
+        "last-sequence-number",
+        "last-updated-ms",
+        "last-column-id",
+        "schemas",
+        "current-schema-id",
+        "partition-specs",
+        "default-spec-id",
+        "last-partition-id",
+        "sort-orders",
+        "default-sort-order-id",
+        "current-snapshot-id",
+        "snapshots",
+        "snapshot-log",
+        "refs",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    # schemas carry stable per-column field ids
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = [f["id"] for f in cur_schema["fields"]]
+    assert len(ids) == len(set(ids)) and min(ids) >= 1
+    assert meta["last-column-id"] == max(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+    )
+    # partition spec: identity on l_linenumber, field-id in the 1000+ range
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    (pf,) = spec["fields"]
+    assert pf["transform"] == "identity"
+    assert pf["field-id"] == 1000
+    src = next(f for f in cur_schema["fields"] if f["id"] == pf["source-id"])
+    assert src["name"] == "l_linenumber"
+    # snapshots: sequence numbers strictly increase; log matches
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    assert meta["last-sequence-number"] == seqs[-1]
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [
+        s["snapshot-id"] for s in meta["snapshots"]
+    ]
+    assert meta["refs"]["main"] == {
+        "snapshot-id": meta["current-snapshot-id"],
+        "type": "branch",
+    }
+    # the append snapshot must account its carried files as EXISTING
+    last = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(last["manifest-list"]))
+    assert mfs[0]["existing_files_count"] > 0
+    assert mfs[0]["added_files_count"] > 0
+    assert mfs[0]["min_sequence_number"] == 1
+    assert mfs[0]["sequence_number"] == last["sequence-number"]
+
+
+def test_manifest_bounds_match_parquet_footers(exported):
+    """lower/upper bounds use the spec's single-value binary serialization
+    and must equal the parquet footer min/max they were derived from."""
+    import pyarrow.parquet as pq
+
+    wh, name, location = exported
+    meta = _load_meta(location)
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    types_by_id = {f["id"]: f["type"] for f in cur_schema["fields"]}
+    names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+    snap = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    _, _, entries = read_ocf(_from_uri(mfs[0]["manifest_path"]))
+    checked = 0
+    for e in entries[:5]:
+        d = e["data_file"]
+        md = pq.ParquetFile(_from_uri(d["file_path"])).metadata
+        footer: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                prev = footer.get(col.path_in_schema)
+                if prev:
+                    footer[col.path_in_schema] = [min(prev[0], mn), max(prev[1], mx)]
+                else:
+                    footer[col.path_in_schema] = [mn, mx]
+        lowers = {kv["key"]: kv["value"] for kv in (d["lower_bounds"] or [])}
+        uppers = {kv["key"]: kv["value"] for kv in (d["upper_bounds"] or [])}
+        assert lowers, "expected bounds on at least int/long/string columns"
+        for fid, raw in lowers.items():
+            t = types_by_id[fid]
+            cname = names_by_id[fid]
+            assert bound_value(t, raw) == footer[cname][0], cname
+            assert bound_value(t, uppers[fid]) == footer[cname][1], cname
+            checked += 1
+    assert checked > 0
+
+
+# ------------------------------------------------- spec-path reader
+
+
+def test_spec_read_equals_bespoke_read(spark, exported):
+    wh, name, location = exported
+    spec_rows = sorted(
+        read_iceberg_v2(spark, location)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    )
+    bespoke_rows = sorted(
+        wh.read(name).select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    )
+    assert spec_rows == bespoke_rows and len(spec_rows) > 0
+    # typed partition binding: l_linenumber came from manifests as an int
+    assert dict(read_iceberg_v2(spark, location).dtypes)["l_linenumber"] == "int"
+
+
+def test_spec_read_time_travel(spark, exported):
+    wh, name, location = exported
+    meta = _load_meta(location)
+    first = meta["snapshots"][0]["snapshot-id"]
+    n_spec = read_iceberg_v2(spark, location, snapshot_id=first).count()
+    n_bespoke = wh.read(name, snapshot_id=first).count()
+    assert n_spec == n_bespoke > 0
+    assert n_spec < read_iceberg_v2(spark, location).count()
+
+
+def test_spec_read_pushes_filter_and_prunes_columns(spark, exported):
+    _, _, location = exported
+    df = read_iceberg_v2(spark, location, where="l_quantity > 40").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_unpartitioned_roundtrip(spark, tmp_path):
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nation_t", n)
+    location = export_iceberg_v2(wh, "nation_t", str(tmp_path / "ice"))
+    meta = _load_meta(location)
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert spec["fields"] == []
+    got = sorted(read_iceberg_v2(spark, location).collect())
+    assert got == sorted(n.collect())
+
+
+def test_export_refuses_unapplied_mor_deletes(spark, tmp_path):
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_or_replace("r", load(spark, SF, "region"))
+    wh.delete_where_mor("r", "r_regionkey = 1")
+    with pytest.raises(ValueError, match="apply_deletes"):
+        export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
+    wh.apply_deletes("r")
+    location = export_iceberg_v2(wh, "r", str(tmp_path / "ice2"))
+    assert read_iceberg_v2(spark, location).count() == wh.read("r").count()
+
+
+def test_export_refuses_renamed_lineage(spark, tmp_path):
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_or_replace("r", load(spark, SF, "region"))
+    wh.rename_column("r", "r_name", "region_name")
+    with pytest.raises(ValueError, match="rename"):
+        export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
