@@ -99,6 +99,23 @@ def _peak_mem_bytes(spark, after_exec_id: int) -> float:
     return peak
 
 
+def _stage_totals(spark, after_stage_id: int) -> tuple[float, int, int]:
+    """(executor CPU ms, shuffle read bytes, shuffle write bytes) summed over
+    stages started after the mark — the per-query resource trend the
+    reference watched via cAdvisor→Prometheus→Grafana (README.md:86-87,
+    213-219), emitted here from the same AppStatusStore plumbing as
+    peak-mem so BENCH_r{N}.json carries a full regression gate."""
+    lst = _stage_list(spark)
+    cpu_ns, sh_read, sh_write = 0, 0, 0
+    for i in range(lst.size()):
+        st = lst.apply(i)
+        if st.stageId() > after_stage_id:
+            cpu_ns += st.executorCpuTime()
+            sh_read += st.shuffleReadBytes()
+            sh_write += st.shuffleWriteBytes()
+    return cpu_ns / 1e6, sh_read, sh_write
+
+
 def _stage_peak_bytes(spark, after_stage_id: int) -> float:
     """Fallback for plans with no 'peak memory' SQL metric (pure
     scan+filter+count, e.g. a10): max stage-level task-summed
@@ -166,8 +183,11 @@ def main() -> None:
     # max across the 3 runs' SQL-metric 'peak memory' operators
     timings: dict[str, float] = {}
     peak_mem: dict[str, float] = {}
+    cpu_ms: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for n in names:
         best, peak = float("inf"), 0.0
+        best_cpu, best_shuffle = float("inf"), float("inf")
         for _ in range(3):
             exec_mark = _last_exec_id(spark)
             stage_mark = _last_stage_id(spark)
@@ -178,18 +198,32 @@ def main() -> None:
                 # execution memory at all, which is itself the datum)
                 p = _stage_peak_bytes(spark, stage_mark)
             peak = max(peak, p)
+            cpu, sh_r, sh_w = _stage_totals(spark, stage_mark)
+            # steady-state minima: CPU carries JIT/GC noise; shuffle bytes
+            # are plan-determined and identical across runs in practice
+            best_cpu = min(best_cpu, cpu)
+            best_shuffle = min(best_shuffle, sh_r + sh_w)
         timings[n] = round(best, 4)
         peak_mem[n] = round(peak / 2**20, 1)
+        cpu_ms[n] = round(best_cpu, 1)
+        shuffle_mb[n] = round(best_shuffle / 2**20, 3)
 
-    # round-over-round memory trend vs the latest recorded BENCH_r{N}.json
+    # round-over-round resource trends vs the latest recorded BENCH_r{N}.json
     prev_label, prev = _prev_round_bench()
+
+    def _flag(cur: dict, prev_vals: dict, floor: float) -> dict:
+        """>1.5x growth per query; `floor` ignores noise-scale absolutes."""
+        return {
+            n: {"prev": prev_vals[n], "cur": cur[n],
+                "ratio": round(cur[n] / prev_vals[n], 2)}
+            for n in cur
+            if prev_vals.get(n, 0) > floor and cur[n] / prev_vals[n] > 1.5
+        }
+
     prev_mem = prev.get("peak_mem_mb", {}) if isinstance(prev, dict) else {}
-    regressions = {
-        n: {"prev_mb": prev_mem[n], "cur_mb": peak_mem[n],
-            "ratio": round(peak_mem[n] / prev_mem[n], 2)}
-        for n in peak_mem
-        if prev_mem.get(n, 0) > 0 and peak_mem[n] / prev_mem[n] > 1.5
-    }
+    regressions = _flag(peak_mem, prev_mem, 0)
+    cpu_regressions = _flag(cpu_ms, prev.get("cpu_ms", {}), 20.0)
+    shuffle_regressions = _flag(shuffle_mb, prev.get("shuffle_mb", {}), 0.05)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -199,11 +233,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "peak_mem_mb": peak_mem,
+        "cpu_ms": cpu_ms,
+        "shuffle_mb": shuffle_mb,
         "sf": float(sf) if sf else SF_DIR,
     }
     if prev_label:
         out["peak_mem_vs"] = prev_label
         out["peak_mem_regressions"] = regressions if regressions else "none"
+        out["cpu_regressions"] = cpu_regressions if cpu_regressions else "none"
+        out["shuffle_regressions"] = (
+            shuffle_regressions if shuffle_regressions else "none"
+        )
     print(json.dumps(out))
     spark.stop()
 
