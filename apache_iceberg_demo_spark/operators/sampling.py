@@ -106,18 +106,58 @@ def s1_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s1_stratified_sample_by")  # rows-only: sampleBy is seeded-RNG based
+@register(
+    "s1_stratified_sample_by",
+    # The seeded Bernoulli counts themselves are engine-internal RNG, but
+    # the statistical CONTRACT is oracle-checkable (r09 VERDICT item 5):
+    # per-stratum population counts + fractions are relational, and the
+    # sampled count must sit within exact 6-sigma binomial bounds — the
+    # boolean is TRUE on both sides or the value hash goes red.
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(CASE lang WHEN 'en' THEN 0.8 ELSE 0.3 END AS DOUBLE)
+                   AS keep_frac,
+               TRUE AS sampled_within_6sigma
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
 def s1_stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: Spark's native stratified `sampleBy` (per-stratum fractions,
     seeded Bernoulli) — included for API surface; the hash-bucket variants
     above are preferred at scale precisely because THIS one's membership
-    depends on seed + partitioning."""
-    d = load(spark, sf_dir, "documents")
+    depends on seed + partitioning. The driver-checked contract is the
+    binomial one: each stratum's sampled count within mu ± (6 sigma + 5)
+    of n·p — layout-robust (membership may shift with partitioning, the
+    bound holds under any layout) yet strict enough that a broken sampler
+    (wrong stratum keys, double-sampling, fraction drift) fails the hash."""
+    langs = ["en", "de", "fr", "es", "zh"]
+    d = load(spark, sf_dir, "documents").filter(F.col("lang").isin(langs))
     fractions = {"en": 0.8, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.3}
-    return (
+    sampled = (
         d.sampleBy("lang", fractions, seed=42)
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_total"))
+    p = F.when(F.col("lang") == "en", F.lit(0.8)).otherwise(F.lit(0.3))
+    mu = F.col("n_total") * p
+    sigma = F.sqrt(F.col("n_total") * p * (1.0 - p))
+    return (
+        totals.join(sampled, "lang", "left")
+        .na.fill({"n_sampled": 0})
+        .select(
+            "lang",
+            "n_total",
+            p.alias("keep_frac"),
+            (F.abs(F.col("n_sampled") - mu) <= 6.0 * sigma + 5.0).alias(
+                "sampled_within_6sigma"
+            ),
+        )
+        .orderBy("lang")
     )
 
 

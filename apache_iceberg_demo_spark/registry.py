@@ -202,7 +202,10 @@ _DRIVER_VERIFIED: set[str] = {
     "b4_approx_top_k_events", "b6_group_order_by_all",
     "b5_session_window_dynamic_gap", "c5_bpe_pair_merges",
     "c2_minhash_estimate_accuracy", "c4_phash_near_dup",
-    "c4_content_defined_chunking", "s1_stratified_sample_by",
+    "c4_content_defined_chunking",
+    # s1_stratified_sample_by: r09-seen rows-only, but it gained a binomial
+    # oracle in r10 and must RE-verify under the stronger check (the r01
+    # approx-agg precedent) — deliberately NOT in this set.
     "c3_ann_lsh_topk", "c3_ann_ivf_topk", "c3_kmeans_embeddings",
     "c3_semantic_dedup", "c3_ann_recall_audit", "c3_product_quantization",
     "c3_ann_pq_adc_topk", "c3_mmr_diverse_topk", "c5_fingerprint_winnow",
