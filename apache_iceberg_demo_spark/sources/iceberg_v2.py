@@ -324,7 +324,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     # ancestry of current, oldest first
     chain: list[dict] = []
     sid: Optional[int] = meta["current_snapshot_id"]
-    while sid is not None:
+    while sid is not None and sid in by_id:
+        # an expired parent simply truncates the exported history, exactly
+        # as expire_snapshots truncates Iceberg's own snapshot log
         snap = by_id[sid]
         chain.append(snap)
         sid = snap.get("parent_id")

