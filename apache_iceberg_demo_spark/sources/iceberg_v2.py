@@ -338,29 +338,37 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         )
     # Foreign Iceberg readers bind parquet columns by the field-id metadata
     # the Iceberg WRITER embeds — our parquet was written by plain Spark and
-    # has none, so a spec reader falls back to name binding (what Iceberg's
-    # own `schema.name-mapping.default` formalizes for migrated files).
-    # Name binding is only sound when no name ever remapped: refuse lineages
-    # with pending logical→physical renames or a name bound to two different
-    # field ids (drop-then-re-add). rewrite_data_files() materializes
-    # current names/ids and clears both conditions.
+    # has none. The spec's answer for exactly this case (files migrated
+    # from a non-Iceberg writer) is the `schema.name-mapping.default` table
+    # property: per field id, the list of physical names that may carry it.
+    # Collect every name each fid ever had across the lineage (renames move
+    # the name, keep the fid — warehouse.rename_column) so old files'
+    # spellings resolve. One case stays refused: a name bound to two
+    # DIFFERENT fids (drop-then-re-add) — name-based resolution would
+    # resurrect dropped values; rewrite_data_files() materializes current
+    # names and clears it.
     seen_fids: dict[str, int] = {}
-    for snap in chain:
-        fm = snap.get("field_map") or {}
-        if any(phys != logical for logical, phys in fm.items()):
+    names_by_fid: dict[int, list[str]] = {}
+
+    def _record(col: str, fid: int) -> None:
+        if seen_fids.setdefault(col, fid) != fid:
             raise ValueError(
-                f"table {name!r}: snapshot {snap['snapshot_id']} carries "
-                "column renames; name-binding export would misread old "
-                "files — run rewrite_data_files() first"
+                f"table {name!r}: column {col!r} was dropped and "
+                "re-added (two field ids in lineage); name-binding "
+                "export would resurrect dropped values — run "
+                "rewrite_data_files() first"
             )
-        for col, fid in (snap.get("fids") or {}).items():
-            if seen_fids.setdefault(col, int(fid)) != int(fid):
-                raise ValueError(
-                    f"table {name!r}: column {col!r} was dropped and "
-                    "re-added (two field ids in lineage); name-binding "
-                    "export would resurrect dropped values — run "
-                    "rewrite_data_files() first"
-                )
+        names = names_by_fid.setdefault(fid, [])
+        if col not in names:
+            names.append(col)
+
+    for snap in chain:
+        fids_snap = snap.get("fids") or {}
+        for col, fid in fids_snap.items():
+            _record(col, int(fid))
+        for logical, physical in (snap.get("field_map") or {}).items():
+            if logical in fids_snap:
+                _record(physical, int(fids_snap[logical]))
 
     if location is None:
         location = scratch_dir(f"iceberg_{name}_", unique=True)
@@ -542,7 +550,31 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            # spec: resolves columns in data files written WITHOUT Iceberg
+            # field ids (all of ours — plain-Spark parquet). Current name
+            # first, historical spellings after.
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {
+                        "field-id": f["id"],
+                        "names": [f["name"]]
+                        + [
+                            n
+                            for n in names_by_fid.get(f["id"], [])
+                            if n != f["name"]
+                        ],
+                    }
+                    for sch in (
+                        [schemas[snapshots_json[-1]["schema-id"]]]
+                        if chain
+                        else []
+                    )
+                    for f in sch["fields"]
+                ]
+            ),
+        },
         "current-snapshot-id": int(meta["current_snapshot_id"]),
         "snapshots": snapshots_json,
         "snapshot-log": snapshot_log,
@@ -647,7 +679,12 @@ def read_iceberg_v2(
     # constants per split; expressed here with built-in operators so the
     # scan stays a single vectorized FileScan (no per-partition-value
     # union: the demo table alone has ~84 month values).
-    out = spark.read.parquet(*[_from_uri(u) for u in file_parts])
+    # mergeSchema: files written before a rename/add carry old spellings or
+    # miss columns entirely; the merged scan schema surfaces every physical
+    # name so the name-mapping projection below can coalesce them
+    out = spark.read.option("mergeSchema", "true").parquet(
+        *[_from_uri(u) for u in file_parts]
+    )
     pnames = {n for n, _ in part_fields}
     if part_fields:
         map_ddl = "`__file` string, " + ", ".join(
@@ -667,16 +704,36 @@ def read_iceberg_v2(
             .join(F.broadcast(mapping), "__file")
             .drop("__file")
         )
-    # bind the declared column set/order/types (non-partition columns come
-    # from parquet by name; this table was written by one engine lineage,
-    # so name binding == id binding here)
+    # bind the declared column set/order/types through the spec's
+    # name-mapping (schema.name-mapping.default): per field id, the ordered
+    # physical spellings that may carry it. Files written before a rename
+    # have the old name, post-rename files the new one — coalesce in
+    # mapping order. Columns added after a file was written → NULL.
+    nm = {
+        m["field-id"]: m["names"]
+        for m in json.loads(
+            meta.get("properties", {}).get("schema.name-mapping.default", "[]")
+        )
+    }
     proj = []
     for f in schema["fields"]:
         st = spark_type(f["type"])
-        if f["name"] in out.columns or f["name"] in pnames:
+        if f["name"] in pnames:
             proj.append(F.col(f["name"]).cast(st).alias(f["name"]))
-        else:
+            continue
+        candidates = [
+            n for n in nm.get(f["id"], [f["name"]]) if n in out.columns
+        ]
+        if not candidates:
             proj.append(F.lit(None).cast(st).alias(f["name"]))
+        elif len(candidates) == 1:
+            proj.append(F.col(candidates[0]).cast(st).alias(f["name"]))
+        else:
+            proj.append(
+                F.coalesce(*[F.col(n).cast(st) for n in candidates]).alias(
+                    f["name"]
+                )
+            )
     out = out.select(*proj)
     return out.filter(where) if where is not None else out
 

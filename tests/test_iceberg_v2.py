@@ -413,11 +413,52 @@ def test_export_refuses_unapplied_mor_deletes(spark, tmp_path):
     assert read_iceberg_v2(spark, location).count() == wh.read("r").count()
 
 
-def test_export_refuses_renamed_lineage(spark, tmp_path):
+def test_name_mapping_resolves_renamed_lineage(spark, tmp_path):
+    """Renames are exported via the spec's schema.name-mapping.default
+    property (the mechanism for data files without embedded field ids):
+    pre-rename files carry the old physical spelling, a post-rename append
+    writes the new one, and the spec reader coalesces both under the
+    current name."""
     from apache_iceberg_demo_spark.io import load
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    wh.create_or_replace("r", load(spark, SF, "region"))
-    wh.rename_column("r", "r_name", "region_name")
-    with pytest.raises(ValueError, match="rename"):
-        export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n.filter(F.col("n_nationkey") < 10))
+    wh.rename_column("nt", "n_name", "nation_name")
+    wh.append(
+        "nt",
+        n.filter(F.col("n_nationkey") >= 10).withColumnRenamed(
+            "n_name", "nation_name"
+        ),
+    )
+    location = export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
+
+    meta = _load_meta(location)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    entry = next(m for m in nm if "nation_name" in m["names"])
+    assert entry["names"][0] == "nation_name" and "n_name" in entry["names"]
+
+    spec = sorted(
+        read_iceberg_v2(spark, location)
+        .select("n_nationkey", "nation_name")
+        .collect()
+    )
+    bespoke = sorted(
+        wh.read("nt").select("n_nationkey", "nation_name").collect()
+    )
+    assert spec == bespoke and len(spec) == 25
+    assert all(r.nation_name is not None for r in spec)
+
+
+def test_export_refuses_drop_then_readd(spark, tmp_path):
+    """A name bound to two different field ids (drop-then-re-add) stays
+    refused: name-based resolution would resurrect the dropped values."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n)
+    wh.drop_column("nt", "n_name")
+    wh.add_column("nt", "n_name", "string")
+    with pytest.raises(ValueError, match="re-added"):
+        export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
