@@ -8,8 +8,10 @@ JSON format; this module closes the interop gap by exporting any warehouse
 table as a REAL Apache Iceberg v2 table per the public spec
 (https://iceberg.apache.org/spec/):
 
-- ``metadata/v1.metadata.json`` — format-version 2, table-uuid, schemas
+- ``metadata/vN.metadata.json`` — format-version 2, table-uuid, schemas
   with stable field ids, partition-specs, sort-orders, snapshot log, refs;
+  re-exports version the metadata (v2, v3, ...) with a metadata-log and an
+  atomically-replaced version-hint, per HadoopTableOperations;
 - one Avro manifest-list per snapshot (``snap-<id>-1-<uuid>.avro``) with
   the spec's ``manifest_file`` record (field-ids 500-519);
 - one Avro manifest per snapshot with ``manifest_entry`` records
@@ -372,8 +374,29 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
 
     if location is None:
         location = scratch_dir(f"iceberg_{name}_", unique=True)
-    mdir = os.path.join(location, "metadata")
+    mdir = os.path.join(_from_uri(location), "metadata")
     os.makedirs(mdir, exist_ok=True)
+    # metadata versioning (HadoopTableOperations): re-exporting an evolved
+    # table writes v{N+1}.metadata.json, carries the prior versions in
+    # metadata-log, and bumps version-hint.text last (readers resolving the
+    # hint never see a half-written version)
+    hint = os.path.join(mdir, "version-hint.text")
+    prev_version, metadata_log = 0, []
+    if os.path.exists(hint):
+        with open(hint) as f:
+            prev_version = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{prev_version}.metadata.json")) as f:
+            prev_meta = json.load(f)
+        metadata_log = list(prev_meta.get("metadata-log", []))
+        metadata_log.append(
+            {
+                "timestamp-ms": int(prev_meta["last-updated-ms"]),
+                "metadata-file": _to_uri(
+                    os.path.join(mdir, f"v{prev_version}.metadata.json")
+                ),
+            }
+        )
+    version = prev_version + 1
 
     # schemas: unique per snapshot lineage, interned in first-seen order
     schemas: list[dict] = []
@@ -578,7 +601,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         "current-snapshot-id": int(meta["current_snapshot_id"]),
         "snapshots": snapshots_json,
         "snapshot-log": snapshot_log,
-        "metadata-log": [],
+        "metadata-log": metadata_log,
         "refs": {
             "main": {
                 "snapshot-id": int(meta["current_snapshot_id"]),
@@ -586,10 +609,12 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             }
         },
     }
-    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(table_meta, f, indent=1)
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write("1")
+    tmp_hint = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp_hint, "w") as f:
+        f.write(str(version))
+    os.replace(tmp_hint, hint)
     return location
 
 
@@ -792,7 +817,9 @@ def a7_iceberg_v2_spec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-assert: the current snapshot's manifest-list accounting covers
     # exactly the scanned rows (added + existing)
     mdir = os.path.join(location, "metadata")
-    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
         tmeta = json.load(f)
     cur = next(
         s

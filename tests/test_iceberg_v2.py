@@ -462,3 +462,30 @@ def test_export_refuses_drop_then_readd(spark, tmp_path):
     wh.add_column("nt", "n_name", "string")
     with pytest.raises(ValueError, match="re-added"):
         export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
+
+
+def test_reexport_versions_metadata(spark, tmp_path):
+    """Re-exporting an evolved table to the same location writes
+    v2.metadata.json, carries v1 in metadata-log, and atomically bumps
+    version-hint — the HadoopTableOperations versioning contract."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n.filter(F.col("n_nationkey") < 10))
+    ice = str(tmp_path / "ice")
+    export_iceberg_v2(wh, "nt", ice)
+    assert read_iceberg_v2(spark, ice).count() == 10
+
+    wh.append("nt", n.filter(F.col("n_nationkey") >= 10))
+    export_iceberg_v2(wh, "nt", ice)
+    mdir = os.path.join(ice, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        assert f.read().strip() == "2"
+    with open(os.path.join(mdir, "v2.metadata.json")) as f:
+        m2 = json.load(f)
+    assert len(m2["metadata-log"]) == 1
+    assert m2["metadata-log"][0]["metadata-file"].endswith("v1.metadata.json")
+    # old version remains readable by explicit file; hint resolves the new
+    assert os.path.exists(os.path.join(mdir, "v1.metadata.json"))
+    assert read_iceberg_v2(spark, ice).count() == 25
