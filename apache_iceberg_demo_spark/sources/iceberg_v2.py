@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import uuid
 from typing import Optional
@@ -271,6 +272,19 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         },
                         _kv_map("lower", 126, 127, 125, "lower_bounds"),
                         _kv_map("upper", 129, 130, 128, "upper_bounds"),
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -293,6 +307,61 @@ def _typed_partition_value(ice_type: str, raw: str):
     return raw
 
 
+#: equality-delete predicate forms the export can express as spec delete
+#: files: single-column equality or IN over literals
+_EQ_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*==?\s*(.+?)\s*$")
+_IN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s+in\s*\((.+)\)\s*$", re.IGNORECASE)
+
+
+def _parse_equality_predicate(pred: str):
+    """``col = lit`` / ``col IN (l1, l2)`` → (col, [values]); None if the
+    predicate isn't equality-shaped (caller falls back to apply_deletes)."""
+    m = _IN_RE.match(pred)
+    if m:
+        col, lits = m.group(1), [x.strip() for x in m.group(2).split(",")]
+    else:
+        m = _EQ_RE.match(pred)
+        if not m:
+            return None
+        col, lits = m.group(1), [m.group(2).strip()]
+    vals = []
+    for lit in lits:
+        if len(lit) >= 2 and lit[0] == lit[-1] and lit[0] in "'\"":
+            vals.append(lit[1:-1])
+            continue
+        try:
+            vals.append(int(lit))
+        except ValueError:
+            try:
+                vals.append(float(lit))
+            except ValueError:
+                return None
+    return col, vals
+
+
+_PA_TYPE = {"int": "int32", "long": "int64", "string": "string", "double": "float64"}
+
+
+def _write_equality_delete_file(
+    mdir: str, col: str, ice_type: str, vals: list
+) -> Optional[str]:
+    """Materialize an equality-delete parquet (spec: a delete file holds
+    the equality columns' values; rows matching them are deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_name = _PA_TYPE.get(ice_type)
+    if pa_name is None:
+        return None
+    caster = {"int32": int, "int64": int, "string": str, "float64": float}[pa_name]
+    path = os.path.join(mdir, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table({col: pa.array([caster(v) for v in vals], getattr(pa, pa_name)())}),
+        path,
+    )
+    return path
+
+
 def _to_uri(path: str) -> str:
     return path if "://" in path else "file://" + os.path.abspath(path)
 
@@ -313,11 +382,15 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     table; returns the new table location (containing ``metadata/``).
 
     Data files are referenced in place by URI — metadata-only, no data
-    copy/move (like Iceberg's own register_table). Tables with UNAPPLIED
-    merge-on-read delete predicates are refused: our bespoke predicate
-    entries have no spec-shaped equivalent short of position/equality
-    delete files — call ``wh.apply_deletes(name)`` first (the export then
-    sees the materialized snapshot).
+    copy/move (like Iceberg's own register_table). UNAPPLIED merge-on-read
+    delete predicates export as v2 EQUALITY DELETE files when they are
+    equality-shaped (``col = lit`` / ``col IN (...)``): a tiny parquet of
+    the deleted key values plus a content=1 delete manifest whose entry
+    carries ``equality_ids`` and the deleting snapshot's sequence number —
+    the spec's strictly-less sequence rule then scopes it to exactly the
+    files our file-path-scoped entry covered (both equal "files live at
+    delete time"). Non-equality predicates still require
+    ``wh.apply_deletes(name)`` first.
     """
     from apache_iceberg_demo_spark.io import scratch_dir
 
@@ -333,11 +406,6 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         chain.append(snap)
         sid = snap.get("parent_id")
     chain.reverse()
-    if chain and chain[-1].get("delete_predicates"):
-        raise ValueError(
-            f"table {name!r} has unapplied merge-on-read delete predicates; "
-            "run apply_deletes() before exporting to Iceberg v2"
-        )
     # Foreign Iceberg readers bind parquet columns by the field-id metadata
     # the Iceberg WRITER embeds — our parquet was written by plain Spark and
     # has none. The spec's answer for exactly this case (files migrated
@@ -372,6 +440,26 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             if logical in fids_snap:
                 _record(physical, int(fids_snap[logical]))
 
+    # Non-equality MoR predicates have no spec-shaped delete-file form. If
+    # one is in force at the CURRENT snapshot the export cannot be faithful
+    # — refuse (apply_deletes materializes it). On an ANCESTOR (e.g. the
+    # delete-mor commits a later apply_deletes already cleared), truncate
+    # the exported history just past the last such snapshot: the current
+    # state exports exactly, older history is dropped like expired
+    # snapshots rather than exported wrong.
+    start = 0
+    for i, snap in enumerate(chain):
+        for dp in snap.get("delete_predicates") or []:
+            if _parse_equality_predicate(dp["predicate"]) is None:
+                if i == len(chain) - 1:
+                    raise ValueError(
+                        f"table {name!r}: merge-on-read predicate "
+                        f"{dp['predicate']!r} is not equality-shaped — run "
+                        "apply_deletes() before exporting to Iceberg v2"
+                    )
+                start = i + 1
+    chain = chain[start:]
+
     if location is None:
         location = scratch_dir(f"iceberg_{name}_", unique=True)
     mdir = os.path.join(_from_uri(location), "metadata")
@@ -405,6 +493,10 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     specs: list[dict] = []
     spec_ids: dict[tuple, int] = {}
     first_seen_seq: dict[str, int] = {}
+    #: (predicate, file-scope) -> written delete-manifest info; a predicate
+    #: first seen at sequence d keeps that sequence in every later
+    #: snapshot's manifest list (inheritance = re-listing the same manifest)
+    delete_artifacts: dict[tuple, dict] = {}
     snapshots_json: list[dict] = []
     snapshot_log: list[dict] = []
 
@@ -508,31 +600,117 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "content": "data",
             },
         )
+        mlist_records = [
+            {
+                "manifest_path": _to_uri(manifest_path),
+                "manifest_length": mlen,
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(entry_seqs, default=seq),
+                "added_snapshot_id": int(snap["snapshot_id"]),
+                "added_files_count": counts[1][0],
+                "existing_files_count": counts[0][0],
+                "deleted_files_count": 0,
+                "added_rows_count": counts[1][1],
+                "existing_rows_count": counts[0][1],
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        ]
+        for dp in snap.get("delete_predicates") or []:
+            dkey = (dp["predicate"], tuple(dp["files"]))
+            art = delete_artifacts.get(dkey)
+            if art is None:
+                parsed = _parse_equality_predicate(dp["predicate"])
+                col = parsed[0] if parsed else None
+                if parsed is None or col not in ice_types or col not in fids:
+                    raise ValueError(
+                        f"table {name!r}: merge-on-read predicate "
+                        f"{dp['predicate']!r} is not equality-shaped — run "
+                        "apply_deletes() before exporting to Iceberg v2"
+                    )
+                dfile = _write_equality_delete_file(
+                    mdir, col, ice_types[col], parsed[1]
+                )
+                if dfile is None:
+                    raise ValueError(
+                        f"table {name!r}: equality delete on {col!r} "
+                        f"({ice_types[col]}) has no single-value parquet "
+                        "form — run apply_deletes() first"
+                    )
+                # global delete: the unpartitioned spec scopes it table-wide
+                if () not in spec_ids:
+                    spec_ids[()] = len(specs)
+                    specs.append({"spec-id": len(specs), "fields": []})
+                dm_path = os.path.join(mdir, f"{uuid.uuid4().hex}-d0.avro")
+                dm_len = write_ocf(
+                    dm_path,
+                    _manifest_entry_schema([]),
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": int(snap["snapshot_id"]),
+                            "sequence_number": seq,
+                            "file_sequence_number": seq,
+                            "data_file": {
+                                "content": 2,  # EQUALITY_DELETES
+                                "file_path": _to_uri(dfile),
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": len(parsed[1]),
+                                "file_size_in_bytes": os.path.getsize(dfile),
+                                "lower_bounds": None,
+                                "upper_bounds": None,
+                                "equality_ids": [int(fids[col])],
+                            },
+                        }
+                    ],
+                    metadata={
+                        "schema": json.dumps(schemas[schema_id]),
+                        "schema-id": str(schema_id),
+                        "partition-spec": json.dumps([]),
+                        "partition-spec-id": str(spec_ids[()]),
+                        "format-version": "2",
+                        "content": "deletes",
+                    },
+                )
+                art = {
+                    "path": dm_path,
+                    "len": dm_len,
+                    "spec_id": spec_ids[()],
+                    "seq": seq,
+                    "snap_id": int(snap["snapshot_id"]),
+                    "rows": len(parsed[1]),
+                }
+                delete_artifacts[dkey] = art
+            mlist_records.append(
+                {
+                    "manifest_path": _to_uri(art["path"]),
+                    "manifest_length": art["len"],
+                    "partition_spec_id": art["spec_id"],
+                    "content": 1,  # deletes
+                    "sequence_number": art["seq"],
+                    "min_sequence_number": art["seq"],
+                    "added_snapshot_id": art["snap_id"],
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": art["rows"],
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                    "key_metadata": None,
+                }
+            )
         mlist_path = os.path.join(
             mdir, f"snap-{snap['snapshot_id']}-1-{uuid.uuid4().hex}.avro"
         )
         write_ocf(
             mlist_path,
             MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    "manifest_path": _to_uri(manifest_path),
-                    "manifest_length": mlen,
-                    "partition_spec_id": spec_id,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": min(entry_seqs, default=seq),
-                    "added_snapshot_id": int(snap["snapshot_id"]),
-                    "added_files_count": counts[1][0],
-                    "existing_files_count": counts[0][0],
-                    "deleted_files_count": 0,
-                    "added_rows_count": counts[1][1],
-                    "existing_rows_count": counts[0][1],
-                    "deleted_rows_count": 0,
-                    "partitions": None,
-                    "key_metadata": None,
-                }
-            ],
+            mlist_records,
             metadata={"format-version": "2"},
         )
         op = {"append": "append", "replace": "overwrite"}.get(
@@ -654,12 +832,30 @@ def read_iceberg_v2(
     )
     _, _, manifest_files = read_ocf(_from_uri(snap["manifest-list"]))
 
-    # file URI -> partition tuple, straight from the manifests (spec
-    # semantics: Iceberg never re-infers partition values from paths)
+    # file URI -> (partition tuple, data sequence number), straight from
+    # the manifests (spec semantics: Iceberg never re-infers partition
+    # values from paths); content=1 manifests carry delete files
     file_parts: dict[str, tuple] = {}
+    file_seqs: dict[str, int] = {}
     part_fields: list[tuple[str, str]] = []
+    eq_deletes: dict[str, dict] = {}
     for mf in manifest_files:
         _mschema, mmeta, entries = read_ocf(_from_uri(mf["manifest_path"]))
+        if mf.get("content", 0) == 1:  # delete manifest
+            for e in entries:
+                d = e["data_file"]
+                if d["content"] != 2:
+                    raise ValueError(
+                        "position-delete files are not produced by this "
+                        "exporter; unsupported delete content "
+                        f"{d['content']}"
+                    )
+                eq_deletes[d["file_path"]] = {
+                    "path": _from_uri(d["file_path"]),
+                    "ids": d["equality_ids"],
+                    "seq": e["sequence_number"],
+                }
+            continue
         spec_fields = json.loads(mmeta["partition-spec"])
         by_src = {f["id"]: f for f in schema["fields"]}
         part_fields = [
@@ -674,6 +870,7 @@ def read_iceberg_v2(
             file_parts[df_rec["file_path"]] = tuple(
                 df_rec["partition"].get(n) for n, _ in part_fields
             )
+            file_seqs[df_rec["file_path"]] = e["sequence_number"] or 0
 
     _SPARK_TYPE = {
         "int": "int",
@@ -711,12 +908,17 @@ def read_iceberg_v2(
         *[_from_uri(u) for u in file_parts]
     )
     pnames = {n for n, _ in part_fields}
-    if part_fields:
-        map_ddl = "`__file` string, " + ", ".join(
-            f"`{n}` {spark_type(t)}" for n, t in part_fields
+    if part_fields or eq_deletes:
+        # the per-file constants from the manifests: partition values, and
+        # the data sequence number the equality-delete rule scopes against
+        map_ddl = "`__file` string, `__seq` bigint" + "".join(
+            f", `{n}` {spark_type(t)}" for n, t in part_fields
         )
         mapping = spark.createDataFrame(
-            [(_from_uri(u), *vals) for u, vals in file_parts.items()],
+            [
+                (_from_uri(u), file_seqs[u], *vals)
+                for u, vals in file_parts.items()
+            ],
             schema=map_ddl,
         )
         # _metadata.file_path renders Hadoop-style (file:/p, single slash);
@@ -759,7 +961,26 @@ def read_iceberg_v2(
                     f["name"]
                 )
             )
-    out = out.select(*proj)
+    out = out.select(*proj, *(["__seq"] if eq_deletes else []))
+    # equality deletes (spec "Scan Planning"): a delete file with sequence
+    # number d removes matching rows from data files with sequence number
+    # STRICTLY LESS than d. Key values are manifest-scale small (they came
+    # from a predicate), so they apply as an isin filter — a broadcast
+    # anti-join at real delete-file sizes.
+    if eq_deletes:
+        import pyarrow.parquet as pq
+
+        name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        for d in eq_deletes.values():
+            if len(d["ids"]) != 1:
+                raise ValueError("multi-column equality deletes unsupported")
+            cur = name_by_id[d["ids"][0]]
+            vals = pq.read_table(d["path"]).column(0).to_pylist()
+            cond = (F.col("__seq") < F.lit(int(d["seq"]))) & F.col(cur).isin(
+                vals
+            )
+            out = out.filter(~F.coalesce(cond, F.lit(False)))
+        out = out.drop("__seq")
     return out.filter(where) if where is not None else out
 
 
@@ -769,6 +990,23 @@ def read_iceberg_v2(
 #: is metadata-only (fast), but the shared demo warehouse build costs
 #: several write jobs (see warehouse._demo_warehouse)
 _export_cache: dict[tuple[str, str], str] = {}
+
+#: returned frames persisted so the driver's count()+collect() runs the
+#: spec-path scan once (keyed per operator — the multimodal r09 pattern)
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _keep_result(owner: str, df: DataFrame) -> DataFrame:
+    prev = _live_caches.pop(owner, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # frame from a stopped session — blocks died with it
+    df = df.persist()
+    df.count()
+    _live_caches[owner] = df
+    return df
 
 
 @register(
@@ -827,12 +1065,17 @@ def a7_iceberg_v2_spec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         if s["snapshot-id"] == tmeta["current-snapshot-id"]
     )
     _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
-    accounted = sum(m["added_rows_count"] + m["existing_rows_count"] for m in mfs)
+    accounted = sum(
+        m["added_rows_count"] + m["existing_rows_count"]
+        for m in mfs
+        if m["content"] == 0
+    )
     if accounted != n_spec:
         raise AssertionError(
             f"manifest-list accounts {accounted} rows, scan returned {n_spec}"
         )
-    return (
+    return _keep_result(
+        "a7_iceberg_v2_spec_scan",
         df.groupBy("ship_day")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
@@ -840,5 +1083,87 @@ def a7_iceberg_v2_spec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("ship_day")
+        .orderBy("ship_day"),
+    )
+
+
+#: memoized (warehouse, export location) for the equality-delete query
+_mor_export_cache: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "c6_iceberg_v2_equality_delete_export",
+    # Deterministic construction: base = orderkey%20==0 & linenumber<=4,
+    # MoR-delete linenumber=2, then append orderkey%20==10 & linenumber==2.
+    # The spec path must drop the BASE linenumber-2 rows (delete sequence >
+    # their file sequence) while keeping the APPENDED ones (higher
+    # sequence) — relationally recomputable from the source.
+    oracle="""
+        WITH final AS (
+            SELECT l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey % 20 = 0 AND l_linenumber <= 4
+              AND l_linenumber <> 2
+            UNION ALL
+            SELECT l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey % 20 = 10 AND l_linenumber = 2
+        )
+        SELECT l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM final
+        GROUP BY l_linenumber
+        ORDER BY l_linenumber
+    """,
+)
+def c6_iceberg_v2_equality_delete_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C6/interop: merge-on-read delete exported as an Iceberg v2 EQUALITY
+    DELETE file and applied by the spec-path reader under the spec's
+    strictly-less sequence rule — rows appended AFTER the delete with the
+    same key survive, the base rows do not.
+
+    Reference parity: the reference's Iceberg v2 row-level-delete story
+    (the engine-neutral table keeps row-level deletes readable by every
+    engine). In-query self-assert: spec read == bespoke read row count.
+    """
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    key = (str(id(spark)), sf_dir)
+    if key not in _mor_export_cache:
+        from apache_iceberg_demo_spark.io import scratch_dir
+
+        root = scratch_dir("iceberg_mor_", unique=True)
+        wh = Warehouse(spark, os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem")
+        wh.create_or_replace(
+            "li_mor",
+            li.filter((F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") <= 4)),
+        )
+        wh.delete_where_mor("li_mor", "l_linenumber = 2")
+        wh.append(
+            "li_mor",
+            li.filter((F.col("l_orderkey") % 20 == 10) & (F.col("l_linenumber") == 2)),
+        )
+        location = export_iceberg_v2(wh, "li_mor", os.path.join(root, "ice"))
+        n_spec = read_iceberg_v2(spark, location).count()
+        n_bespoke = wh.read("li_mor").count()
+        if n_spec != n_bespoke:
+            raise AssertionError(
+                f"spec-path MoR scan returned {n_spec} rows, bespoke "
+                f"reader {n_bespoke}"
+            )
+        _mor_export_cache[key] = location
+    df = read_iceberg_v2(spark, _mor_export_cache[key])
+    return _keep_result(
+        "c6_iceberg_v2_equality_delete_export",
+        df.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("l_linenumber"),
     )

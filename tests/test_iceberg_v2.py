@@ -400,12 +400,54 @@ def test_unpartitioned_roundtrip(spark, tmp_path):
     assert got == sorted(n.collect())
 
 
-def test_export_refuses_unapplied_mor_deletes(spark, tmp_path):
+def test_equality_delete_roundtrip_with_sequence_semantics(spark, tmp_path):
+    """Unapplied MoR deletes export as v2 EQUALITY delete files. The spec's
+    strictly-less sequence rule must scope them: rows appended AFTER the
+    delete — even with matching key values — survive the spec-path read,
+    exactly as the bespoke reader's file-path scoping keeps them."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n.filter(F.col("n_nationkey") < 20))
+    wh.delete_where_mor("nt", "n_nationkey IN (3, 7)")
+    # post-delete append re-introduces key 3 (fresh row, higher sequence)
+    wh.append("nt", n.filter(F.col("n_nationkey").isin(3)).withColumn(
+        "n_regionkey", F.lit(99)
+    ))
+    location = export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
+
+    spec = read_iceberg_v2(spark, location)
+    bespoke = wh.read("nt")
+    assert sorted(map(tuple, spec.collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+    keys = [r.n_nationkey for r in spec.collect()]
+    assert 7 not in keys  # deleted, never re-added
+    assert keys.count(3) == 1  # original deleted, appended survivor kept
+    # the delete rode along as a content=1 manifest with equality_ids
+    meta = _load_meta(location)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1]
+    assert len(dm) == 1
+    _, dmeta, dentries = read_ocf(_from_uri(dm[0]["manifest_path"]))
+    assert dmeta["content"] == "deletes"
+    assert dentries[0]["data_file"]["content"] == 2
+    assert dentries[0]["data_file"]["equality_ids"] == [1]  # n_nationkey fid
+    # delete sequence is strictly greater than the base files', strictly
+    # less than the appended file's
+    assert dm[0]["sequence_number"] == 2
+
+
+def test_export_refuses_non_equality_mor_predicate(spark, tmp_path):
     from apache_iceberg_demo_spark.io import load
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
     wh.create_or_replace("r", load(spark, SF, "region"))
-    wh.delete_where_mor("r", "r_regionkey = 1")
+    wh.delete_where_mor("r", "r_regionkey > 1")
     with pytest.raises(ValueError, match="apply_deletes"):
         export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
     wh.apply_deletes("r")
