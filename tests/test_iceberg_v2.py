@@ -531,3 +531,21 @@ def test_reexport_versions_metadata(spark, tmp_path):
     # old version remains readable by explicit file; hint resolves the new
     assert os.path.exists(os.path.join(mdir, "v1.metadata.json"))
     assert read_iceberg_v2(spark, ice).count() == 25
+
+
+def test_spec_read_plan_is_single_scan_plus_broadcast(spark, exported):
+    """Scale shape: the spec-path read of a partitioned table must be ONE
+    vectorized FileScan with the manifest mapping attached via a BROADCAST
+    join — never a per-partition-value union (the demo table alone has
+    dozens of partition values) and never a shuffle for the mapping."""
+    _, _, location = exported
+    df = read_iceberg_v2(spark, location)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+    assert "SortMergeJoin" not in plan
