@@ -723,7 +723,14 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "sequence-number": seq,
                 "timestamp-ms": int(snap["timestamp_ms"]),
                 "manifest-list": _to_uri(mlist_path),
-                "summary": {"operation": op},
+                # spec: summary values are strings
+                "summary": {
+                    "operation": op,
+                    "added-data-files": str(counts[1][0]),
+                    "added-records": str(counts[1][1]),
+                    "total-data-files": str(counts[0][0] + counts[1][0]),
+                    "total-records": str(counts[0][1] + counts[1][1]),
+                },
                 "schema-id": schema_id,
             }
         )
@@ -735,6 +742,22 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         )
 
     all_fids = [f["id"] for s in schemas for f in s["fields"]]
+    # declared sort order (cluster_by tables): identity asc, nulls-first —
+    # matching the warehouse's repartitionByRange + sortWithinPartitions
+    cur_fids = {
+        f["name"]: f["id"]
+        for f in (schemas[snapshots_json[-1]["schema-id"]]["fields"] if chain else [])
+    }
+    sort_fields = [
+        {
+            "transform": "identity",
+            "source-id": cur_fids[c],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in (meta.get("sort_order") or [])
+        if c in cur_fids
+    ]
     table_meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
@@ -749,8 +772,15 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         "last-partition-id": 999 + max(
             (len(s["fields"]) for s in specs), default=0
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 1 if sort_fields else 0,
+        "sort-orders": (
+            [{"order-id": 0, "fields": []}]
+            + (
+                [{"order-id": 1, "fields": sort_fields}]
+                if sort_fields
+                else []
+            )
+        ),
         "properties": {
             "write.format.default": "parquet",
             # spec: resolves columns in data files written WITHOUT Iceberg

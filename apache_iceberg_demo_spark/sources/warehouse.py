@@ -491,6 +491,9 @@ class Warehouse:
         )
         meta = self._load_meta(name)
         meta["partition_spec"] = spec
+        # recorded for metadata consumers (Iceberg sort-order export): the
+        # pre-write range+sort layout IS the table's declared sort order
+        meta["sort_order"] = list(cluster_by) if cluster_by else None
         self._store_meta(name, meta)
         return snap
 

@@ -549,3 +549,33 @@ def test_spec_read_plan_is_single_scan_plus_broadcast(spark, exported):
     assert "BroadcastHashJoin" in plan
     assert "Union" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sort_order_and_summary_export(spark, tmp_path):
+    """cluster_by tables export a real Iceberg sort order (identity asc,
+    nulls-first) as the default; snapshot summaries carry the spec's
+    string-valued file/record accounting."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").limit(400)
+    wh.create_or_replace("cl", li, cluster_by=["l_orderkey"])
+    location = export_iceberg_v2(wh, "cl", str(tmp_path / "ice"))
+    meta = _load_meta(location)
+    order = next(
+        o for o in meta["sort-orders"] if o["order-id"] == meta["default-sort-order-id"]
+    )
+    (sf,) = order["fields"]
+    assert sf["direction"] == "asc" and sf["transform"] == "identity"
+    schema = meta["schemas"][meta["current-schema-id"]]
+    src = next(f for f in schema["fields"] if f["id"] == sf["source-id"])
+    assert src["name"] == "l_orderkey"
+    # unsorted tables keep the unsorted default (order 0)
+    wh.create_or_replace("pl", li)
+    m2 = _load_meta(export_iceberg_v2(wh, "pl", str(tmp_path / "ice2")))
+    assert m2["default-sort-order-id"] == 0
+    # summary accounting: strings, consistent with the manifest list
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["total-records"]) == 400
+    assert snap["summary"]["total-data-files"].isdigit()
