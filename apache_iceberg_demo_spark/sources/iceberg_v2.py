@@ -432,7 +432,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         if col not in names:
             names.append(col)
 
-    for snap in chain:
+    for snap in meta["snapshots"]:
         fids_snap = snap.get("fids") or {}
         for col, fid in fids_snap.items():
             _record(col, int(fid))
@@ -459,6 +459,46 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     )
                 start = i + 1
     chain = chain[start:]
+
+    # named refs (Iceberg branches advance, tags pin). Each exported ref
+    # needs its head's ancestry in the snapshot list; a ref whose lineage
+    # carries a non-representable predicate (or whose head expired) is
+    # OMITTED from the export rather than exported wrong — main-chain
+    # content is never affected.
+    main_ids = {s["snapshot_id"] for s in chain}
+    extra_snaps: dict[int, dict] = {}
+    refs_json: dict[str, dict] = {}
+
+    def _try_add_ref(refname: str, head: int, ref_type: str) -> None:
+        if refname == "main":
+            return
+        walk, sid2 = [], head
+        while sid2 is not None and sid2 in by_id:
+            if sid2 in main_ids or sid2 in extra_snaps:
+                break  # joins an already-exported line
+            walk.append(by_id[sid2])
+            sid2 = by_id[sid2].get("parent_id")
+        for sn in walk:
+            for dp in sn.get("delete_predicates") or []:
+                if _parse_equality_predicate(dp["predicate"]) is None:
+                    return  # unrepresentable lineage — omit the ref
+        if head not in by_id:
+            return  # expired head
+        for sn in walk:
+            extra_snaps[sn["snapshot_id"]] = sn
+        refs_json[refname] = {"snapshot-id": int(head), "type": ref_type}
+
+    for refname, head in (meta.get("branches") or {}).items():
+        _try_add_ref(refname, head, "branch")
+    for refname, head in (meta.get("refs") or {}).items():
+        _try_add_ref(refname, head, "tag")
+    # global commit order: snapshot ids are allocated max+1 across ALL
+    # lines (warehouse._next_snap_id), so id order = commit order and
+    # every child sorts after its parent on any branch
+    all_snaps = sorted(
+        list(chain) + list(extra_snaps.values()),
+        key=lambda sn: sn["snapshot_id"],
+    )
 
     if location is None:
         location = scratch_dir(f"iceberg_{name}_", unique=True)
@@ -500,7 +540,8 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     snapshots_json: list[dict] = []
     snapshot_log: list[dict] = []
 
-    for seq, snap in enumerate(chain, start=1):
+    sid_info: dict[int, dict] = {}
+    for seq, snap in enumerate(all_snaps, start=1):
         struct = StructType.fromJson(json.loads(snap["schema"]))
         fids = dict(snap.get("fids") or meta.get("fids") or {})
         skey = json.dumps(
@@ -734,19 +775,30 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "schema-id": schema_id,
             }
         )
-        snapshot_log.append(
-            {
-                "timestamp-ms": int(snap["timestamp_ms"]),
-                "snapshot-id": int(snap["snapshot_id"]),
-            }
-        )
+        sid_info[int(snap["snapshot_id"])] = {
+            "schema-id": schema_id,
+            "spec-id": spec_id,
+        }
+        if snap["snapshot_id"] in main_ids:
+            # the snapshot-log records MAIN-pointer history only (spec);
+            # branch/tag snapshots appear in `snapshots` and `refs` alone
+            snapshot_log.append(
+                {
+                    "timestamp-ms": int(snap["timestamp_ms"]),
+                    "snapshot-id": int(snap["snapshot_id"]),
+                }
+            )
 
     all_fids = [f["id"] for s in schemas for f in s["fields"]]
+    # the MAIN head's schema/spec drive every "current" pointer — with refs
+    # exported, the last-processed snapshot may be a branch head instead
+    head_info = sid_info.get(int(meta["current_snapshot_id"]), {})
+    head_schema_id = head_info.get("schema-id", 0)
     # declared sort order (cluster_by tables): identity asc, nulls-first —
     # matching the warehouse's repartitionByRange + sortWithinPartitions
     cur_fids = {
         f["name"]: f["id"]
-        for f in (schemas[snapshots_json[-1]["schema-id"]]["fields"] if chain else [])
+        for f in (schemas[head_schema_id]["fields"] if chain else [])
     }
     sort_fields = [
         {
@@ -762,12 +814,12 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": _to_uri(location),
-        "last-sequence-number": len(chain),
+        "last-sequence-number": len(all_snaps),
         "last-updated-ms": int(chain[-1]["timestamp_ms"]) if chain else 0,
         "last-column-id": max(all_fids) if all_fids else 0,
-        "current-schema-id": snapshots_json[-1]["schema-id"] if chain else 0,
+        "current-schema-id": head_schema_id,
         "schemas": schemas,
-        "default-spec-id": spec_ids.get(pkey, 0) if chain else 0,
+        "default-spec-id": head_info.get("spec-id", 0),
         "partition-specs": specs or [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999 + max(
             (len(s["fields"]) for s in specs), default=0
@@ -797,11 +849,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                             if n != f["name"]
                         ],
                     }
-                    for sch in (
-                        [schemas[snapshots_json[-1]["schema-id"]]]
-                        if chain
-                        else []
-                    )
+                    for sch in ([schemas[head_schema_id]] if chain else [])
                     for f in sch["fields"]
                 ]
             ),
@@ -811,10 +859,11 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         "snapshot-log": snapshot_log,
         "metadata-log": metadata_log,
         "refs": {
+            **refs_json,
             "main": {
                 "snapshot-id": int(meta["current_snapshot_id"]),
                 "type": "branch",
-            }
+            },
         },
     }
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
@@ -834,6 +883,7 @@ def read_iceberg_v2(
     location: str,
     snapshot_id: Optional[int] = None,
     where: Optional[str] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Scan an Iceberg v2 table through the SPEC metadata only.
 
@@ -855,6 +905,14 @@ def read_iceberg_v2(
         meta = json.load(f)
     if meta["format-version"] != 2:
         raise ValueError(f"unsupported format-version {meta['format-version']}")
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either ref or snapshot_id, not both")
+        if ref not in meta.get("refs", {}):
+            raise KeyError(
+                f"no ref {ref!r} (refs: {sorted(meta.get('refs', {}))})"
+            )
+        snapshot_id = meta["refs"][ref]["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     schema = next(

@@ -579,3 +579,47 @@ def test_sort_order_and_summary_export(spark, tmp_path):
     assert snap["summary"]["operation"] == "overwrite"
     assert int(snap["summary"]["total-records"]) == 400
     assert snap["summary"]["total-data-files"].isdigit()
+
+
+def test_refs_export_branches_and_tags(spark, tmp_path):
+    """Branches and tags export as spec refs with their ancestries in the
+    snapshot list; the snapshot-log stays main-history-only; reads through
+    a ref resolve its head. Main content never includes branch data."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n.filter(F.col("n_nationkey") < 10))
+    wh.tag_snapshot("nt", "v1.0")
+    wh.create_branch("nt", "audit")
+    wh.append_to_branch(
+        "nt", "audit", n.filter(F.col("n_nationkey").between(10, 14))
+    )
+    location = export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
+    meta = _load_meta(location)
+
+    assert meta["refs"]["v1.0"]["type"] == "tag"
+    assert meta["refs"]["audit"]["type"] == "branch"
+    assert meta["refs"]["main"]["snapshot-id"] == meta["current-snapshot-id"]
+    # branch head snapshot listed, but NOT in the main snapshot-log
+    audit_head = meta["refs"]["audit"]["snapshot-id"]
+    assert any(s["snapshot-id"] == audit_head for s in meta["snapshots"])
+    assert all(e["snapshot-id"] != audit_head for e in meta["snapshot-log"])
+    # sequence numbers strictly increase in snapshot order
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+    # reads: main sees 10 rows, the branch 15, the tag 10
+    assert read_iceberg_v2(spark, location).count() == 10
+    assert read_iceberg_v2(spark, location, ref="audit").count() == 15
+    assert read_iceberg_v2(spark, location, ref="v1.0").count() == 10
+    branch_rows = sorted(
+        map(tuple, read_iceberg_v2(spark, location, ref="audit").collect())
+    )
+    bespoke = sorted(
+        map(
+            tuple,
+            wh.read("nt", snapshot_id=wh.resolve_branch("nt", "audit")).collect(),
+        )
+    )
+    assert branch_rows == bespoke
