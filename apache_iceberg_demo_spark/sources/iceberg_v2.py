@@ -949,12 +949,43 @@ def read_iceberg_v2(
         part_fields = [
             (pf["name"], by_src[pf["source-id"]]["type"]) for pf in spec_fields
         ]
+        types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
+        names_by_id = {f["id"]: f["name"] for f in schema["fields"]}
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
             if df_rec["file_format"].upper() != "PARQUET":
                 raise ValueError(f"unsupported format {df_rec['file_format']}")
+            # manifest-level file skipping (Iceberg scan planning): decode
+            # the entry's bounds and reuse the warehouse's conservative
+            # min/max pruner — a pruned file is never listed to the scan,
+            # the 100 TB fast path the bounds exist for
+            if where is not None:
+                stats = {}
+                uppers = {
+                    kv["key"]: kv["value"] for kv in df_rec.get("upper_bounds") or []
+                }
+                for kv in df_rec.get("lower_bounds") or []:
+                    fid = kv["key"]
+                    if fid in uppers and fid in types_by_id:
+                        t = types_by_id[fid]
+                        stats[names_by_id[fid]] = [
+                            bound_value(t, kv["value"]),
+                            bound_value(t, uppers[fid]),
+                        ]
+                entry_view = {
+                    "partition": {
+                        n: str(v)
+                        for n, v in df_rec["partition"].items()
+                        if v is not None
+                    },
+                    "stats": stats,
+                }
+                from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+                if Warehouse._can_skip(entry_view, where):
+                    continue
             file_parts[df_rec["file_path"]] = tuple(
                 df_rec["partition"].get(n) for n, _ in part_fields
             )

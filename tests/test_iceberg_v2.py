@@ -731,3 +731,20 @@ def test_hand_assembled_ocf_fixture(spark, tmp_path):
         )
     dfr.close()
     assert theirs == [(-3, [7, -1]), (300, [])]
+
+
+def test_spec_read_prunes_files_from_manifest_bounds(spark, exported):
+    """Iceberg scan planning: the exported bounds + partition values must
+    prune non-matching files BEFORE the scan — inputFiles() shows only the
+    matching partition's files, and results stay exact."""
+    wh, name, location = exported
+    full = read_iceberg_v2(spark, location)
+    pruned = read_iceberg_v2(spark, location, where="l_linenumber = 2")
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert all("l_linenumber=2" in f for f in pruned.inputFiles())
+    assert pruned.count() == wh.read(name, where="l_linenumber = 2").count() > 0
+    # stats-column pruning (non-partition column, bounds-driven): a
+    # predicate outside every file's l_orderkey range scans nothing
+    nothing = read_iceberg_v2(spark, location, where="l_orderkey <= -1")
+    assert len(nothing.inputFiles()) == 0 or nothing.count() == 0
+    assert nothing.count() == 0
