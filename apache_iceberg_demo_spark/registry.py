@@ -213,6 +213,12 @@ _DRIVER_VERIFIED: set[str] = {
     "b9_stream_progress_metrics", "c3_pca_project", "pipeline_rag_retrieval",
     "c3_random_projection_jl", "pipeline_dedup_cascade",
     "c4_channel_norm_stats", "c2_lsh_band_tuning",
+    # --- r10 driver greens (CORRECTNESS_r10.json — all 50 rows clean: the
+    # 3 newcomers below hash-green plus 47 of the 50 _RECHECK names
+    # re-proven; the 3 unreached ones lead the r11 rotation), folded in per
+    # VERDICT r10 item 1:
+    "s1_stratified_sample_by", "a7_iceberg_v2_spec_scan",
+    "c6_iceberg_v2_equality_delete_export",
 }
 
 # Names that must lead the registry regardless of verification history
@@ -229,33 +235,34 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-10 staleness rotation (VERDICT r09 item 1): with zero debt, the
-# driver's ~50-query budget becomes regression RE-coverage. These are the
-# longest-unseen greens — the r01 slice (minus the 8 names the r09 run
-# happened to re-prove with its spare budget) topped up with the oldest
-# r03 names to fill the budget. They rank directly after any genuinely
-# unverified newcomers; future rounds rotate the next-stalest block in.
+# Round-11 staleness rotation (VERDICT r10 item 1): the r10 run re-proved
+# 47 of the previous block, leaving its 3 tail names unreached — they lead
+# this rotation — topped up with the next-stalest 47 greens (the r03/r04
+# fold tail onward: nation-volume matrix, the b4 approx/statistical block,
+# b5/b6/b7 galleries, then the oldest r05 names). They rank directly after
+# any genuinely unverified newcomers; future rounds rotate the next-stalest
+# block in.
 _RECHECK: list[str] = [
-    "b4_rollup", "b4_cube", "b4_grouping_sets", "b4_having",
-    "b4_percentiles", "b4_salted_skew_agg", "b4_corr_regression",
-    "b4_histogram_width_bucket", "b4_collect_sorted_lists",
-    "b4_median_bool", "b4_grouping_id", "asof_join_events",
-    "sessionize_gap30m", "funnel_signup_to_purchase",
-    "c1_dedup_exact_docs", "c1_dedup_content_hash",
-    "c2_minhash_lsh_neardup", "c2_simhash_neardup",
-    "c2_ngram_jaccard_pairs", "c2_dedup_clusters", "b2_filter_between",
-    "b2_filter_in", "b2_filter_like", "b2_filter_null_bool",
-    "b2_project_computed", "b2_filter_regex_ilike",
-    "b3_join_inner_broadcast", "b3_join_star_revenue",
-    "b3_join_left_outer", "b3_join_full_outer", "b3_join_semi",
-    "b3_join_anti", "b3_join_cross", "b3_join_multikey",
-    "b3_join_nonequi_range", "b3_join_bucketed_colocated",
-    "b3_join_salted_skew", "b3_join_null_safe", "b3_join_dpp_partitioned",
-    "b2_agg_membership_big_orders", "b2_disjunctive_pushdown",
-    "b2_exists_late_shipment", "b2_latest_shipper_per_order",
-    "b2_not_exists_quiet_customers", "b2_promotion_part_suppliers",
-    "b2_small_quantity_avg_correlated", "b3_custdist_outer_agg",
     "b3_local_supplier_volume", "b3_market_share", "b3_min_cost_supplier",
+    "b3_nation_volume_matrix", "b3_product_type_profit",
+    "b3_returned_item_reporting", "b4_approx_count_distinct",
+    "b4_freq_items", "b4_important_stock_value", "b4_percentile_approx",
+    "b4_promo_revenue_share", "b4_revenue_delta_forecast",
+    "b4_shipdelay_priority", "b4_supplier_part_census",
+    "b4_top_supplier_revenue", "b5_pivot_status_counts",
+    "b5_unpivot_measures", "b6_limit_offset", "b6_sort_nulls_placement",
+    "b6_topk_limit", "b7_distinct_pairs", "b7_drop_duplicates_subset",
+    "b7_except", "b7_except_all", "b7_intersect", "b7_intersect_all",
+    "b7_union_all", "b7_union_by_name", "b7_union_distinct",
+    "b8_map_funcs", "c3_cosine_neardup_pairs", "c3_cosine_topk",
+    "c3_cosine_topk_batch", "c4_multimodal_metadata",
+    "s1_hash_sample_10pct", "s1_mixture_weighted",
+    "s1_train_val_test_split", "b4_filtered_aggs",
+    "b4_rollup_reuse_hierarchy", "b2_sql_api_shipping_priority",
+    "b2_scalar_subquery", "b2_in_subquery", "b4_hll_sketch_mergeable",
+    "b4_data_profile", "b2_sql_pipe_syntax", "b4_retention_cohorts",
+    "asof_join_tolerance", "c1_dedup_keep_best", "c2_containment_pairs",
+    "b2_sql_named_params",
 ]
 
 
