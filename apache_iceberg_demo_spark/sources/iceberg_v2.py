@@ -308,58 +308,258 @@ def _typed_partition_value(ice_type: str, raw: str):
 
 
 #: equality-delete predicate forms the export can express as spec delete
-#: files: single-column equality or IN over literals
-_EQ_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*==?\s*(.+?)\s*$")
-_IN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s+in\s*\((.+)\)\s*$", re.IGNORECASE)
+#: files: a conjunction of ``col = lit`` / ``col IN (l1, l2)`` terms
+_EQ_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*==?\s*(.+?)\s*$", re.DOTALL)
+_IN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+in\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+#: sentinel: "this text is not a single literal"
+_NOT_A_LITERAL = object()
+
+
+def _parse_literal(text: str):
+    """One SQL literal, strictly: a fully quoted string (Spark's doubled
+    ``''`` escape unescaped) or a number. Anything else — including a
+    quoted span with trailing text like ``'x' OR name = 'y'``, embedded
+    un-doubled quotes, or backslash escapes — is rejected so a compound
+    predicate can never masquerade as an equality value (it would export a
+    delete file that deletes nothing and silently resurrect rows)."""
+    text = text.strip()
+    if len(text) >= 2 and text[0] in "'\"":
+        q = text[0]
+        if text[-1] != q:
+            return _NOT_A_LITERAL
+        # doubled-quote escapes only; any leftover quote char means the
+        # closing quote we matched was interior (compound predicate)
+        inner = text[1:-1].replace(q * 2, "\x00")
+        if q in inner or "\\" in inner or "\x00" in text[1:-1].replace(q * 2, ""):
+            return _NOT_A_LITERAL
+        return inner.replace("\x00", q)
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return _NOT_A_LITERAL
+
+
+def _split_outside_quotes(pred: str, sep_word: Optional[str]):
+    """Split ``pred`` on top-level ``AND`` (word match, outside quotes and
+    parens) or on commas (``sep_word=None``). Returns None on unterminated
+    quotes."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
+    while i < n:
+        c = pred[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n:
+                if pred[j] == c:
+                    if j + 1 < n and pred[j + 1] == c:  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            else:
+                return None  # unterminated string
+            buf.append(pred[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0:
+            if sep_word is None and c == ",":
+                parts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if (
+                sep_word is not None
+                and pred[i : i + len(sep_word)].upper() == sep_word
+                and (i == 0 or not (pred[i - 1].isalnum() or pred[i - 1] == "_"))
+                and (
+                    i + len(sep_word) >= n
+                    or not (
+                        pred[i + len(sep_word)].isalnum()
+                        or pred[i + len(sep_word)] == "_"
+                    )
+                )
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += len(sep_word)
+                continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
 
 
 def _parse_equality_predicate(pred: str):
-    """``col = lit`` / ``col IN (l1, l2)`` → (col, [values]); None if the
-    predicate isn't equality-shaped (caller falls back to apply_deletes)."""
-    m = _IN_RE.match(pred)
-    if m:
-        col, lits = m.group(1), [x.strip() for x in m.group(2).split(",")]
-    else:
-        m = _EQ_RE.match(pred)
-        if not m:
-            return None
-        col, lits = m.group(1), [m.group(2).strip()]
-    vals = []
-    for lit in lits:
-        if len(lit) >= 2 and lit[0] == lit[-1] and lit[0] in "'\"":
-            vals.append(lit[1:-1])
-            continue
-        try:
-            vals.append(int(lit))
-        except ValueError:
-            try:
-                vals.append(float(lit))
-            except ValueError:
+    """Conjunction of ``col = lit`` / ``col IN (l1, l2)`` terms →
+    ``(cols, rows)``: the ordered equality columns and the deleted key
+    tuples (cartesian product across terms, matching AND-of-IN semantics).
+    None if the predicate isn't equality-shaped — OR anywhere, a repeated
+    column, comparison operators, or any literal the strict parser rejects
+    (caller falls back to a POSITION-delete file or apply_deletes)."""
+    terms = _split_outside_quotes(pred, "AND")
+    if terms is None:
+        return None
+    cols: list[str] = []
+    val_lists: list[list] = []
+    for term in terms:
+        term = term.strip()
+        # a parenthesized term: unwrap one level ( (a = 1) AND b = 2 )
+        while term.startswith("(") and term.endswith(")"):
+            inner = term[1:-1].strip()
+            if _split_outside_quotes(inner, "AND") is None:
+                break
+            term = inner
+        m = _IN_RE.match(term)
+        if m:
+            col, lit_texts = m.group(1), _split_outside_quotes(m.group(2), None)
+            if lit_texts is None:
                 return None
-    return col, vals
+        else:
+            m = _EQ_RE.match(term)
+            if not m:
+                return None
+            col, lit_texts = m.group(1), [m.group(2)]
+        vals = []
+        for lt in lit_texts:
+            v = _parse_literal(lt)
+            if v is _NOT_A_LITERAL:
+                return None
+            vals.append(v)
+        if col in cols or not vals:
+            return None  # col = 1 AND col = 2 → contradiction, not a tuple
+        cols.append(col)
+        val_lists.append(vals)
+    if not cols:
+        return None
+    rows: list[tuple] = [()]
+    for vals in val_lists:
+        rows = [r + (v,) for r in rows for v in vals]
+    return cols, rows
 
 
 _PA_TYPE = {"int": "int32", "long": "int64", "string": "string", "double": "float64"}
 
+#: spec "Position Delete Files": reserved field ids for the delete schema
+_POS_DELETE_PATH_FID = 2147483546
+_POS_DELETE_POS_FID = 2147483545
+
 
 def _write_equality_delete_file(
-    mdir: str, col: str, ice_type: str, vals: list
+    mdir: str, cols: list[str], ice_types: list[str], fids: list[int],
+    rows: list[tuple]
 ) -> Optional[str]:
     """Materialize an equality-delete parquet (spec: a delete file holds
-    the equality columns' values; rows matching them are deleted)."""
+    the equality columns' values; rows matching any value tuple are
+    deleted). Multi-column tuples = AND-of-equality semantics. Columns
+    carry their Iceberg field ids as parquet field-id metadata (the delete
+    files are OURS to write, unlike the migrated data files that need the
+    name-mapping)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pa_name = _PA_TYPE.get(ice_type)
-    if pa_name is None:
-        return None
-    caster = {"int32": int, "int64": int, "string": str, "float64": float}[pa_name]
+    caster = {"int32": int, "int64": int, "string": str, "float64": float}
+    fields, arrays = [], []
+    for i, (col, t, fid) in enumerate(zip(cols, ice_types, fids)):
+        pa_name = _PA_TYPE.get(t)
+        if pa_name is None:
+            return None
+        fields.append(
+            pa.field(
+                col,
+                getattr(pa, pa_name)(),
+                metadata={b"PARQUET:field_id": str(fid).encode()},
+            )
+        )
+        arrays.append(
+            pa.array(
+                [caster[pa_name](r[i]) for r in rows], getattr(pa, pa_name)()
+            )
+        )
     path = os.path.join(mdir, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), path)
+    return path
+
+
+def _write_positional_delete_file(wh, name: str, mdir: str, dp: dict):
+    """Materialize a POSITION delete parquet (spec: ``file_path`` +
+    ``pos``, reserved field ids 2147483546/2147483545, sorted by path then
+    position) for a non-equality-shaped MoR predicate.
+
+    Positions come from scanning exactly the predicate's scoped data files
+    with ``_metadata.row_index`` (the parquet row ordinal — Iceberg's
+    ``pos``) and evaluating the predicate distributed; only the MATCHING
+    (file, pos) pairs ever reach the driver. That is predicate-match-sized
+    — the same bound real Iceberg writers accept before compacting delete
+    files; a predicate matching a large fraction of the table should be
+    ``apply_deletes``-materialized instead, exactly as before.
+
+    Returns ``(path, row_count)``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = wh.spark
+    data_root = os.path.join(wh._table_dir(name), "data")
+    groups: dict[str, list[str]] = {}
+    for rel in dp["files"]:
+        p = wh._abs_path(name, rel)
+        tag = os.path.relpath(p, data_root).split(os.sep)[0]
+        groups.setdefault(os.path.join(data_root, tag), []).append(p)
+    pairs: list[tuple[str, int]] = []
+    for base, ps in groups.items():
+        # basePath surfaces hive partition columns the predicate may use
+        df = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*ps)
+        )
+        hits = (
+            df.filter(F.coalesce(F.expr(dp["predicate"]), F.lit(False)))
+            .select(
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        pairs.extend(
+            ("file://" + re.sub("^file:/+", "/", r["fp"]), int(r["pos"]))
+            for r in hits
+        )
+    pairs.sort()
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_PATH_FID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_FID).encode()},
+            ),
+        ]
+    )
+    path = os.path.join(mdir, f"pos-delete-{uuid.uuid4().hex}.parquet")
     pq.write_table(
-        pa.table({col: pa.array([caster(v) for v in vals], getattr(pa, pa_name)())}),
+        pa.Table.from_arrays(
+            [
+                pa.array([p for p, _ in pairs], pa.string()),
+                pa.array([x for _, x in pairs], pa.int64()),
+            ],
+            schema=schema,
+        ),
         path,
     )
-    return path
+    return path, len(pairs)
 
 
 def _to_uri(path: str) -> str:
@@ -384,13 +584,17 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     Data files are referenced in place by URI — metadata-only, no data
     copy/move (like Iceberg's own register_table). UNAPPLIED merge-on-read
     delete predicates export as v2 EQUALITY DELETE files when they are
-    equality-shaped (``col = lit`` / ``col IN (...)``): a tiny parquet of
-    the deleted key values plus a content=1 delete manifest whose entry
-    carries ``equality_ids`` and the deleting snapshot's sequence number —
-    the spec's strictly-less sequence rule then scopes it to exactly the
-    files our file-path-scoped entry covered (both equal "files live at
-    delete time"). Non-equality predicates still require
-    ``wh.apply_deletes(name)`` first.
+    equality-shaped (a conjunction of ``col = lit`` / ``col IN (...)``
+    terms — multi-column tuples carry the full ``equality_ids`` list): a
+    tiny parquet of the deleted key tuples plus a content=1 delete manifest
+    whose entry carries ``equality_ids`` and the deleting snapshot's
+    sequence number — the spec's strictly-less sequence rule then scopes it
+    to exactly the files our file-path-scoped entry covered (both equal
+    "files live at delete time"). Any OTHER predicate exports as a v2
+    POSITION DELETE file (``file_path`` + ``pos``, reserved field ids),
+    computed by scanning the predicate's scoped files with
+    ``_metadata.row_index`` — so the export is faithful for every
+    warehouse state and never refuses or truncates history on MoR grounds.
     """
     from apache_iceberg_demo_spark.io import scratch_dir
 
@@ -440,31 +644,16 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             if logical in fids_snap:
                 _record(physical, int(fids_snap[logical]))
 
-    # Non-equality MoR predicates have no spec-shaped delete-file form. If
-    # one is in force at the CURRENT snapshot the export cannot be faithful
-    # — refuse (apply_deletes materializes it). On an ANCESTOR (e.g. the
-    # delete-mor commits a later apply_deletes already cleared), truncate
-    # the exported history just past the last such snapshot: the current
-    # state exports exactly, older history is dropped like expired
-    # snapshots rather than exported wrong.
-    start = 0
-    for i, snap in enumerate(chain):
-        for dp in snap.get("delete_predicates") or []:
-            if _parse_equality_predicate(dp["predicate"]) is None:
-                if i == len(chain) - 1:
-                    raise ValueError(
-                        f"table {name!r}: merge-on-read predicate "
-                        f"{dp['predicate']!r} is not equality-shaped — run "
-                        "apply_deletes() before exporting to Iceberg v2"
-                    )
-                start = i + 1
-    chain = chain[start:]
+    # Every MoR predicate now has a spec-shaped delete-file form:
+    # equality-shaped conjunctions (single- or multi-column, = / IN)
+    # export as EQUALITY delete files; anything else exports as a
+    # POSITION delete file computed from the scoped data files — so no
+    # predicate forces a refusal or history truncation anymore.
 
     # named refs (Iceberg branches advance, tags pin). Each exported ref
-    # needs its head's ancestry in the snapshot list; a ref whose lineage
-    # carries a non-representable predicate (or whose head expired) is
-    # OMITTED from the export rather than exported wrong — main-chain
-    # content is never affected.
+    # needs its head's ancestry in the snapshot list; a ref whose head
+    # expired is OMITTED from the export rather than exported wrong —
+    # main-chain content is never affected.
     main_ids = {s["snapshot_id"] for s in chain}
     extra_snaps: dict[int, dict] = {}
     refs_json: dict[str, dict] = {}
@@ -478,10 +667,6 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 break  # joins an already-exported line
             walk.append(by_id[sid2])
             sid2 = by_id[sid2].get("parent_id")
-        for sn in walk:
-            for dp in sn.get("delete_predicates") or []:
-                if _parse_equality_predicate(dp["predicate"]) is None:
-                    return  # unrepresentable lineage — omit the ref
         if head not in by_id:
             return  # expired head
         for sn in walk:
@@ -529,9 +714,15 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     # schemas: unique per snapshot lineage, interned in first-seen order
     schemas: list[dict] = []
     schema_ids: dict[str, int] = {}
-    # partition specs: unique partition-column tuples, interned likewise
+    # partition specs: unique partition-column tuples, interned likewise.
+    # Partition FIELD ids are allocated from ONE monotonically increasing
+    # counter across all specs (Java Iceberg's lastAssignedPartitionId) —
+    # the spec requires them unique table-wide, not per-spec, or a
+    # spec-evolved table's manifests would alias two different fields.
     specs: list[dict] = []
     spec_ids: dict[tuple, int] = {}
+    spec_field_ids: dict[tuple, list[int]] = {}
+    last_pfid = 999  # Java: PARTITION_DATA_ID_START - 1 when unpartitioned
     first_seen_seq: dict[str, int] = {}
     #: (predicate, file-scope) -> written delete-manifest info; a predicate
     #: first seen at sequence d keeps that sequence in every later
@@ -561,6 +752,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         pkey = tuple((c, ice_types.get(c, "string")) for c in pcols)
         if pkey not in spec_ids:
             spec_ids[pkey] = len(specs)
+            assigned = [last_pfid + 1 + i for i in range(len(pcols))]
+            last_pfid += len(pcols)
+            spec_field_ids[pkey] = assigned
             specs.append(
                 {
                     "spec-id": len(specs),
@@ -569,9 +763,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                             "name": c,
                             "transform": "identity",
                             "source-id": int(fids[c]),
-                            "field-id": 1000 + i,
+                            "field-id": pfid,
                         }
-                        for i, c in enumerate(pcols)
+                        for c, pfid in zip(pcols, assigned)
                     ],
                 }
             )
@@ -581,9 +775,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "name": c,
                 "type": ["null", _PARTITION_AVRO.get(t, "string")],
                 "default": None,
-                "field-id": 1000 + i,
+                "field-id": pfid,
             }
-            for i, (c, t) in enumerate(pkey)
+            for (c, t), pfid in zip(pkey, spec_field_ids[pkey])
         ]
 
         entries = []
@@ -665,25 +859,33 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             art = delete_artifacts.get(dkey)
             if art is None:
                 parsed = _parse_equality_predicate(dp["predicate"])
-                col = parsed[0] if parsed else None
-                if parsed is None or col not in ice_types or col not in fids:
-                    raise ValueError(
-                        f"table {name!r}: merge-on-read predicate "
-                        f"{dp['predicate']!r} is not equality-shaped — run "
-                        "apply_deletes() before exporting to Iceberg v2"
+                dfile, eq_ids, n_del = None, None, 0
+                if parsed is not None and all(
+                    c in ice_types and c in fids for c in parsed[0]
+                ):
+                    cols, rows = parsed
+                    dfile = _write_equality_delete_file(
+                        mdir,
+                        cols,
+                        [ice_types[c] for c in cols],
+                        [int(fids[c]) for c in cols],
+                        rows,
                     )
-                dfile = _write_equality_delete_file(
-                    mdir, col, ice_types[col], parsed[1]
-                )
+                    if dfile is not None:
+                        eq_ids = [int(fids[c]) for c in cols]
+                        n_del = len(rows)
                 if dfile is None:
-                    raise ValueError(
-                        f"table {name!r}: equality delete on {col!r} "
-                        f"({ice_types[col]}) has no single-value parquet "
-                        "form — run apply_deletes() first"
+                    # not equality-shaped (or a column type with no
+                    # single-value parquet form): POSITION delete file —
+                    # spec content=1, (file_path, pos) of matching rows in
+                    # exactly the predicate's scoped data files
+                    dfile, n_del = _write_positional_delete_file(
+                        wh, name, mdir, dp
                     )
                 # global delete: the unpartitioned spec scopes it table-wide
                 if () not in spec_ids:
                     spec_ids[()] = len(specs)
+                    spec_field_ids[()] = []
                     specs.append({"spec-id": len(specs), "fields": []})
                 dm_path = os.path.join(mdir, f"{uuid.uuid4().hex}-d0.avro")
                 dm_len = write_ocf(
@@ -696,15 +898,16 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                             "sequence_number": seq,
                             "file_sequence_number": seq,
                             "data_file": {
-                                "content": 2,  # EQUALITY_DELETES
+                                # 2 = EQUALITY_DELETES, 1 = POSITION_DELETES
+                                "content": 2 if eq_ids is not None else 1,
                                 "file_path": _to_uri(dfile),
                                 "file_format": "PARQUET",
                                 "partition": {},
-                                "record_count": len(parsed[1]),
+                                "record_count": n_del,
                                 "file_size_in_bytes": os.path.getsize(dfile),
                                 "lower_bounds": None,
                                 "upper_bounds": None,
-                                "equality_ids": [int(fids[col])],
+                                "equality_ids": eq_ids,
                             },
                         }
                     ],
@@ -723,7 +926,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     "spec_id": spec_ids[()],
                     "seq": seq,
                     "snap_id": int(snap["snapshot_id"]),
-                    "rows": len(parsed[1]),
+                    "rows": n_del,
                 }
                 delete_artifacts[dkey] = art
             mlist_records.append(
@@ -821,9 +1024,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         "schemas": schemas,
         "default-spec-id": head_info.get("spec-id", 0),
         "partition-specs": specs or [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999 + max(
-            (len(s["fields"]) for s in specs), default=0
-        ),
+        # highest partition field id ever assigned, across ALL specs
+        # (Java Iceberg's lastAssignedPartitionId; 999 when unpartitioned)
+        "last-partition-id": last_pfid,
         "default-sort-order-id": 1 if sort_fields else 0,
         "sort-orders": (
             [{"order-id": 0, "fields": []}]
@@ -920,35 +1123,53 @@ def read_iceberg_v2(
     )
     _, _, manifest_files = read_ocf(_from_uri(snap["manifest-list"]))
 
-    # file URI -> (partition tuple, data sequence number), straight from
-    # the manifests (spec semantics: Iceberg never re-infers partition
-    # values from paths); content=1 manifests carry delete files
-    file_parts: dict[str, tuple] = {}
+    # file URI -> {partition col: value} + data sequence number, straight
+    # from the manifests (spec semantics: Iceberg never re-infers partition
+    # values from paths); content=1 manifests carry delete files. Data
+    # manifests may be written under DIFFERENT partition specs (spec
+    # evolution — the norm for long-lived Iceberg tables): the partition
+    # fields are UNIONED across manifests in first-seen order and each
+    # file's values bind by NAME against the union, None-filling columns
+    # its own spec lacks — never positionally against the last manifest.
+    file_parts: dict[str, dict] = {}
     file_seqs: dict[str, int] = {}
-    part_fields: list[tuple[str, str]] = []
+    part_types: dict[str, str] = {}  # ordered union of all specs' fields
     eq_deletes: dict[str, dict] = {}
+    pos_deletes: list[dict] = []
     for mf in manifest_files:
         _mschema, mmeta, entries = read_ocf(_from_uri(mf["manifest_path"]))
         if mf.get("content", 0) == 1:  # delete manifest
             for e in entries:
                 d = e["data_file"]
-                if d["content"] != 2:
-                    raise ValueError(
-                        "position-delete files are not produced by this "
-                        "exporter; unsupported delete content "
-                        f"{d['content']}"
+                if d["content"] == 2:  # EQUALITY_DELETES
+                    eq_deletes[d["file_path"]] = {
+                        "path": _from_uri(d["file_path"]),
+                        "ids": d["equality_ids"],
+                        "seq": e["sequence_number"],
+                    }
+                elif d["content"] == 1:  # POSITION_DELETES
+                    pos_deletes.append(
+                        {
+                            "path": _from_uri(d["file_path"]),
+                            "seq": e["sequence_number"],
+                        }
                     )
-                eq_deletes[d["file_path"]] = {
-                    "path": _from_uri(d["file_path"]),
-                    "ids": d["equality_ids"],
-                    "seq": e["sequence_number"],
-                }
+                else:
+                    raise ValueError(
+                        f"unsupported delete content {d['content']}"
+                    )
             continue
         spec_fields = json.loads(mmeta["partition-spec"])
         by_src = {f["id"]: f for f in schema["fields"]}
-        part_fields = [
+        local_fields = [
             (pf["name"], by_src[pf["source-id"]]["type"]) for pf in spec_fields
         ]
+        for n, t in local_fields:
+            if part_types.setdefault(n, t) != t:
+                raise ValueError(
+                    f"partition field {n!r} bound to two types across "
+                    f"specs ({part_types[n]} vs {t})"
+                )
         types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
         names_by_id = {f["id"]: f["name"] for f in schema["fields"]}
         for e in entries:
@@ -986,10 +1207,11 @@ def read_iceberg_v2(
 
                 if Warehouse._can_skip(entry_view, where):
                     continue
-            file_parts[df_rec["file_path"]] = tuple(
-                df_rec["partition"].get(n) for n, _ in part_fields
-            )
+            file_parts[df_rec["file_path"]] = {
+                n: df_rec["partition"].get(n) for n, _ in local_fields
+            }
             file_seqs[df_rec["file_path"]] = e["sequence_number"] or 0
+    part_fields = list(part_types.items())
 
     _SPARK_TYPE = {
         "int": "int",
@@ -1026,30 +1248,57 @@ def read_iceberg_v2(
     out = spark.read.option("mergeSchema", "true").parquet(
         *[_from_uri(u) for u in file_parts]
     )
+    need_seq = bool(eq_deletes or pos_deletes)
+    if pos_deletes:
+        # the parquet row ordinal — Iceberg's `pos`; captured on the scan
+        # frame (where _metadata resolves), consumed by the anti-join below
+        out = out.withColumn("__pos", F.col("_metadata.row_index"))
     pnames = {n for n, _ in part_fields}
-    if part_fields or eq_deletes:
+    # A data column sharing a partition column's name — a table evolved
+    # from unpartitioned to identity-partitioned still CONTAINS the column
+    # in its old files — would make the post-join reference ambiguous.
+    # Shadow-rename the scan-side column; the typed projection below
+    # coalesces (manifest constant, shadowed data value) so old files keep
+    # their stored values and new files get the manifest constant.
+    data_shadow: dict[str, str] = {}
+    for n in sorted(pnames):
+        if n in out.columns:
+            shadow = f"__data_{n}"
+            out = out.withColumnRenamed(n, shadow)
+            data_shadow[n] = shadow
+    if part_fields or need_seq:
         # the per-file constants from the manifests: partition values, and
-        # the data sequence number the equality-delete rule scopes against
+        # the data sequence number the delete sequence rules scope against.
+        # The manifest's Avro branch stores int/long/double/string values
+        # natively and every other type (date, timestamp, decimal, float,
+        # boolean) as its hive STRING — declare those columns string here;
+        # the typed projection casts them to the declared Iceberg type.
+        def _map_type(t: str) -> str:
+            return spark_type(t) if t in _PARTITION_AVRO else "string"
+
         map_ddl = "`__file` string, `__seq` bigint" + "".join(
-            f", `{n}` {spark_type(t)}" for n, t in part_fields
+            f", `{n}` {_map_type(t)}" for n, t in part_fields
         )
         mapping = spark.createDataFrame(
             [
-                (_from_uri(u), file_seqs[u], *vals)
+                (
+                    _from_uri(u),
+                    file_seqs[u],
+                    *[vals.get(n) for n, _ in part_fields],
+                )
                 for u, vals in file_parts.items()
             ],
             schema=map_ddl,
         )
         # _metadata.file_path renders Hadoop-style (file:/p, single slash);
-        # normalize both sides to plain paths before the join
-        out = (
-            out.withColumn(
-                "__file",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            )
-            .join(F.broadcast(mapping), "__file")
-            .drop("__file")
-        )
+        # normalize both sides to plain paths before the join. __file stays
+        # alive while position deletes need it (dropped at the end).
+        out = out.withColumn(
+            "__file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        ).join(F.broadcast(mapping), "__file")
+        if not pos_deletes:
+            out = out.drop("__file")
     # bind the declared column set/order/types through the spec's
     # name-mapping (schema.name-mapping.default): per field id, the ordered
     # physical spellings that may carry it. Files written before a rename
@@ -1065,7 +1314,16 @@ def read_iceberg_v2(
     for f in schema["fields"]:
         st = spark_type(f["type"])
         if f["name"] in pnames:
-            proj.append(F.col(f["name"]).cast(st).alias(f["name"]))
+            srcs = [F.col(f["name"]).cast(st)]
+            if f["name"] in data_shadow:
+                # pre-spec-evolution files stored the column as data; the
+                # manifest constant is NULL for them — fall back
+                srcs.append(F.col(data_shadow[f["name"]]).cast(st))
+            proj.append(
+                (srcs[0] if len(srcs) == 1 else F.coalesce(*srcs)).alias(
+                    f["name"]
+                )
+            )
             continue
         candidates = [
             n for n in nm.get(f["id"], [f["name"]]) if n in out.columns
@@ -1080,30 +1338,79 @@ def read_iceberg_v2(
                     f["name"]
                 )
             )
-    out = out.select(*proj, *(["__seq"] if eq_deletes else []))
+    extras = (["__seq"] if need_seq else []) + (
+        ["__file", "__pos"] if pos_deletes else []
+    )
+    out = out.select(*proj, *extras)
     # equality deletes (spec "Scan Planning"): a delete file with sequence
     # number d removes matching rows from data files with sequence number
-    # STRICTLY LESS than d. Key values are manifest-scale small (they came
-    # from a predicate), so they apply as an isin filter — a broadcast
-    # anti-join at real delete-file sizes.
+    # STRICTLY LESS than d. Key tuples are manifest-scale small (they came
+    # from a predicate — real Iceberg compacts delete files on the same
+    # assumption), so they apply as an isin / OR-of-AND filter rather than
+    # a join; a NULL data value never matches (SQL equality semantics).
     if eq_deletes:
         import pyarrow.parquet as pq
 
         name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
         for d in eq_deletes.values():
-            if len(d["ids"]) != 1:
-                raise ValueError("multi-column equality deletes unsupported")
-            cur = name_by_id[d["ids"][0]]
-            vals = pq.read_table(d["path"]).column(0).to_pylist()
-            cond = (F.col("__seq") < F.lit(int(d["seq"]))) & F.col(cur).isin(
-                vals
-            )
+            cols = [name_by_id[i] for i in d["ids"]]
+            tbl = pq.read_table(d["path"])
+            if len(cols) == 1:
+                match = F.col(cols[0]).isin(tbl.column(cols[0]).to_pylist())
+            else:
+                # multi-column tuples: OR over per-tuple AND conjunctions —
+                # tuple counts are predicate-derived (tiny), far below the
+                # Catalyst array-inlining O(n²) threshold
+                tuples = zip(*[tbl.column(c).to_pylist() for c in cols])
+                match = F.lit(False)
+                for row in tuples:
+                    row_match = F.lit(True)
+                    for c, v in zip(cols, row):
+                        row_match = row_match & (F.col(c) == F.lit(v))
+                    match = match | row_match
+            cond = (F.col("__seq") < F.lit(int(d["seq"]))) & match
             out = out.filter(~F.coalesce(cond, F.lit(False)))
-        out = out.drop("__seq")
+    # position deletes (spec): a (file_path, pos) pair removes that exact
+    # row from data files with sequence number <= the delete's. Applied as
+    # a broadcast LEFT ANTI join on the captured scan coordinates.
+    if pos_deletes:
+        import pyarrow.parquet as pq
+
+        for d in pos_deletes:
+            tbl = pq.read_table(d["path"])
+            pairs = [
+                (re.sub("^file:/+", "/", p), int(x))
+                for p, x in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                )
+            ]
+            if not pairs:
+                continue
+            pdf = spark.createDataFrame(
+                pairs, schema="`__dfile` string, `__dpos` bigint"
+            )
+            cond = (
+                (F.col("__file") == F.col("__dfile"))
+                & (F.col("__pos") == F.col("__dpos"))
+                & (F.col("__seq") <= F.lit(int(d["seq"])))
+            )
+            out = out.join(F.broadcast(pdf), on=cond, how="left_anti")
+    if extras:
+        out = out.drop(*extras)
     return out.filter(where) if where is not None else out
 
 
 # ---------------------------------------------------------------- query
+
+def _session_token(spark: SparkSession) -> str:
+    """A session key that cannot recur: applicationId + JVM start time.
+    ``str(id(spark))`` is NOT safe — CPython reuses object ids after GC, so
+    a new session could be served a dead session's export location (the
+    r08 LSH-memo lesson, applied here per ADVICE r10)."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}-{sc.startTime}"
+
 
 #: memoized spec-export location per (session, sf_dir): the export itself
 #: is metadata-only (fast), but the shared demo warehouse build costs
@@ -1158,7 +1465,7 @@ def a7_iceberg_v2_spec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_demo_spark.sources.warehouse import _demo_warehouse
 
     wh, table = _demo_warehouse(spark, sf_dir)
-    key = (str(id(spark)), sf_dir)
+    key = (_session_token(spark), sf_dir)
     if key not in _export_cache:
         _export_cache[key] = export_iceberg_v2(wh, table)
     location = _export_cache[key]
@@ -1249,7 +1556,7 @@ def c6_iceberg_v2_equality_delete_export(
     from apache_iceberg_demo_spark.io import load
     from apache_iceberg_demo_spark.sources.warehouse import Warehouse
 
-    key = (str(id(spark)), sf_dir)
+    key = (_session_token(spark), sf_dir)
     if key not in _mor_export_cache:
         from apache_iceberg_demo_spark.io import scratch_dir
 
@@ -1277,6 +1584,119 @@ def c6_iceberg_v2_equality_delete_export(
     df = read_iceberg_v2(spark, _mor_export_cache[key])
     return _keep_result(
         "c6_iceberg_v2_equality_delete_export",
+        df.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("l_linenumber"),
+    )
+
+
+#: memoized (warehouse, export location) for the positional-delete query
+_pos_export_cache: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "c6_iceberg_v2_positional_delete_export",
+    # Deterministic construction: base = orderkey%20==0 & linenumber<=4,
+    # MoR-delete the NON-equality predicate (l_quantity < 10 AND
+    # l_linenumber = 2), then append orderkey%20==10 rows matching it.
+    # The export writes a v2 POSITION delete file (file_path+pos of the
+    # matching BASE rows); the spec path must drop exactly those while the
+    # appended matching rows (not in the delete file) survive —
+    # relationally recomputable from the source.
+    oracle="""
+        WITH final AS (
+            SELECT l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey % 20 = 0 AND l_linenumber <= 4
+              AND NOT (l_quantity < 10 AND l_linenumber = 2)
+            UNION ALL
+            SELECT l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey % 20 = 10 AND l_linenumber = 2
+              AND l_quantity < 10
+        )
+        SELECT l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM final
+        GROUP BY l_linenumber
+        ORDER BY l_linenumber
+    """,
+)
+def c6_iceberg_v2_positional_delete_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C6/interop: a NON-equality merge-on-read delete exported as an
+    Iceberg v2 POSITION DELETE file (``file_path`` + ``pos``, reserved
+    field ids) and applied by the spec-path reader — the r10 refusal path
+    for non-equality predicates is gone (VERDICT r10 item 3).
+
+    Reference parity: Iceberg v2's second row-level-delete form (position
+    deletes are what Spark's own MERGE/DELETE write under
+    merge-on-read). In-query self-asserts: spec read == bespoke read row
+    count, and the delete manifest entry really is content=1.
+    """
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    key = (_session_token(spark), sf_dir)
+    if key not in _pos_export_cache:
+        from apache_iceberg_demo_spark.io import scratch_dir
+
+        root = scratch_dir("iceberg_posdel_", unique=True)
+        wh = Warehouse(spark, os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem")
+        wh.create_or_replace(
+            "li_pos",
+            li.filter(
+                (F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") <= 4)
+            ),
+        )
+        wh.delete_where_mor("li_pos", "l_quantity < 10 AND l_linenumber = 2")
+        wh.append(
+            "li_pos",
+            li.filter(
+                (F.col("l_orderkey") % 20 == 10)
+                & (F.col("l_linenumber") == 2)
+                & (F.col("l_quantity") < 10)
+            ),
+        )
+        location = export_iceberg_v2(wh, "li_pos", os.path.join(root, "ice"))
+        n_spec = read_iceberg_v2(spark, location).count()
+        n_bespoke = wh.read("li_pos").count()
+        if n_spec != n_bespoke:
+            raise AssertionError(
+                f"spec-path positional scan returned {n_spec} rows, "
+                f"bespoke reader {n_bespoke}"
+            )
+        # self-assert: the delete really exported as a POSITION delete file
+        mdir = os.path.join(location, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as f:
+            hint = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+            tmeta = json.load(f)
+        cur = next(
+            s
+            for s in tmeta["snapshots"]
+            if s["snapshot-id"] == tmeta["current-snapshot-id"]
+        )
+        _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+        dms = [m for m in mfs if m["content"] == 1]
+        if len(dms) != 1:
+            raise AssertionError(f"expected 1 delete manifest, got {len(dms)}")
+        _, _, dentries = read_ocf(_from_uri(dms[0]["manifest_path"]))
+        if dentries[0]["data_file"]["content"] != 1:
+            raise AssertionError(
+                "expected POSITION_DELETES (content=1), got "
+                f"{dentries[0]['data_file']['content']}"
+            )
+        _pos_export_cache[key] = location
+    df = read_iceberg_v2(spark, _pos_export_cache[key])
+    return _keep_result(
+        "c6_iceberg_v2_positional_delete_export",
         df.groupBy("l_linenumber")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),

@@ -296,6 +296,66 @@ def test_metadata_json_v2_layout(exported):
     assert mfs[0]["sequence_number"] == last["sequence-number"]
 
 
+def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path):
+    """VERDICT r10 item 4: a second consumer of the metadata.json layer —
+    the standalone spec validator (written from the public spec rules, no
+    exporter imports) must pass every export shape we produce, including
+    deletes + spec evolution, in deep mode (manifest lengths + file
+    existence verified against the filesystem)."""
+    import importlib.util
+
+    vpath = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "validate_iceberg_metadata.py",
+    )
+    sp = importlib.util.spec_from_file_location("validate_iceberg_metadata", vpath)
+    mod = importlib.util.module_from_spec(sp)
+    sp.loader.exec_module(mod)
+
+    _, _, location = exported
+    assert mod.validate(location, deep=True) == []
+
+    # a richer table: both delete kinds + partition-spec evolution + a ref
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    year = F.date_format("l_shipdate", "yyyy")
+    wh.create_or_replace(
+        "t",
+        li.filter("l_linenumber <= 2").withColumn("ship_year", year),
+        partition_by="ship_year",
+    )
+    wh.evolve_partition_spec("t", "l_returnflag")
+    wh.append("t", li.filter("l_linenumber > 2").withColumn("ship_year", year))
+    wh.delete_where_mor("t", "l_linenumber = 1")
+    wh.delete_where_mor("t", "l_quantity < 3")
+    loc2 = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc2, deep=True) == []
+
+    # negative: tampered metadata must produce violations
+    import shutil
+
+    broken = str(tmp_path / "broken")
+    shutil.copytree(loc2, broken)
+    mdir = os.path.join(broken, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        ver = int(f.read().strip())
+    mfile = os.path.join(mdir, f"v{ver}.metadata.json")
+    with open(mfile) as f:
+        m = json.load(f)
+    m["partition-specs"][1]["fields"][0]["field-id"] = 1000  # collide ids
+    m["current-snapshot-id"] = 999999  # dangling pointer
+    del m["last-partition-id"]
+    with open(mfile, "w") as f:
+        json.dump(m, f)
+    bad = mod.validate(broken)
+    assert any("not unique across specs" in b for b in bad)
+    assert any("current-snapshot-id" in b for b in bad)
+    assert any("last-partition-id" in b for b in bad)
+
+
 def test_manifest_bounds_match_parquet_footers(exported):
     """lower/upper bounds use the spec's single-value binary serialization
     and must equal the parquet footer min/max they were derived from."""
@@ -442,17 +502,420 @@ def test_equality_delete_roundtrip_with_sequence_semantics(spark, tmp_path):
     assert dm[0]["sequence_number"] == 2
 
 
-def test_export_refuses_non_equality_mor_predicate(spark, tmp_path):
+def test_equality_predicate_parser_strictness():
+    """ADVICE r10: compound predicates whose string literals open and close
+    the text must NOT parse as bogus equality values; doubled-quote escapes
+    unescape; conjunctions parse as multi-column tuples."""
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        _parse_equality_predicate as p,
+    )
+
+    assert p("name = 'x' OR name = 'y'") is None  # the reported misparse
+    assert p("a = 'it''s'") == (["a"], [("it's",)])
+    assert p("a = 1 AND b IN ('p','q')") == (["a", "b"], [(1, "p"), (1, "q")])
+    assert p("a = 'x,y'") == (["a"], [("x,y",)])  # comma inside literal
+    assert p("a IN (1, 2) AND b = 2.5") == (["a", "b"], [(1, 2.5), (2, 2.5)])
+    assert p("a < 3") is None
+    assert p("a = 1 OR b = 2") is None
+    assert p("a = 'x' AND a = 'y'") is None  # repeated column
+    assert p("a = 'tail' extra") is None
+    assert p("a = 'back\\\\slash'") is None  # backslash escapes rejected
+    assert p("name IN ('x' OR name, 'y')") is None
+
+
+def test_positional_delete_export_roundtrip(spark, tmp_path):
+    """Non-equality MoR predicates export as v2 POSITION delete files
+    (content=1, reserved field ids 2147483546/2147483545, sorted) instead
+    of refusing; a post-delete append matching the predicate survives."""
     from apache_iceberg_demo_spark.io import load
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    wh.create_or_replace("r", load(spark, SF, "region"))
-    wh.delete_where_mor("r", "r_regionkey > 1")
-    with pytest.raises(ValueError, match="apply_deletes"):
-        export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
-    wh.apply_deletes("r")
-    location = export_iceberg_v2(wh, "r", str(tmp_path / "ice2"))
-    assert read_iceberg_v2(spark, location).count() == wh.read("r").count()
+    r = load(spark, SF, "region")
+    wh.create_or_replace("r", r)
+    wh.delete_where_mor("r", "r_regionkey > 1")  # drops keys 2,3,4
+    wh.append("r", r.filter(F.col("r_regionkey") == 3))  # re-adds 3
+    location = export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
+
+    spec = read_iceberg_v2(spark, location)
+    bespoke = wh.read("r")
+    assert sorted(map(tuple, spec.collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+    keys = [row.r_regionkey for row in spec.collect()]
+    assert keys.count(3) == 1 and 2 not in keys and 4 not in keys
+
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1]
+    assert len(dm) == 1
+    _, dmeta, dentries = read_ocf(_from_uri(dm[0]["manifest_path"]))
+    assert dmeta["content"] == "deletes"
+    d = dentries[0]["data_file"]
+    assert d["content"] == 1  # POSITION_DELETES
+    assert d["equality_ids"] is None
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_from_uri(d["file_path"]))
+    assert (
+        tbl.schema.field("file_path").metadata[b"PARQUET:field_id"]
+        == b"2147483546"
+    )
+    assert tbl.schema.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    pairs = list(
+        zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist())
+    )
+    assert pairs == sorted(pairs)
+    assert d["record_count"] == len(pairs) == 3
+
+
+def test_multi_column_equality_delete_export(spark, tmp_path):
+    """``a = x AND b IN (...)`` conjunctions export as ONE equality-delete
+    file carrying the full ``equality_ids`` list (multi-column tuples) —
+    the r10 single-column refusal is gone."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("n", n)
+    wh.delete_where_mor("n", "n_regionkey = 1 AND n_nationkey IN (6, 21)")
+    # same keys appended after the delete must survive (sequence rule)
+    wh.append("n", n.filter(F.col("n_nationkey") == 21))
+    location = export_iceberg_v2(wh, "n", str(tmp_path / "ice"))
+
+    spec = read_iceberg_v2(spark, location)
+    bespoke = wh.read("n")
+    assert sorted(map(tuple, spec.collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+    keys = [row.n_nationkey for row in spec.collect()]
+    assert 6 not in keys and keys.count(21) == 1
+
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1]
+    _, _, dentries = read_ocf(_from_uri(dm[0]["manifest_path"]))
+    d = dentries[0]["data_file"]
+    assert d["content"] == 2  # EQUALITY_DELETES
+    assert len(d["equality_ids"]) == 2  # n_regionkey + n_nationkey fids
+    assert d["record_count"] == 2  # two key tuples
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_from_uri(d["file_path"]))
+    assert tbl.column_names == ["n_regionkey", "n_nationkey"]
+    assert sorted(tbl.column("n_nationkey").to_pylist()) == [6, 21]
+
+
+def test_compound_or_predicate_exports_positional(spark, tmp_path):
+    """ADVICE r10 attack case: ``name = 'x' OR name = 'y'`` previously
+    misparsed as an equality on the bogus value ``x' OR name = 'y`` and
+    exported a delete file that deleted NOTHING (silent row resurrection).
+    It must now take the POSITION-delete path and match the bespoke read."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("n", n)
+    wh.delete_where_mor("n", "n_name = 'NATION_3' OR n_name = 'NATION_7'")
+    location = export_iceberg_v2(wh, "n", str(tmp_path / "ice"))
+
+    spec = read_iceberg_v2(spark, location)
+    assert sorted(map(tuple, spec.collect())) == sorted(
+        map(tuple, wh.read("n").collect())
+    )
+    names = [row.n_name for row in spec.collect()]
+    assert "NATION_3" not in names and "NATION_7" not in names
+    assert len(names) == 23
+
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1]
+    _, _, dentries = read_ocf(_from_uri(dm[0]["manifest_path"]))
+    assert dentries[0]["data_file"]["content"] == 1  # positional, not bogus eq
+
+
+def test_jvm_reference_avro_reads_delete_manifests(spark, tmp_path):
+    """Both delete-file kinds' manifests must parse under the JVM's
+    REFERENCE Avro implementation with identical values — the same
+    independent-implementation proof the data manifests get."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("n", n)
+    wh.delete_where_mor("n", "n_regionkey = 1 AND n_nationkey IN (6, 21)")
+    wh.delete_where_mor("n", "n_nationkey > 22")  # positional
+    location = export_iceberg_v2(wh, "n", str(tmp_path / "ice"))
+
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dms = [m for m in mfs if m["content"] == 1]
+    assert len(dms) == 2
+    jvm = spark._jvm
+    seen_contents = []
+    for dm in dms:
+        mpath = _from_uri(dm["manifest_path"])
+        _, _, ours = read_ocf(mpath)
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(mpath),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert dfr.getMetaString("content") == "deletes"
+        theirs = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            d = rec.get("data_file")
+            eq = d.get("equality_ids")
+            theirs.append(
+                (
+                    rec.get("status"),
+                    rec.get("sequence_number"),
+                    str(d.get("file_path")),
+                    d.get("content"),
+                    d.get("record_count"),
+                    None if eq is None else [int(x) for x in eq],
+                )
+            )
+        dfr.close()
+        assert len(theirs) == len(ours) == 1
+        o, t = ours[0], theirs[0]
+        od = o["data_file"]
+        assert t == (
+            o["status"],
+            o["sequence_number"],
+            od["file_path"],
+            od["content"],
+            od["record_count"],
+            od["equality_ids"],
+        )
+        seen_contents.append(od["content"])
+    assert sorted(seen_contents) == [1, 2]  # one positional, one equality
+
+    # and the spec read still equals the bespoke read with both in force
+    assert sorted(map(tuple, read_iceberg_v2(spark, location).collect())) == \
+        sorted(map(tuple, wh.read("n").collect()))
+
+
+def test_spec_evolution_export_unique_partition_field_ids(spark, tmp_path):
+    """ADVICE r10: partition field ids must be unique across ALL specs in
+    the table metadata (one monotonically increasing counter — Java
+    Iceberg's lastAssignedPartitionId), and last-partition-id is the max
+    assigned id, not 999 + per-spec field count."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    year = F.date_format("l_shipdate", "yyyy")
+    wh.create_or_replace(
+        "t",
+        li.filter("l_linenumber <= 2").withColumn("ship_year", year),
+        partition_by="ship_year",
+    )
+    wh.evolve_partition_spec("t", "l_returnflag")
+    wh.append("t", li.filter("l_linenumber > 2").withColumn("ship_year", year))
+    location = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    meta = _load_meta(location)
+    specs = meta["partition-specs"]
+    assert len(specs) >= 2  # the pre- and post-evolution layouts
+    all_pfids = [f["field-id"] for s in specs for f in s["fields"]]
+    assert len(all_pfids) == len(set(all_pfids)), all_pfids  # table-unique
+    assert min(all_pfids) == 1000
+    assert meta["last-partition-id"] == max(all_pfids)
+
+    got = read_iceberg_v2(spark, location)
+    bespoke = wh.read("t")
+    assert sorted(map(tuple, got.select(*bespoke.columns).collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+
+
+def test_date_typed_identity_partition_roundtrip(spark, tmp_path):
+    """ADVICE r10: identity partitioning on a DATE column (outside the
+    manifest's native int/long/string/double branches) must round-trip —
+    the manifest stores the hive string, the reader declares the mapping
+    column string and casts to the declared Iceberg type."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = (
+        load(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .withColumn("o_odate", F.to_date("o_orderdate"))
+        .drop("o_orderdate")
+    )
+    wh.create_or_replace("o", o, partition_by="o_odate")
+    location = export_iceberg_v2(wh, "o", str(tmp_path / "ice"))
+
+    got = read_iceberg_v2(spark, location)
+    assert dict(got.dtypes)["o_odate"] == "date"
+    bespoke = wh.read("o")
+    assert sorted(map(tuple, got.select(*bespoke.columns).collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+
+
+def test_unpartitioned_to_partitioned_evolution_keeps_old_values(spark, tmp_path):
+    """ADVICE r10: a table evolved unpartitioned → identity-partitioned has
+    OLD data files that still physically contain the partition column. The
+    reader must not hit an ambiguous reference after the mapping join, and
+    old files' values must come from the data (the manifest constant is
+    NULL for them) while new files get the manifest constant."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber <= 2"))  # unpartitioned
+    wh.evolve_partition_spec("t", "l_returnflag")
+    wh.append("t", li.filter("l_linenumber > 2"))
+    location = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    got = read_iceberg_v2(spark, location)
+    bespoke = wh.read("t")
+    assert sorted(map(tuple, got.select(*bespoke.columns).collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+    assert got.filter(F.col("l_returnflag").isNull()).count() == 0
+
+
+def test_reader_unions_partition_fields_across_manifests(spark, tmp_path):
+    """ADVICE r10: a manifest LIST may reference data manifests written
+    under DIFFERENT partition specs (the norm for real Iceberg tables).
+    Partition tuples must bind by NAME against the union of spec fields,
+    never positionally against the last manifest processed. Hand-assembles
+    a two-manifest table the exporter itself never produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        MANIFEST_FILE_SCHEMA as MFS,
+        _manifest_entry_schema,
+        _to_uri,
+    )
+
+    root = str(tmp_path / "ice")
+    mdir = os.path.join(root, "metadata")
+    ddir = os.path.join(root, "data")
+    os.makedirs(mdir), os.makedirs(ddir)
+    # two data files; the a-partitioned one omits column a, the
+    # b-partitioned one omits b (identity partitioning drops the column)
+    f1 = os.path.join(ddir, "f1.parquet")
+    pq.write_table(pa.table({"v": pa.array([1, 2], pa.int64()),
+                             "b": pa.array([10, 20], pa.int64())}), f1)
+    f2 = os.path.join(ddir, "f2.parquet")
+    pq.write_table(pa.table({"v": pa.array([3], pa.int64()),
+                             "a": pa.array([7], pa.int64())}), f2)
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "v", "required": False, "type": "long"},
+            {"id": 2, "name": "a", "required": False, "type": "long"},
+            {"id": 3, "name": "b", "required": False, "type": "long"},
+        ],
+    }
+    spec0 = [{"name": "a", "transform": "identity", "source-id": 2, "field-id": 1000}]
+    spec1 = [{"name": "b", "transform": "identity", "source-id": 3, "field-id": 1001}]
+
+    def entry(path, part):
+        return {
+            "status": 1, "snapshot_id": 1, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": _to_uri(path),
+                "file_format": "PARQUET", "partition": part,
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None, "upper_bounds": None,
+            },
+        }
+
+    m0 = os.path.join(mdir, "m0.avro")
+    l0 = write_ocf(
+        m0,
+        _manifest_entry_schema(
+            [{"name": "a", "type": ["null", "long"], "default": None,
+              "field-id": 1000}]
+        ),
+        [entry(f1, {"a": 5})],
+        metadata={"schema": json.dumps(schema), "schema-id": "0",
+                  "partition-spec": json.dumps(spec0),
+                  "partition-spec-id": "0", "format-version": "2",
+                  "content": "data"},
+    )
+    m1 = os.path.join(mdir, "m1.avro")
+    l1 = write_ocf(
+        m1,
+        _manifest_entry_schema(
+            [{"name": "b", "type": ["null", "long"], "default": None,
+              "field-id": 1001}]
+        ),
+        [entry(f2, {"b": 9})],
+        metadata={"schema": json.dumps(schema), "schema-id": "0",
+                  "partition-spec": json.dumps(spec1),
+                  "partition-spec-id": "1", "format-version": "2",
+                  "content": "data"},
+    )
+    mlist = os.path.join(mdir, "snap-1-1-x.avro")
+
+    def mf(path, length, spec_id):
+        return {"manifest_path": _to_uri(path), "manifest_length": length,
+                "partition_spec_id": spec_id, "content": 0,
+                "sequence_number": 1, "min_sequence_number": 1,
+                "added_snapshot_id": 1, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 1, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": None,
+                "key_metadata": None}
+
+    write_ocf(mlist, MFS, [mf(m0, l0, 0), mf(m1, l1, 1)],
+              metadata={"format-version": "2"})
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32, "location": _to_uri(root),
+        "last-sequence-number": 1, "last-updated-ms": 0, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": spec0},
+                            {"spec-id": 1, "fields": spec1}],
+        "last-partition-id": 1001,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": _to_uri(mlist),
+                       "summary": {"operation": "append"}, "schema-id": 0}],
+        "snapshot-log": [], "metadata-log": [], "refs": {},
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    got = sorted(map(tuple, read_iceberg_v2(spark, root).collect()))
+    # f1 rows: a from the manifest constant (5), b from the DATA column;
+    # f2 row: a from the data column (7), b from the manifest constant (9)
+    assert got == [(1, 5, 10), (2, 5, 20), (3, 7, 9)]
 
 
 def test_name_mapping_resolves_renamed_lineage(spark, tmp_path):

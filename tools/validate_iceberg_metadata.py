@@ -1,0 +1,419 @@
+#!/usr/bin/env python
+"""Standalone Iceberg v2 ``metadata.json`` validator — a second,
+independent consumer of the JSON metadata layer.
+
+The Avro layer (manifest lists / manifests) is cross-validated against the
+JVM's reference Avro implementation in tests/test_iceberg_v2.py; this tool
+covers the layer above it: it walks ``metadata/version-hint.text`` →
+``vN.metadata.json`` and checks the table metadata against the PUBLIC
+Iceberg v2 table-spec rules (https://iceberg.apache.org/spec/, "Table
+Metadata" + "Partition Specs" + "Snapshots" sections), written from the
+spec text alone — it imports nothing from the exporter, so an exporter bug
+cannot self-certify.
+
+The preferred second consumer would be pyiceberg's metadata model, but no
+wheel is obtainable in this container (verified round 11:
+``pip download pyiceberg`` fails with DNS resolution errors — fully
+offline; same class of blocker as DuckDB's iceberg extension, documented
+at apache_iceberg_demo_spark/sources/iceberg_v2.py:28-31).
+
+Checks (each failure is one violation line):
+- required top-level fields present with spec types;
+- ``format-version`` == 2;
+- schemas: struct type, unique schema-ids, unique field ids per schema,
+  ``current-schema-id`` resolves, ``last-column-id`` >= every field id;
+- partition specs: unique spec-ids, ``default-spec-id`` resolves, every
+  field's ``source-id`` resolves in the current schema, transform known,
+  partition field ids >= 1000 and unique ACROSS ALL SPECS (the
+  lastAssignedPartitionId rule), ``last-partition-id`` >= max assigned;
+- sort orders: ``default-sort-order-id`` resolves, directions/null-orders
+  from the spec's enumerations, order 0 is the unsorted order;
+- snapshots: unique ids, parent ids resolve, ``sequence-number`` present,
+  non-decreasing along parent chains and <= ``last-sequence-number``,
+  ``manifest-list`` URI resolves to an existing file (file scheme),
+  ``summary.operation`` from the spec's enumeration, string-valued summary;
+- ``current-snapshot-id`` resolves; ``snapshot-log`` entries resolve with
+  non-decreasing timestamps; ``metadata-log`` files exist;
+- refs: ``main`` exists, is a branch, and points at the current snapshot;
+  every ref's snapshot resolves and ``type`` is branch|tag;
+- ``--deep``: additionally opens every manifest list + manifest (Avro) and
+  verifies manifest_length values against the real file sizes and that
+  every referenced data/delete file exists with its recorded size.
+
+Usage:  python tools/validate_iceberg_metadata.py LOCATION [--deep]
+Exit 0 = conformant, 1 = violations (printed one per line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_TRANSFORMS = {"identity", "void", "year", "month", "day", "hour"}
+_TRANSFORM_PREFIXES = ("bucket[", "truncate[")
+_OPERATIONS = {"append", "replace", "overwrite", "delete"}
+_PRIMITIVES = {
+    "boolean", "int", "long", "float", "double", "date", "time",
+    "timestamp", "timestamptz", "string", "uuid", "binary",
+}
+
+
+def _from_uri(uri: str) -> str:
+    if uri.startswith("file:"):
+        return "/" + uri[len("file:"):].lstrip("/")
+    return uri
+
+
+def _is_type(t) -> bool:
+    if isinstance(t, str):
+        return (
+            t in _PRIMITIVES
+            or t.startswith("decimal(")
+            or t.startswith("fixed[")
+        )
+    if isinstance(t, dict):
+        return t.get("type") in ("struct", "list", "map")
+    return False
+
+
+def validate(location: str, deep: bool = False) -> list[str]:
+    """Return the list of spec violations (empty = conformant)."""
+    v: list[str] = []
+    mdir = os.path.join(_from_uri(location), "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if not os.path.exists(hint):
+        return [f"missing {hint}"]
+    with open(hint) as f:
+        version = int(f.read().strip())
+    mpath = os.path.join(mdir, f"v{version}.metadata.json")
+    if not os.path.exists(mpath):
+        return [f"version-hint names v{version} but {mpath} is missing"]
+    with open(mpath) as f:
+        meta = json.load(f)
+
+    def need(field: str, typ) -> bool:
+        if field not in meta:
+            v.append(f"missing required field {field!r}")
+            return False
+        if typ is not None and not isinstance(meta[field], typ):
+            # bool is an int subclass in Python — reject it for int fields
+            v.append(
+                f"{field!r} has type {type(meta[field]).__name__}, "
+                f"expected {getattr(typ, '__name__', typ)}"
+            )
+            return False
+        if typ is int and isinstance(meta[field], bool):
+            v.append(f"{field!r} is a boolean, expected int")
+            return False
+        return True
+
+    if need("format-version", int) and meta["format-version"] != 2:
+        v.append(f"format-version is {meta['format-version']}, expected 2")
+    need("table-uuid", str)
+    need("location", str)
+    need("last-sequence-number", int)
+    need("last-updated-ms", int)
+    need("last-column-id", int)
+
+    # ---- schemas
+    schema_ids: set[int] = set()
+    cur_field_ids: set[int] = set()
+    if need("schemas", list) and need("current-schema-id", int):
+        max_fid = 0
+        for s in meta["schemas"]:
+            sid = s.get("schema-id")
+            if not isinstance(sid, int):
+                v.append("schema without integer schema-id")
+                continue
+            if sid in schema_ids:
+                v.append(f"duplicate schema-id {sid}")
+            schema_ids.add(sid)
+            if s.get("type") != "struct":
+                v.append(f"schema {sid} type is {s.get('type')!r}, not struct")
+            fids: set[int] = set()
+            for f in s.get("fields", []):
+                fid = f.get("id")
+                if not isinstance(fid, int):
+                    v.append(f"schema {sid}: field without integer id: {f}")
+                    continue
+                if fid in fids:
+                    v.append(f"schema {sid}: duplicate field id {fid}")
+                fids.add(fid)
+                max_fid = max(max_fid, fid)
+                if not isinstance(f.get("name"), str):
+                    v.append(f"schema {sid} field {fid}: missing name")
+                if not isinstance(f.get("required"), bool):
+                    v.append(f"schema {sid} field {fid}: missing required flag")
+                if not _is_type(f.get("type")):
+                    v.append(
+                        f"schema {sid} field {fid}: unknown type {f.get('type')!r}"
+                    )
+            if sid == meta["current-schema-id"]:
+                cur_field_ids = fids
+        if meta["current-schema-id"] not in schema_ids:
+            v.append(
+                f"current-schema-id {meta['current-schema-id']} not in schemas"
+            )
+        if isinstance(meta.get("last-column-id"), int) and max_fid > meta["last-column-id"]:
+            v.append(
+                f"last-column-id {meta['last-column-id']} < max field id {max_fid}"
+            )
+
+    # ---- partition specs
+    spec_ids: set[int] = set()
+    all_pfids: list[int] = []
+    if need("partition-specs", list) and need("default-spec-id", int):
+        for s in meta["partition-specs"]:
+            sid = s.get("spec-id")
+            if not isinstance(sid, int):
+                v.append("partition spec without integer spec-id")
+                continue
+            if sid in spec_ids:
+                v.append(f"duplicate spec-id {sid}")
+            spec_ids.add(sid)
+            for f in s.get("fields", []):
+                pfid = f.get("field-id")
+                if not isinstance(pfid, int):
+                    v.append(f"spec {sid}: partition field without field-id: {f}")
+                    continue
+                if pfid < 1000:
+                    v.append(f"spec {sid}: partition field id {pfid} < 1000")
+                all_pfids.append(pfid)
+                if cur_field_ids and f.get("source-id") not in cur_field_ids:
+                    # source column may exist only in an older schema — spec
+                    # allows it, but flag a source id found in NO schema
+                    known = {
+                        fld.get("id")
+                        for sch in meta.get("schemas", [])
+                        for fld in sch.get("fields", [])
+                    }
+                    if f.get("source-id") not in known:
+                        v.append(
+                            f"spec {sid}: source-id {f.get('source-id')} "
+                            "not in any schema"
+                        )
+                t = f.get("transform", "")
+                if t not in _TRANSFORMS and not t.startswith(_TRANSFORM_PREFIXES):
+                    v.append(f"spec {sid}: unknown transform {t!r}")
+                if not isinstance(f.get("name"), str):
+                    v.append(f"spec {sid}: partition field without name")
+        if len(all_pfids) != len(set(all_pfids)):
+            v.append(
+                "partition field ids are not unique across specs: "
+                f"{sorted(all_pfids)}"
+            )
+        if meta["default-spec-id"] not in spec_ids:
+            v.append(f"default-spec-id {meta['default-spec-id']} not in specs")
+        if need("last-partition-id", int):
+            if all_pfids and meta["last-partition-id"] < max(all_pfids):
+                v.append(
+                    f"last-partition-id {meta['last-partition-id']} < max "
+                    f"assigned partition field id {max(all_pfids)}"
+                )
+
+    # ---- sort orders
+    if need("sort-orders", list) and need("default-sort-order-id", int):
+        order_ids = set()
+        for o in meta["sort-orders"]:
+            oid = o.get("order-id")
+            if not isinstance(oid, int):
+                v.append("sort order without integer order-id")
+                continue
+            if oid in order_ids:
+                v.append(f"duplicate sort order-id {oid}")
+            order_ids.add(oid)
+            if oid == 0 and o.get("fields"):
+                v.append("sort order 0 must be the unsorted order (no fields)")
+            for f in o.get("fields", []):
+                if f.get("direction") not in ("asc", "desc"):
+                    v.append(f"sort order {oid}: bad direction {f.get('direction')!r}")
+                if f.get("null-order") not in ("nulls-first", "nulls-last"):
+                    v.append(f"sort order {oid}: bad null-order {f.get('null-order')!r}")
+        if meta["default-sort-order-id"] not in order_ids:
+            v.append(
+                f"default-sort-order-id {meta['default-sort-order-id']} "
+                "not in sort-orders"
+            )
+
+    # ---- snapshots
+    snap_ids: set[int] = set()
+    seq_by_id: dict[int, int] = {}
+    if need("snapshots", list):
+        for s in meta["snapshots"]:
+            sid = s.get("snapshot-id")
+            if not isinstance(sid, int):
+                v.append("snapshot without integer snapshot-id")
+                continue
+            if sid in snap_ids:
+                v.append(f"duplicate snapshot-id {sid}")
+            snap_ids.add(sid)
+            if not isinstance(s.get("timestamp-ms"), int):
+                v.append(f"snapshot {sid}: missing timestamp-ms")
+            seq = s.get("sequence-number")
+            if not isinstance(seq, int):
+                v.append(f"snapshot {sid}: missing sequence-number (v2 required)")
+            else:
+                seq_by_id[sid] = seq
+                if isinstance(meta.get("last-sequence-number"), int) and (
+                    seq > meta["last-sequence-number"]
+                ):
+                    v.append(
+                        f"snapshot {sid}: sequence-number {seq} > "
+                        f"last-sequence-number {meta['last-sequence-number']}"
+                    )
+            ml = s.get("manifest-list")
+            if not isinstance(ml, str):
+                v.append(f"snapshot {sid}: missing manifest-list")
+            elif ml.startswith("file:") and not os.path.exists(_from_uri(ml)):
+                v.append(f"snapshot {sid}: manifest-list {ml} does not exist")
+            summary = s.get("summary")
+            if not isinstance(summary, dict) or "operation" not in summary:
+                v.append(f"snapshot {sid}: summary.operation missing")
+            else:
+                if summary["operation"] not in _OPERATIONS:
+                    v.append(
+                        f"snapshot {sid}: unknown operation "
+                        f"{summary['operation']!r}"
+                    )
+                bad = {
+                    k: x for k, x in summary.items() if not isinstance(x, str)
+                }
+                if bad:
+                    v.append(f"snapshot {sid}: non-string summary values {bad}")
+            if "schema-id" in s and s["schema-id"] not in schema_ids:
+                v.append(f"snapshot {sid}: schema-id {s['schema-id']} unknown")
+        for s in meta["snapshots"]:
+            par = s.get("parent-snapshot-id")
+            sid = s.get("snapshot-id")
+            if par is None:
+                continue
+            if par not in snap_ids:
+                v.append(f"snapshot {sid}: parent {par} not in snapshots")
+            elif (
+                sid in seq_by_id
+                and par in seq_by_id
+                and seq_by_id[sid] < seq_by_id[par]
+            ):
+                v.append(
+                    f"snapshot {sid}: sequence-number {seq_by_id[sid]} < "
+                    f"parent's {seq_by_id[par]}"
+                )
+
+    if need("current-snapshot-id", int) and meta["current-snapshot-id"] not in snap_ids:
+        v.append(
+            f"current-snapshot-id {meta['current-snapshot-id']} not in snapshots"
+        )
+
+    # ---- logs
+    if need("snapshot-log", list):
+        prev_ts = None
+        for e in meta["snapshot-log"]:
+            if e.get("snapshot-id") not in snap_ids:
+                v.append(f"snapshot-log references unknown {e.get('snapshot-id')}")
+            ts = e.get("timestamp-ms")
+            if prev_ts is not None and isinstance(ts, int) and ts < prev_ts:
+                v.append("snapshot-log timestamps decrease")
+            prev_ts = ts if isinstance(ts, int) else prev_ts
+    if need("metadata-log", list):
+        for e in meta["metadata-log"]:
+            mf = e.get("metadata-file", "")
+            if mf.startswith("file:") and not os.path.exists(_from_uri(mf)):
+                v.append(f"metadata-log file {mf} does not exist")
+
+    # ---- refs
+    if need("refs", dict):
+        refs = meta["refs"]
+        if "main" not in refs:
+            v.append("refs has no 'main' branch")
+        else:
+            main = refs["main"]
+            if main.get("type") != "branch":
+                v.append("refs.main is not a branch")
+            if main.get("snapshot-id") != meta.get("current-snapshot-id"):
+                v.append(
+                    "refs.main snapshot-id "
+                    f"{main.get('snapshot-id')} != current-snapshot-id "
+                    f"{meta.get('current-snapshot-id')}"
+                )
+        for rname, r in refs.items():
+            if r.get("type") not in ("branch", "tag"):
+                v.append(f"ref {rname!r}: bad type {r.get('type')!r}")
+            if r.get("snapshot-id") not in snap_ids:
+                v.append(f"ref {rname!r}: snapshot {r.get('snapshot-id')} unknown")
+
+    if "properties" in meta and not all(
+        isinstance(k, str) and isinstance(x, str)
+        for k, x in meta["properties"].items()
+    ):
+        v.append("properties must be a string->string map")
+
+    if deep and not v:
+        v.extend(_deep_walk(meta))
+    return v
+
+
+def _deep_walk(meta: dict) -> list[str]:
+    """Open every manifest list + manifest and verify recorded lengths and
+    referenced file existence against the filesystem."""
+    # read_ocf is the repo's own Avro reader — acceptable here because the
+    # Avro BYTES are independently cross-validated by the JVM reference
+    # implementation in tests; deep mode only adds filesystem facts.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from apache_iceberg_demo_spark.sources.avro_ocf import read_ocf
+
+    v: list[str] = []
+    for s in meta.get("snapshots", []):
+        ml = _from_uri(s["manifest-list"])
+        try:
+            _, _, mfs = read_ocf(ml)
+        except Exception as e:  # pragma: no cover - corrupt container
+            v.append(f"snapshot {s['snapshot-id']}: unreadable manifest list: {e}")
+            continue
+        for mf in mfs:
+            mp = _from_uri(mf["manifest_path"])
+            if not os.path.exists(mp):
+                v.append(f"manifest {mf['manifest_path']} does not exist")
+                continue
+            real = os.path.getsize(mp)
+            if mf["manifest_length"] != real:
+                v.append(
+                    f"manifest {mp}: recorded length {mf['manifest_length']} "
+                    f"!= real {real}"
+                )
+            try:
+                _, _, entries = read_ocf(mp)
+            except Exception as e:  # pragma: no cover
+                v.append(f"unreadable manifest {mp}: {e}")
+                continue
+            for e in entries:
+                d = e["data_file"]
+                fp = _from_uri(d["file_path"])
+                if not os.path.exists(fp):
+                    v.append(f"data file {d['file_path']} does not exist")
+                elif d["file_size_in_bytes"] != os.path.getsize(fp):
+                    v.append(
+                        f"data file {fp}: recorded size "
+                        f"{d['file_size_in_bytes']} != real {os.path.getsize(fp)}"
+                    )
+    return v
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 2
+    deep = "--deep" in argv
+    location = [a for a in argv if not a.startswith("--")][0]
+    violations = validate(location, deep=deep)
+    if violations:
+        for line in violations:
+            print(f"VIOLATION: {line}")
+        print(f"{len(violations)} violation(s)")
+        return 1
+    print(f"OK: {location} conforms to the Iceberg v2 table-metadata rules")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
