@@ -16,15 +16,17 @@ from pyspark.sql import functions as F
 from apache_iceberg_demo_spark.io import load
 from apache_iceberg_demo_spark.registry import register
 
-# result cache from the most recent eagerly-materialized operator (language
-# ID); the next invocation releases it so repeated driver/bench runs don't
-# accumulate executor storage (same pattern as operators/dedup.py).
-_live_caches: list[DataFrame] = []
+# result caches from eagerly-materialized operators (language ID, the two
+# persisted pipelines); keyed PER OPERATOR so releasing one operator's
+# previous result never drops another's returned cache (the multimodal r10
+# ADVICE class), and each next invocation releases only its own
+# predecessor so repeated driver/bench runs don't accumulate storage.
+_live_caches: dict[str, DataFrame] = {}
 
 
-def _release_caches() -> None:
-    while _live_caches:
-        df = _live_caches.pop()
+def _release_caches(owner: str) -> None:
+    df = _live_caches.pop(owner, None)
+    if df is not None:
         try:
             df.unpersist()
         except Exception:
@@ -32,6 +34,20 @@ def _release_caches() -> None:
             # consumers, e.g. tools/determinism_probe.py): its cached
             # blocks died with the session — nothing to release
             pass
+
+
+def _keep_result(owner: str, df: DataFrame) -> DataFrame:
+    """Persist + materialize a returned summary frame so the driver's
+    count()+collect() executes the upstream pipeline once (measured r11:
+    saves ~0.8-1.0 s per query at driver conditions for the two persisted
+    pipelines; REEXEC_r10.log flagged both as ~1.5-2 s double executions).
+    The result frames are tiny (per-source / per-language rollups), so the
+    cache cost is the materialization we were paying anyway."""
+    _release_caches(owner)
+    df = df.persist()
+    df.count()
+    _live_caches[owner] = df
+    return df
 
 #: the synthetic corpus's function words (FIXTURES.md: query/engine vocabulary)
 STOPWORDS = ("a", "the")
@@ -289,7 +305,7 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits",
         )
     )
-    _release_caches()
+    _release_caches("c5_language_id")
     # sized from the SPREAD frame (db), not the raw 1-2 split scan (d), so
     # the groupBy/window shuffles keep the fan-out's parallelism (r09 ADVICE
     # fix class — see dedup.minhash_lsh_pairs)
@@ -299,7 +315,7 @@ def c5_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = result.cache()
         result.count()
     db.unpersist()
-    _live_caches.append(result)
+    _live_caches["c5_language_id"] = result
     return result
 
 
@@ -603,7 +619,8 @@ def c5_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     with_grams = _doc_ngrams(d, extra_cols=["source"])
     corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
     contaminated = _contaminated_doc_ids(with_grams).withColumn("hit", F.lit(1))
-    return (
+    return _keep_result(
+        "c5_decontaminate_ngram_overlap",
         corpus.select("doc_id", "source")
         .join(contaminated, on="doc_id", how="left")
         .groupBy("source")
@@ -612,7 +629,7 @@ def c5_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("hit").alias("n_contaminated"),
             (F.count("*") - F.count("hit")).alias("n_clean"),
         )
-        .orderBy("source")
+        .orderBy("source"),
     )
 
 
@@ -700,11 +717,16 @@ def pipeline_pretrain_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.floor((F.sum("n_tokens").over(pw) - F.col("n_tokens")) / 512).cast("bigint"),
     )
-    return packed.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("pack_id").alias("n_packs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    ).orderBy("lang")
+    return _keep_result(
+        "pipeline_pretrain_data_prep",
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang"),
+    )
 
 
 @register(
