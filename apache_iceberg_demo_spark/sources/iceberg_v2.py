@@ -28,10 +28,14 @@ from data placement (the reference stores data on ``s3a://`` MinIO,
 Why no end-to-end foreign-engine read: DuckDB 1.0 is present but its
 ``iceberg`` extension cannot be installed offline (verified:
 ``INSTALL iceberg`` fails with an extension-download IOException), and no
-iceberg-spark-runtime jar ships with this container. Conformance is
-instead proven at the next layer down: the Avro bytes are read back by the
-JVM's REFERENCE Avro implementation (``avro-1.12.1.jar`` via py4j) and the
-JSON layout is pinned by spec-conformance tests (tests/test_iceberg_v2.py).
+iceberg-spark-runtime jar ships with this container, and no pyiceberg
+wheel is downloadable (verified r11: DNS failure). Conformance is instead
+proven one layer down on BOTH metadata layers: the Avro bytes are read
+back by the JVM's REFERENCE Avro implementation (``avro-1.12.1.jar`` via
+py4j), and the JSON layer is checked by a standalone spec validator
+written from the public spec rules with no exporter imports
+(``tools/validate_iceberg_metadata.py``) plus the spec-conformance tests
+(tests/test_iceberg_v2.py).
 
 ``read_iceberg_v2`` is a deliberately independent reader: it resolves
 version-hint → metadata.json → manifest list (Avro) → manifests (Avro) →
@@ -501,6 +505,12 @@ def _write_positional_delete_file(wh, name: str, mdir: str, dp: dict):
     — the same bound real Iceberg writers accept before compacting delete
     files; a predicate matching a large fraction of the table should be
     ``apply_deletes``-materialized instead, exactly as before.
+
+    Known limitation (loud, never silent): a non-equality predicate
+    recorded AFTER a column rename, scoped to files that physically carry
+    the OLD spelling, raises AnalysisException here (each scoped vintage
+    is scanned separately, so the missing column never NULL-coalesces) —
+    run ``apply_deletes()`` first in that lineage.
 
     Returns ``(path, row_count)``."""
     import pyarrow as pa
@@ -1091,15 +1101,20 @@ def read_iceberg_v2(
     """Scan an Iceberg v2 table through the SPEC metadata only.
 
     Resolution chain (HadoopCatalog discovery): version-hint.text →
-    vN.metadata.json → snapshot (current or ``snapshot_id`` time travel) →
-    manifest-list Avro → manifest Avro entries → data-file URIs +
-    partition tuples. Partition values are attached FROM THE MANIFESTS
-    (spec semantics — Iceberg never re-infers them from paths): files are
-    grouped by partition tuple and each group's scan gets the tuple as
-    literal columns, plan-level unioned (no shuffle). At 100 TB a
-    DataSourceV2 implementation would populate the constants per-split
-    inside one scan; the grouped union is the same plan shape for the
-    bounded partition counts a single table ships.
+    vN.metadata.json → snapshot (current, ``snapshot_id`` time travel, or
+    ``ref``) → manifest-list Avro → manifest Avro entries → data-file URIs
+    + partition values. Partition values are attached FROM THE MANIFESTS
+    (spec semantics — Iceberg never re-infers them from paths): ONE
+    vectorized FileScan over every surviving file, with the per-file
+    constants (partition values, data sequence number) broadcast-joined
+    against ``_metadata.file_path`` — the mapping is manifest-sized (one
+    row per FILE, ~100k rows at 100 TB), never data-sized; this is how a
+    DataSourceV2 reader populates identity-partition constants per split.
+    Manifests under different partition specs union their fields by name
+    (absent columns NULL-fill). ``where`` prunes files from manifest
+    bounds/partition values BEFORE the scan. Equality deletes apply under
+    the spec's strictly-less sequence rule, position deletes under <= with
+    a broadcast anti-join on (file, pos).
     """
     mdir = os.path.join(_from_uri(location), "metadata")
     with open(os.path.join(mdir, "version-hint.text")) as f:
