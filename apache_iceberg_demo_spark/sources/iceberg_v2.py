@@ -1367,16 +1367,35 @@ def read_iceberg_v2(
         import pyarrow.parquet as pq
 
         name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+
+        def _delete_col(tbl, fid: int, pos: int):
+            # bind the delete-file column by its parquet field-id metadata
+            # (Iceberg semantics — survives a column RENAMED after the
+            # delete, where the parquet carries the old spelling), falling
+            # back to ordinal position in equality_ids order
+            for i in range(len(tbl.schema)):
+                md = tbl.schema.field(i).metadata or {}
+                if md.get(b"PARQUET:field_id") == str(fid).encode():
+                    return tbl.column(i)
+            return tbl.column(pos)
+
         for d in eq_deletes.values():
             cols = [name_by_id[i] for i in d["ids"]]
             tbl = pq.read_table(d["path"])
             if len(cols) == 1:
-                match = F.col(cols[0]).isin(tbl.column(cols[0]).to_pylist())
+                match = F.col(cols[0]).isin(
+                    _delete_col(tbl, d["ids"][0], 0).to_pylist()
+                )
             else:
                 # multi-column tuples: OR over per-tuple AND conjunctions —
                 # tuple counts are predicate-derived (tiny), far below the
                 # Catalyst array-inlining O(n²) threshold
-                tuples = zip(*[tbl.column(c).to_pylist() for c in cols])
+                tuples = zip(
+                    *[
+                        _delete_col(tbl, fid, i).to_pylist()
+                        for i, fid in enumerate(d["ids"])
+                    ]
+                )
                 match = F.lit(False)
                 for row in tuples:
                     row_match = F.lit(True)

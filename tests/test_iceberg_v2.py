@@ -650,6 +650,94 @@ def test_compound_or_predicate_exports_positional(spark, tmp_path):
     assert dentries[0]["data_file"]["content"] == 1  # positional, not bogus eq
 
 
+def test_equality_delete_binds_by_field_id_not_name(spark, tmp_path):
+    """Iceberg readers bind delete-file columns by FIELD ID, not name (a
+    column renamed after the delete leaves old spellings in the delete
+    parquet). Rewrite the exported delete file under a different column
+    name but the same field-id metadata — the spec read must not change."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("n", n)
+    wh.delete_where_mor("n", "n_nationkey IN (4, 9)")
+    location = export_iceberg_v2(wh, "n", str(tmp_path / "ice"))
+    before = sorted(map(tuple, read_iceberg_v2(spark, location).collect()))
+    assert len(before) == 23
+
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1][0]
+    _, _, dentries = read_ocf(_from_uri(dm["manifest_path"]))
+    dfile = _from_uri(dentries[0]["data_file"]["file_path"])
+    fid = dentries[0]["data_file"]["equality_ids"][0]
+    tbl = pq.read_table(dfile)
+    renamed = pa.Table.from_arrays(
+        [tbl.column(0)],
+        schema=pa.schema(
+            [
+                pa.field(
+                    "old_spelling",
+                    tbl.schema.field(0).type,
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+            ]
+        ),
+    )
+    pq.write_table(renamed, dfile)
+    after = sorted(map(tuple, read_iceberg_v2(spark, location).collect()))
+    assert after == before
+
+
+def test_positional_delete_on_partition_column_predicate(spark, tmp_path):
+    """The positional-delete writer must recover hive partition columns
+    (basePath discovery) so a non-equality predicate over the PARTITION
+    column computes the right positions; time travel to the pre-delete
+    snapshot still sees every row."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    year = F.date_format("l_shipdate", "yyyy")
+    wh.create_or_replace(
+        "t", li.withColumn("ship_year", year), partition_by="ship_year"
+    )
+    pre = wh._load_meta("t")["current_snapshot_id"]
+    wh.delete_where_mor("t", "ship_year >= '1996'")  # non-equality: >=
+    location = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    got = read_iceberg_v2(spark, location)
+    bespoke = wh.read("t")
+    assert sorted(map(tuple, got.select(*bespoke.columns).collect())) == sorted(
+        map(tuple, bespoke.collect())
+    )
+    assert got.filter(F.col("ship_year") >= "1996").count() == 0
+    assert got.count() > 0
+    # the delete manifest entry is positional, not a misparse
+    meta = _load_meta(location)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    dm = [m for m in mfs if m["content"] == 1]
+    _, _, dentries = read_ocf(_from_uri(dm[0]["manifest_path"]))
+    assert dentries[0]["data_file"]["content"] == 1
+    # time travel to the pre-delete snapshot: all rows, no delete applied
+    pre_read = read_iceberg_v2(spark, location, snapshot_id=pre)
+    assert pre_read.count() == wh.read("t", snapshot_id=pre).count()
+    assert pre_read.filter(F.col("ship_year") >= "1996").count() > 0
+
+
 def test_jvm_reference_avro_reads_delete_manifests(spark, tmp_path):
     """Both delete-file kinds' manifests must parse under the JVM's
     REFERENCE Avro implementation with identical values — the same
