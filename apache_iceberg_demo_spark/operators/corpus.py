@@ -30,15 +30,15 @@ from apache_iceberg_demo_spark.registry import register
 #: enough to exercise the cross-doc group-by at every scale factor).
 SPAN_W = 8
 
-# result cache from the most recent invocation needing a reused subplan
-# (source divergence); released on the next invocation — same pattern as
-# operators/text.py / operators/dedup.py.
-_live_caches: list[DataFrame] = []
+# result caches keyed PER OPERATOR (source divergence, CMS heavy
+# hitters): releasing one operator's previous frames never drops the
+# other's returned cache (the multimodal r10 ADVICE class) — same keyed
+# pattern as operators/text.py / operators/roundout.py.
+_live_caches: dict[str, list[DataFrame]] = {}
 
 
-def _release_caches() -> None:
-    while _live_caches:
-        df = _live_caches.pop()
+def _release_caches(owner: str) -> None:
+    for df in _live_caches.pop(owner, []):
         try:
             df.unpersist()
         except Exception:
@@ -184,7 +184,7 @@ def c5_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
 
-    _release_caches()
+    _release_caches("c5_source_divergence")
     d = load(spark, sf_dir, "documents")
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
@@ -196,7 +196,7 @@ def c5_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         st.count()  # materialize the shared subplan inside the conf scope
-        _live_caches.append(st)
+        _live_caches.setdefault("c5_source_divergence", []).append(st)
     sn = st.groupBy("source").agg(F.sum("c").alias("src_n"))
     ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
     cn = ct.agg(F.sum("cc").alias("corp_n"))
@@ -322,7 +322,7 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to audit the sketch — production keeps the 1024 counters and drops the
     shuffle.
     """
-    _release_caches()
+    _release_caches("b4_countmin_heavy_hitters")
     D, WID = 4, 256
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -396,7 +396,7 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # class fixed in pagerank/RAG/triangle-count)
         .persist()
     )
-    _live_caches.append(top)
+    _live_caches.setdefault("b4_countmin_heavy_hitters", []).append(top)
     try:
         loose = [r["token"] for r in top.collect() if not r["est_within_5pct"]]
         if loose:
@@ -407,7 +407,7 @@ def b4_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         # don't leak the persisted frame until some later corpus operator
         # happens to run _release_caches (ADVICE r08)
-        _live_caches.remove(top)
+        _live_caches["b4_countmin_heavy_hitters"].remove(top)
         top.unpersist()
         raise
     return top

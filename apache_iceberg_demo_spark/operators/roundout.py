@@ -30,12 +30,17 @@ from pyspark.sql import types as T
 from apache_iceberg_demo_spark.io import load, scratch_dir
 from apache_iceberg_demo_spark.registry import register
 
-_live_caches: list[DataFrame] = []
+# working-set caches keyed PER OPERATOR: five independent operators cache
+# here (BFS, bellman-ford, cached-scan-reuse, RAG pipeline, LSH tuning),
+# and a wholesale release would drop another operator's RETURNED cached
+# frame — silently re-executing its whole iterative pipeline for an
+# interleaved consumer (the multimodal r10 ADVICE class). Each invocation
+# releases only its own predecessor's frames.
+_live_caches: dict[str, list[DataFrame]] = {}
 
 
-def _release_caches() -> None:
-    while _live_caches:
-        df = _live_caches.pop()
+def _release_caches(owner: str) -> None:
+    for df in _live_caches.pop(owner, []):
         try:
             df.unpersist()
         except Exception:
@@ -43,6 +48,11 @@ def _release_caches() -> None:
             # consumers, e.g. tools/determinism_probe.py): its cached
             # blocks died with the session — nothing to release
             pass
+
+
+def _track(owner: str, df: DataFrame) -> DataFrame:
+    _live_caches.setdefault(owner, []).append(df)
+    return df
 
 
 @register(
@@ -280,7 +290,7 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hops aggregated OUTSIDE the recursion (aggregating over the
     recursive reference is illegal in Spark 4 and unnecessary here).
     """
-    _release_caches()
+    _release_caches("b3_bfs_reachability")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e0 = (
         li.alias("x")
@@ -297,7 +307,7 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e0.selectExpr("b AS s", "a AS d"))
         .persist()
     )
-    _live_caches.append(edges)
+    _track("b3_bfs_reachability", edges)
 
     seeds = (
         load(spark, sf_dir, "part")
@@ -305,7 +315,7 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     visited = seeds.withColumn("hops", F.lit(0).cast("bigint")).persist()
-    _live_caches.append(visited)
+    _track("b3_bfs_reachability", visited)
     frontier = visited.select("node")
     for h in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
@@ -316,9 +326,9 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(h).cast("bigint"))
             .persist()
         )
-        _live_caches.append(nxt)
+        _track("b3_bfs_reachability", nxt)
         visited = visited.unionAll(nxt).persist()
-        _live_caches.append(visited)
+        _track("b3_bfs_reachability", visited)
         frontier = nxt.select("node")
     # materialize the whole hop cascade ONCE under an input-sized shuffle
     # scope (same as b3_pagerank_copurchase: a plain 200-partition session
@@ -1140,13 +1150,13 @@ def b6_cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-subplan-sharing gap (CLAUDE.md) this operator demonstrates the
     fix for.
     """
-    _release_caches()
+    _release_caches("b6_cached_scan_reuse")
     base = (
         load(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_orderpriority", "o_totalprice")
         .persist()
     )
-    _live_caches.append(base)
+    _track("b6_cached_scan_reuse", base)
 
     def agg(kind: str, col: str) -> DataFrame:
         return base.groupBy(col).agg(
@@ -2087,6 +2097,7 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, ["stream", "batch"]),
     ]
 
+    _release_caches("pipeline_rag_retrieval")
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
@@ -2110,7 +2121,7 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    _live_caches.append(chunks)
+    _track("pipeline_rag_retrieval", chunks)
 
     n_chunks = chunks.agg(F.count(F.lit(1)).alias("nc"))
     qdf = spark.createDataFrame(
@@ -2196,7 +2207,7 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured ~15 s extra at sf0.01 — the pagerank/BFS lesson).
         .persist()
     )
-    _live_caches.append(out)
+    _track("pipeline_rag_retrieval", out)
     # materialize inside an input-sized shuffle scope: a plain 200-partition
     # session otherwise runs each of the pipeline's ~6 shuffles as ~200
     # near-empty tasks over a 30k-chunk frame
@@ -3005,7 +3016,7 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE with the min taken OUTSIDE the recursion (Spark 4 cannot aggregate
     over the recursive reference).
     """
-    _release_caches()
+    _release_caches("b3_bellman_ford_bounded")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e0 = (
         li.alias("x")
@@ -3025,7 +3036,7 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    _live_caches.append(edges)
+    _track("b3_bellman_ford_bounded", edges)
 
     dist = (
         load(spark, sf_dir, "part")
@@ -3033,7 +3044,7 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"), F.lit(0).cast("long").alias("cost"))
         .persist()
     )
-    _live_caches.append(dist)
+    _track("b3_bellman_ford_bounded", dist)
     for _ in range(3):
         relaxed = (
             dist.join(edges, dist["node"] == edges["s"])
@@ -3045,7 +3056,7 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cost").alias("cost"))
             .persist()
         )
-        _live_caches.append(dist)
+        _track("b3_bellman_ford_bounded", dist)
     return dist.select("node", F.col("cost").cast("bigint").alias("min_cost"))
 
 
@@ -4041,14 +4052,14 @@ def c2_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature,
     )
 
-    _release_caches()
+    _release_caches("c2_lsh_band_tuning")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = (
         hashed_word_shingles(docs)
         .select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
         .persist()
     )
-    _live_caches.append(sigs)
+    _track("c2_lsh_band_tuning", sigs)
 
     rows = []
     for n_bands in (4, 8, 16):
