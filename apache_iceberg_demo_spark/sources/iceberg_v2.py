@@ -1097,12 +1097,16 @@ def read_iceberg_v2(
     snapshot_id: Optional[int] = None,
     where: Optional[str] = None,
     ref: Optional[str] = None,
+    as_of_ms: Optional[int] = None,
 ) -> DataFrame:
     """Scan an Iceberg v2 table through the SPEC metadata only.
 
     Resolution chain (HadoopCatalog discovery): version-hint.text →
-    vN.metadata.json → snapshot (current, ``snapshot_id`` time travel, or
-    ``ref``) → manifest-list Avro → manifest Avro entries → data-file URIs
+    vN.metadata.json → snapshot (current, ``snapshot_id`` time travel,
+    ``ref``, or ``as_of_ms`` — the spec's as-of-timestamp read, resolved
+    through the snapshot-log as the last MAIN snapshot whose
+    ``timestamp-ms`` <= the bound) → manifest-list Avro → manifest Avro
+    entries → data-file URIs
     + partition values. Partition values are attached FROM THE MANIFESTS
     (spec semantics — Iceberg never re-infers them from paths): ONE
     vectorized FileScan over every surviving file, with the per-file
@@ -1123,9 +1127,23 @@ def read_iceberg_v2(
         meta = json.load(f)
     if meta["format-version"] != 2:
         raise ValueError(f"unsupported format-version {meta['format-version']}")
+    if sum(x is not None for x in (ref, snapshot_id, as_of_ms)) > 1:
+        raise ValueError("pass at most one of ref, snapshot_id, as_of_ms")
+    if as_of_ms is not None:
+        # spec: as-of-timestamp reads resolve through the snapshot-log
+        # (MAIN-pointer history), not the snapshots list — a branch
+        # snapshot never becomes current-as-of any wall-clock time
+        eligible = [
+            e for e in meta.get("snapshot-log", [])
+            if e["timestamp-ms"] <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot current as of {as_of_ms} (earliest log entry: "
+                f"{min((e['timestamp-ms'] for e in meta.get('snapshot-log', [])), default=None)})"
+            )
+        snapshot_id = eligible[-1]["snapshot-id"]
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass either ref or snapshot_id, not both")
         if ref not in meta.get("refs", {}):
             raise KeyError(
                 f"no ref {ref!r} (refs: {sorted(meta.get('refs', {}))})"

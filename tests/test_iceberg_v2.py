@@ -356,6 +356,111 @@ def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path)
     assert any("last-partition-id" in b for b in bad)
 
 
+def _load_validator():
+    import importlib.util
+
+    vpath = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "validate_iceberg_metadata.py",
+    )
+    sp = importlib.util.spec_from_file_location("validate_iceberg_metadata", vpath)
+    mod = importlib.util.module_from_spec(sp)
+    sp.loader.exec_module(mod)
+    return mod
+
+
+def test_validator_deep_catches_delete_file_tampering(spark, tmp_path):
+    """Deep mode must verify the delete-format rules on the ACTUAL files,
+    not trust the metadata: a manifest whose record_count disagrees with
+    the parquet footer, and a position-delete parquet stripped of the
+    reserved field ids, are both violations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber <= 2"))
+    wh.delete_where_mor("t", "l_quantity < 3")  # non-equality → positional
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    # manifest/file paths inside the export are absolute URIs, so tamper
+    # IN PLACE (this export exists only for this test)
+    meta = _load_meta(loc)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+
+    # --- tamper 1: bump a data entry's record_count inside the manifest
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    mp = _from_uri(dm["manifest_path"])
+    schema, hdr, entries = read_ocf(mp)
+    entries[0]["data_file"]["record_count"] += 1
+    extra = {k: v for k, v in hdr.items() if not k.startswith("avro.")}
+    write_ocf(mp, schema, entries, metadata=extra)
+    bad = mod.validate(loc, deep=True)
+    assert any("record_count" in b and "num_rows" in b for b in bad), bad
+
+    # --- tamper 2: strip the reserved field ids off the pos-delete file
+    delm = next(m for m in mfs if m.get("content", 0) == 1)
+    _, _, dents = read_ocf(_from_uri(delm["manifest_path"]))
+    pd_entry = next(e for e in dents if e["data_file"]["content"] == 1)
+    pd_path = _from_uri(pd_entry["data_file"]["file_path"])
+    tbl = pq.read_table(pd_path)
+    naked = pa.schema(
+        [pa.field("file_path", pa.string()), pa.field("pos", pa.int64())]
+    )
+    pq.write_table(tbl.cast(naked), pd_path)
+    bad2 = mod.validate(loc, deep=True)
+    assert any("field-id" in b and "reserved" in b for b in bad2), bad2
+
+
+def test_spec_reader_as_of_timestamp(spark, tmp_path):
+    """``as_of_ms`` resolves through the snapshot-log exactly like a real
+    reader's as-of-timestamp option: last MAIN snapshot at-or-before the
+    bound; before-history errors; mutually exclusive with snapshot_id/ref."""
+    import time
+
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    first = li.filter("l_linenumber = 1")
+    wh.create_or_replace("t", first)
+    time.sleep(0.01)  # guarantee distinct timestamp-ms between snapshots
+    wh.append("t", li.filter("l_linenumber = 2"))
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    log = _load_meta(loc)["snapshot-log"]
+    assert len(log) == 2 and log[0]["timestamp-ms"] < log[1]["timestamp-ms"]
+
+    n_first = first.count()
+    n_all = read_iceberg_v2(spark, loc).count()
+    assert read_iceberg_v2(spark, loc, as_of_ms=log[0]["timestamp-ms"]).count() == n_first
+    # between the two commits → still the first snapshot
+    assert (
+        read_iceberg_v2(
+            spark, loc, as_of_ms=log[1]["timestamp-ms"] - 1
+        ).count() == n_first
+    )
+    assert read_iceberg_v2(spark, loc, as_of_ms=log[1]["timestamp-ms"]).count() == n_all
+
+    with pytest.raises(ValueError, match="no snapshot current as of"):
+        read_iceberg_v2(spark, loc, as_of_ms=log[0]["timestamp-ms"] - 1)
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg_v2(
+            spark, loc,
+            as_of_ms=log[1]["timestamp-ms"],
+            snapshot_id=log[0]["snapshot-id"],
+        )
+
+
 def test_manifest_bounds_match_parquet_footers(exported):
     """lower/upper bounds use the spec's single-value binary serialization
     and must equal the parquet footer min/max they were derived from."""

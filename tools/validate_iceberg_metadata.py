@@ -38,7 +38,16 @@ Checks (each failure is one violation line):
   every ref's snapshot resolves and ``type`` is branch|tag;
 - ``--deep``: additionally opens every manifest list + manifest (Avro) and
   verifies manifest_length values against the real file sizes and that
-  every referenced data/delete file exists with its recorded size.
+  every referenced data/delete file exists with its recorded size; plus
+  the delete-file rules from the spec's "Delete Formats" section:
+  manifest ``content`` agrees with every entry's ``data_file.content``
+  (data manifests carry only content=0 entries, delete manifests only
+  1/2), equality-delete entries carry a non-empty ``equality_ids`` list
+  while position-delete entries carry none, position-delete parquet files
+  have exactly the reserved schema (``file_path`` string field-id
+  2147483546, ``pos`` long field-id 2147483545) sorted by (path, pos)
+  with every referenced path existing, and every parquet file's recorded
+  ``record_count`` matches its parquet footer ``num_rows``.
 
 Usage:  python tools/validate_iceberg_metadata.py LOCATION [--deep]
 Exit 0 = conformant, 1 = violations (printed one per line).
@@ -386,16 +395,94 @@ def _deep_walk(meta: dict) -> list[str]:
             except Exception as e:  # pragma: no cover
                 v.append(f"unreadable manifest {mp}: {e}")
                 continue
+            m_content = mf.get("content", 0)
             for e in entries:
                 d = e["data_file"]
                 fp = _from_uri(d["file_path"])
                 if not os.path.exists(fp):
                     v.append(f"data file {d['file_path']} does not exist")
-                elif d["file_size_in_bytes"] != os.path.getsize(fp):
+                    continue
+                if d["file_size_in_bytes"] != os.path.getsize(fp):
                     v.append(
                         f"data file {fp}: recorded size "
                         f"{d['file_size_in_bytes']} != real {os.path.getsize(fp)}"
                     )
+                # spec "Manifests": a manifest stores data files OR delete
+                # files, declared by the manifest-list content field
+                f_content = d.get("content", 0)
+                if m_content == 0 and f_content != 0:
+                    v.append(
+                        f"data manifest {mp} carries a delete entry "
+                        f"(data_file.content={f_content}) for {fp}"
+                    )
+                if m_content == 1 and f_content not in (1, 2):
+                    v.append(
+                        f"delete manifest {mp} carries a data entry "
+                        f"(data_file.content={f_content}) for {fp}"
+                    )
+                eq_ids = d.get("equality_ids")
+                if f_content == 2 and not eq_ids:
+                    v.append(f"equality-delete file {fp} has no equality_ids")
+                if f_content == 1 and eq_ids:
+                    v.append(
+                        f"position-delete file {fp} carries equality_ids "
+                        f"{eq_ids} (spec: position deletes have none)"
+                    )
+                v.extend(_check_parquet_file(fp, d, f_content))
+    return v
+
+
+#: Reserved field ids for the position-delete schema (spec "Position
+#: Delete Files").
+_POS_PATH_FID = 2147483546
+_POS_POS_FID = 2147483545
+
+
+def _check_parquet_file(fp: str, d: dict, f_content: int) -> list[str]:
+    """Footer-level checks: recorded record_count vs parquet num_rows, and
+    the reserved position-delete schema (names, types, field ids, sort
+    order, referenced paths exist)."""
+    if d.get("file_format", "PARQUET").upper() != "PARQUET":
+        return []
+    import pyarrow.parquet as pq
+
+    v: list[str] = []
+    try:
+        md = pq.read_metadata(fp)
+    except Exception as e:  # pragma: no cover - corrupt file
+        return [f"unreadable parquet {fp}: {e}"]
+    if md.num_rows != d["record_count"]:
+        v.append(
+            f"{fp}: recorded record_count {d['record_count']} != parquet "
+            f"footer num_rows {md.num_rows}"
+        )
+    if f_content != 1:
+        return v
+    sch = pq.read_schema(fp)
+    want = [("file_path", "string", _POS_PATH_FID), ("pos", "int64", _POS_POS_FID)]
+    if sch.names != [w[0] for w in want]:
+        return v + [
+            f"position-delete file {fp}: schema {sch.names} != "
+            f"['file_path', 'pos']"
+        ]
+    for fld, (nm, typ, fid) in zip(sch, want):
+        if str(fld.type) != typ:
+            v.append(f"position-delete {fp}: {nm} has type {fld.type}, not {typ}")
+        meta = fld.metadata or {}
+        got = meta.get(b"PARQUET:field_id")
+        if got is None or int(got) != fid:
+            v.append(
+                f"position-delete {fp}: {nm} field-id "
+                f"{None if got is None else int(got)} != reserved {fid}"
+            )
+    tbl = pq.read_table(fp)
+    pairs = list(zip(tbl.column("file_path").to_pylist(),
+                     tbl.column("pos").to_pylist()))
+    if pairs != sorted(pairs):
+        v.append(f"position-delete {fp}: rows not sorted by (file_path, pos)")
+    for ref in sorted({p for p, _ in pairs}):
+        if not os.path.exists(_from_uri(ref)):
+            v.append(f"position-delete {fp} references missing file {ref}")
     return v
 
 
