@@ -132,9 +132,13 @@ def bound_value(ice_type: str, raw: bytes):
 # ---------------------------------------------------------------- avro schemas
 
 
-def _kv_map(name_prefix: str, key_id: int, val_id: int, fid: int, fname: str) -> dict:
+def _kv_map(
+    name_prefix: str, key_id: int, val_id: int, fid: int, fname: str,
+    value_type: str = "bytes",
+) -> dict:
     """Iceberg's map-with-int-keys form: array<record{key,value}> with
-    logicalType map (Avro maps require string keys)."""
+    logicalType map (Avro maps require string keys). Bounds maps carry
+    bytes values; the column-metric maps carry longs."""
     return {
         "name": fname,
         "type": [
@@ -146,7 +150,7 @@ def _kv_map(name_prefix: str, key_id: int, val_id: int, fid: int, fname: str) ->
                     "name": f"k{key_id}_v{val_id}",
                     "fields": [
                         {"name": "key", "type": "int", "field-id": key_id},
-                        {"name": "value", "type": "bytes", "field-id": val_id},
+                        {"name": "value", "type": value_type, "field-id": val_id},
                     ],
                 },
                 "logicalType": "map",
@@ -274,6 +278,11 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        _kv_map("colsz", 117, 118, 108, "column_sizes", "long"),
+                        _kv_map("valct", 119, 120, 109, "value_counts", "long"),
+                        _kv_map(
+                            "nullct", 121, 122, 110, "null_value_counts", "long"
+                        ),
                         _kv_map("lower", 126, 127, 125, "lower_bounds"),
                         _kv_map("upper", 129, 130, 128, "upper_bounds"),
                         {
@@ -572,6 +581,43 @@ def _write_positional_delete_file(wh, name: str, mdir: str, dp: dict):
     return path, len(pairs)
 
 
+def _footer_metrics(path: str) -> dict[str, tuple[int, int, Optional[int]]]:
+    """Per-column (compressed_size, value_count, null_count-or-None) from
+    the parquet footer — the source for the spec's column_sizes /
+    value_counts / null_value_counts data-file metrics (fids 108/109/110).
+    Name-keyed so each snapshot binds its OWN field-id mapping (a renamed
+    column's old files carry the old spelling). Flat columns only — the
+    warehouse's tables are relational; nested paths are skipped. Parquet's
+    per-chunk num_values includes nulls, exactly Iceberg's value_counts
+    semantics; a row group without statistics makes the file's null count
+    unknown (None → omitted from the map, the metrics are optional
+    per-column)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            nm = c.path_in_schema
+            if "." in nm:
+                continue
+            st = c.statistics
+            nn = (
+                st.null_count
+                if st is not None and st.null_count is not None
+                else None
+            )
+            sz, nv, prev_nn = agg.get(nm, (0, 0, 0))
+            agg[nm] = [
+                sz + c.total_compressed_size,
+                nv + c.num_values,
+                None if (nn is None or prev_nn is None) else prev_nn + nn,
+            ]
+    return {k: tuple(v) for k, v in agg.items()}
+
+
 def _to_uri(path: str) -> str:
     return path if "://" in path else "file://" + os.path.abspath(path)
 
@@ -734,6 +780,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     spec_field_ids: dict[tuple, list[int]] = {}
     last_pfid = 999  # Java: PARTITION_DATA_ID_START - 1 when unpartitioned
     first_seen_seq: dict[str, int] = {}
+    #: abs data-file path -> name-keyed footer metrics (a file re-listed by
+    #: later snapshots reads its footer once per export)
+    footer_cache: dict[str, dict] = {}
     #: (predicate, file-scope) -> written delete-manifest info; a predicate
     #: first seen at sequence d keeps that sequence in every later
     #: snapshot's manifest list (inheritance = re-listing the same manifest)
@@ -807,6 +856,20 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 if lb is not None and ub is not None:
                     lower.append({"key": int(fid), "value": lb})
                     upper.append({"key": int(fid), "value": ub})
+            abs_path = wh._abs_path(name, f["path"])
+            fm = footer_cache.get(abs_path)
+            if fm is None:
+                fm = footer_cache[abs_path] = _footer_metrics(abs_path)
+            col_sizes, val_counts, null_counts = [], [], []
+            for nm in sorted(fm, key=lambda n: fids.get(n, 1 << 30)):
+                fid = fids.get(nm)
+                if fid is None:  # column unknown at this schema vintage
+                    continue
+                sz, nv, nn = fm[nm]
+                col_sizes.append({"key": int(fid), "value": int(sz)})
+                val_counts.append({"key": int(fid), "value": int(nv)})
+                if nn is not None:
+                    null_counts.append({"key": int(fid), "value": int(nn)})
             entries.append(
                 {
                     "status": status,
@@ -823,6 +886,9 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                         },
                         "record_count": int(f["row_count"]),
                         "file_size_in_bytes": int(f["size_bytes"]),
+                        "column_sizes": col_sizes or None,
+                        "value_counts": val_counts or None,
+                        "null_value_counts": null_counts or None,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
                     },

@@ -421,6 +421,73 @@ def test_validator_deep_catches_delete_file_tampering(spark, tmp_path):
     assert any("field-id" in b and "reserved" in b for b in bad2), bad2
 
 
+def test_column_metrics_exported_and_validated(spark, tmp_path):
+    """Data-file entries must carry the spec's column metric maps
+    (column_sizes fid 108 / value_counts 109 / null_value_counts 110)
+    computed from the parquet footers — real engines use these for
+    IS NULL pruning and scan costing. Planted NULLs must surface with
+    exact counts; a tampered value_counts map must fail deep validation."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = (
+        load(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .withColumn(
+            "maybe_flag",
+            F.when(F.col("l_linenumber") == 1, None).otherwise(
+                F.col("l_returnflag")
+            ),
+        )
+    )
+    n_null = li.filter("maybe_flag IS NULL").count()
+    n_all = li.count()
+    assert 0 < n_null < n_all
+    wh.create_or_replace("t", li)
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    fid = next(
+        f["id"] for f in schema["fields"] if f["name"] == "maybe_flag"
+    )
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    total_nulls = 0
+    total_vals: dict[int, int] = {}
+    for mf in mfs:
+        if mf.get("content", 0) != 0:
+            continue
+        _, _, entries = read_ocf(_from_uri(mf["manifest_path"]))
+        for e in entries:
+            d = e["data_file"]
+            assert d["column_sizes"] and d["value_counts"], "metrics missing"
+            vals = {r["key"]: r["value"] for r in d["value_counts"]}
+            for k, nv in vals.items():
+                assert nv == d["record_count"], (k, nv, d["record_count"])
+            nulls = {r["key"]: r["value"] for r in (d["null_value_counts"] or [])}
+            total_nulls += nulls.get(fid, 0)
+            assert sum(
+                r["value"] for r in d["column_sizes"]
+            ) <= d["file_size_in_bytes"]
+    assert total_nulls == n_null
+
+    # tamper: inflate one value_counts entry inside the manifest
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    mp = _from_uri(dm["manifest_path"])
+    schema_a, hdr, entries = read_ocf(mp)
+    entries[0]["data_file"]["value_counts"][0]["value"] += 7
+    extra = {k: v for k, v in hdr.items() if not k.startswith("avro.")}
+    write_ocf(mp, schema_a, entries, metadata=extra)
+    bad = mod.validate(loc, deep=True)
+    assert any("value_counts" in b and "num_rows" in b for b in bad), bad
+
+
 def test_spec_reader_as_of_timestamp(spark, tmp_path):
     """``as_of_ms`` resolves through the snapshot-log exactly like a real
     reader's as-of-timestamp option: last MAIN snapshot at-or-before the

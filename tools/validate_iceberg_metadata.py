@@ -47,7 +47,11 @@ Checks (each failure is one violation line):
   have exactly the reserved schema (``file_path`` string field-id
   2147483546, ``pos`` long field-id 2147483545) sorted by (path, pos)
   with every referenced path existing, and every parquet file's recorded
-  ``record_count`` matches its parquet footer ``num_rows``.
+  ``record_count`` matches its parquet footer ``num_rows``; the column
+  metric maps (``column_sizes``/``value_counts``/``null_value_counts``)
+  are cross-checked against the footer (nulls <= values per field,
+  column sizes bounded by the file length, flat-file value counts equal
+  ``num_rows``, null-count multiset equals the footer statistics).
 
 Usage:  python tools/validate_iceberg_metadata.py LOCATION [--deep]
 Exit 0 = conformant, 1 = violations (printed one per line).
@@ -438,6 +442,79 @@ _POS_PATH_FID = 2147483546
 _POS_POS_FID = 2147483545
 
 
+def _kv(entry_map) -> dict[int, int]:
+    """Iceberg's array<record{key,value}> map form -> python dict."""
+    return {r["key"]: r["value"] for r in (entry_map or [])}
+
+
+def _check_column_metrics(fp: str, d: dict, md) -> list[str]:
+    """Spec "Data File" metric maps vs the parquet footer. Checks that are
+    sound for ANY table: null_value_counts <= value_counts per field id,
+    and sum(column_sizes) <= the file's byte length (column chunks are
+    disjoint byte ranges). For all-flat files (no nested paths — then
+    every column's footer num_values equals num_rows by definition-level
+    encoding): every value_counts entry must equal num_rows, and when the
+    footer has complete statistics the null_value_counts multiset must
+    match the footer's null counts."""
+    v: list[str] = []
+    sizes, vals, nulls = (
+        _kv(d.get("column_sizes")),
+        _kv(d.get("value_counts")),
+        _kv(d.get("null_value_counts")),
+    )
+    if not (sizes or vals or nulls):
+        return v
+    for fid, nn in nulls.items():
+        if fid in vals and nn > vals[fid]:
+            v.append(
+                f"{fp}: null_value_counts[{fid}]={nn} > "
+                f"value_counts[{fid}]={vals[fid]}"
+            )
+    if sizes and sum(sizes.values()) > os.path.getsize(fp):
+        v.append(
+            f"{fp}: sum(column_sizes)={sum(sizes.values())} exceeds the "
+            f"file's {os.path.getsize(fp)} bytes"
+        )
+    leaf_paths = [
+        md.row_group(0).column(ci).path_in_schema
+        for ci in range(md.row_group(0).num_columns)
+    ] if md.num_row_groups else []
+    if any("." in p for p in leaf_paths):
+        return v  # nested: per-column binding needs field ids, skip
+    for fid, nv in vals.items():
+        if nv != md.num_rows:
+            v.append(
+                f"{fp}: value_counts[{fid}]={nv} != num_rows {md.num_rows} "
+                f"(flat file: every column stores one value per row)"
+            )
+    if nulls and len(nulls) == len(leaf_paths):
+        footer_nulls: list[int] = []
+        complete = True
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                st = g.column(ci).statistics
+                if st is None or st.null_count is None:
+                    complete = False
+        if complete:
+            per_col: dict[str, int] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    per_col[c.path_in_schema] = (
+                        per_col.get(c.path_in_schema, 0)
+                        + c.statistics.null_count
+                    )
+            footer_nulls = sorted(per_col.values())
+            if sorted(nulls.values()) != footer_nulls:
+                v.append(
+                    f"{fp}: null_value_counts {sorted(nulls.values())} != "
+                    f"footer null counts {footer_nulls}"
+                )
+    return v
+
+
 def _check_parquet_file(fp: str, d: dict, f_content: int) -> list[str]:
     """Footer-level checks: recorded record_count vs parquet num_rows, and
     the reserved position-delete schema (names, types, field ids, sort
@@ -456,6 +533,7 @@ def _check_parquet_file(fp: str, d: dict, f_content: int) -> list[str]:
             f"{fp}: recorded record_count {d['record_count']} != parquet "
             f"footer num_rows {md.num_rows}"
         )
+    v.extend(_check_column_metrics(fp, d, md))
     if f_content != 1:
         return v
     sch = pq.read_schema(fp)
