@@ -1271,6 +1271,18 @@ def read_iceberg_v2(
                 )
         types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
         names_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        ids_by_name = {n: i for i, n in names_by_id.items()}
+        # IS [NOT] NULL conjuncts prune on the null-count metrics (fids
+        # 109/110) — affirmative evidence only: a fid absent from the maps
+        # (partial metrics are spec-legal) never skips
+        null_conjuncts: list[tuple[str, bool]] = []
+        if where is not None:
+            for conj in _split_outside_quotes(where, "AND") or []:
+                m = re.match(
+                    r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$", conj, re.I
+                )
+                if m:
+                    null_conjuncts.append((m.group(1), bool(m.group(2))))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
@@ -1305,6 +1317,32 @@ def read_iceberg_v2(
                 from apache_iceberg_demo_spark.sources.warehouse import Warehouse
 
                 if Warehouse._can_skip(entry_view, where):
+                    continue
+            if null_conjuncts:
+                vals = {
+                    kv["key"]: kv["value"]
+                    for kv in df_rec.get("value_counts") or []
+                }
+                nulls = {
+                    kv["key"]: kv["value"]
+                    for kv in df_rec.get("null_value_counts") or []
+                }
+                skip = False
+                for col, is_not_null in null_conjuncts:
+                    fid = ids_by_name.get(col)
+                    if fid is None or fid not in nulls:
+                        continue
+                    if not is_not_null and nulls[fid] == 0:
+                        skip = True  # column has no NULLs in this file
+                        break
+                    if (
+                        is_not_null
+                        and fid in vals
+                        and nulls[fid] == vals[fid]
+                    ):
+                        skip = True  # every stored value is NULL
+                        break
+                if skip:
                     continue
             file_parts[df_rec["file_path"]] = {
                 n: df_rec["partition"].get(n) for n, _ in local_fields

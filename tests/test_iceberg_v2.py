@@ -1456,6 +1456,50 @@ def test_hand_assembled_ocf_fixture(spark, tmp_path):
     assert theirs == [(-3, [7, -1]), (300, [])]
 
 
+def test_spec_read_prunes_files_on_null_counts(spark, tmp_path):
+    """IS [NOT] NULL conjuncts prune files from the exported
+    null_value_counts/value_counts metrics at scan planning: a file with
+    zero nulls never feeds an IS NULL scan, an all-null file never feeds
+    an IS NOT NULL scan, and results stay exact either way."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = (
+        load(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .filter("l_linenumber <= 2")
+        # linenumber 1 → column entirely NULL; linenumber 2 → no NULLs
+        .withColumn(
+            "maybe_flag",
+            F.when(F.col("l_linenumber") == 1, None).otherwise(
+                F.col("l_returnflag")
+            ),
+        )
+    )
+    wh.create_or_replace("t", li, partition_by="l_linenumber")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    full = read_iceberg_v2(spark, loc)
+    nulls_df = read_iceberg_v2(spark, loc, where="maybe_flag IS NULL")
+    notnull_df = read_iceberg_v2(spark, loc, where="maybe_flag IS NOT NULL")
+    assert 0 < len(nulls_df.inputFiles()) < len(full.inputFiles())
+    assert all("l_linenumber=1" in f for f in nulls_df.inputFiles())
+    assert 0 < len(notnull_df.inputFiles()) < len(full.inputFiles())
+    assert all("l_linenumber=2" in f for f in notnull_df.inputFiles())
+    n1 = li.filter("l_linenumber = 1").count()
+    n2 = li.filter("l_linenumber = 2").count()
+    assert nulls_df.count() == n1 > 0
+    assert notnull_df.count() == n2 > 0
+    # conjunct alongside other predicates still prunes AND still filters
+    both = read_iceberg_v2(
+        spark, loc, where="maybe_flag IS NOT NULL AND l_quantity >= 25"
+    )
+    assert all("l_linenumber=2" in f for f in both.inputFiles())
+    assert both.count() == li.filter(
+        "l_linenumber = 2 AND l_quantity >= 25"
+    ).count()
+
+
 def test_spec_read_prunes_files_from_manifest_bounds(spark, exported):
     """Iceberg scan planning: the exported bounds + partition values must
     prune non-matching files BEFORE the scan — inputFiles() shows only the
