@@ -283,6 +283,19 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         _kv_map(
                             "nullct", 121, 122, 110, "null_value_counts", "long"
                         ),
+                        {
+                            "name": "split_offsets",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "long",
+                                    "element-id": 133,
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 132,
+                        },
                         _kv_map("lower", 126, 127, 125, "lower_bounds"),
                         _kv_map("upper", 129, 130, 128, "upper_bounds"),
                         {
@@ -581,7 +594,9 @@ def _write_positional_delete_file(wh, name: str, mdir: str, dp: dict):
     return path, len(pairs)
 
 
-def _footer_metrics(path: str) -> dict[str, tuple[int, int, Optional[int]]]:
+def _footer_metrics(
+    path: str,
+) -> tuple[dict[str, tuple[int, int, Optional[int]]], list[int]]:
     """Per-column (compressed_size, value_count, null_count-or-None) from
     the parquet footer — the source for the spec's column_sizes /
     value_counts / null_value_counts data-file metrics (fids 108/109/110).
@@ -591,13 +606,23 @@ def _footer_metrics(path: str) -> dict[str, tuple[int, int, Optional[int]]]:
     per-chunk num_values includes nulls, exactly Iceberg's value_counts
     semantics; a row group without statistics makes the file's null count
     unknown (None → omitted from the map, the metrics are optional
-    per-column)."""
+    per-column). Also returns the spec's split_offsets (fid 132): each
+    row group's starting byte position — the first column chunk's
+    dictionary-page offset when present, else its data-page offset,
+    exactly Java Iceberg's ParquetUtil.getSplitOffsets."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
     agg: dict[str, list] = {}
+    offsets: list[int] = []
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
+        if g.num_columns:
+            c0 = g.column(0)
+            off = c0.dictionary_page_offset
+            offsets.append(
+                int(off if off is not None else c0.data_page_offset)
+            )
         for ci in range(g.num_columns):
             c = g.column(ci)
             nm = c.path_in_schema
@@ -615,7 +640,7 @@ def _footer_metrics(path: str) -> dict[str, tuple[int, int, Optional[int]]]:
                 nv + c.num_values,
                 None if (nn is None or prev_nn is None) else prev_nn + nn,
             ]
-    return {k: tuple(v) for k, v in agg.items()}
+    return {k: tuple(v) for k, v in agg.items()}, sorted(offsets)
 
 
 def _to_uri(path: str) -> str:
@@ -857,9 +882,10 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     lower.append({"key": int(fid), "value": lb})
                     upper.append({"key": int(fid), "value": ub})
             abs_path = wh._abs_path(name, f["path"])
-            fm = footer_cache.get(abs_path)
-            if fm is None:
-                fm = footer_cache[abs_path] = _footer_metrics(abs_path)
+            cached = footer_cache.get(abs_path)
+            if cached is None:
+                cached = footer_cache[abs_path] = _footer_metrics(abs_path)
+            fm, split_offsets = cached
             col_sizes, val_counts, null_counts = [], [], []
             for nm in sorted(fm, key=lambda n: fids.get(n, 1 << 30)):
                 fid = fids.get(nm)
@@ -889,6 +915,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                         "column_sizes": col_sizes or None,
                         "value_counts": val_counts or None,
                         "null_value_counts": null_counts or None,
+                        "split_offsets": split_offsets or None,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
                     },

@@ -475,6 +475,10 @@ def test_column_metrics_exported_and_validated(spark, tmp_path):
             assert sum(
                 r["value"] for r in d["column_sizes"]
             ) <= d["file_size_in_bytes"]
+            offs = d["split_offsets"]
+            assert offs and offs[0] == 4, offs  # first RG follows PAR1 magic
+            assert offs == sorted(offs)
+            assert all(4 <= o < d["file_size_in_bytes"] for o in offs)
     assert total_nulls == n_null
 
     # tamper: inflate one value_counts entry inside the manifest

@@ -475,6 +475,21 @@ def _check_column_metrics(fp: str, d: dict, md) -> list[str]:
             f"{fp}: sum(column_sizes)={sum(sizes.values())} exceeds the "
             f"file's {os.path.getsize(fp)} bytes"
         )
+    offs = d.get("split_offsets")
+    if offs is not None:
+        if offs != sorted(offs):
+            v.append(f"{fp}: split_offsets not ascending: {offs}")
+        if len(offs) != md.num_row_groups:
+            v.append(
+                f"{fp}: {len(offs)} split_offsets for {md.num_row_groups} "
+                f"row groups"
+            )
+        fsz = os.path.getsize(fp)
+        if any(o < 4 or o >= fsz for o in offs):
+            v.append(
+                f"{fp}: split_offsets {offs} outside the file body "
+                f"(4..{fsz})"
+            )
     leaf_paths = [
         md.row_group(0).column(ci).path_in_schema
         for ci in range(md.row_group(0).num_columns)
