@@ -424,6 +424,20 @@ def _split_outside_quotes(pred: str, sep_word: Optional[str]):
     return parts
 
 
+def _null_conjuncts(where: Optional[str]) -> list[tuple[str, bool]]:
+    """Top-level ``col IS [NOT] NULL`` conjuncts of ``where`` as
+    (column, is_not_null) pairs — the metric-pruning hooks."""
+    out: list[tuple[str, bool]] = []
+    if where is not None:
+        for conj in _split_outside_quotes(where, "AND") or []:
+            m = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$", conj, re.I
+            )
+            if m:
+                out.append((m.group(1), bool(m.group(2))))
+    return out
+
+
 def _parse_equality_predicate(pred: str):
     """Conjunction of ``col = lit`` / ``col IN (l1, l2)`` terms →
     ``(cols, rows)``: the ordered equality columns and the deleted key
@@ -953,7 +967,27 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "added_rows_count": counts[1][1],
                 "existing_rows_count": counts[0][1],
                 "deleted_rows_count": 0,
-                "partitions": None,
+                # spec "Manifest Lists": per-partition-field summaries, in
+                # spec-field order — readers skip whole manifests on these
+                # before opening any manifest Avro
+                "partitions": [
+                    {
+                        "contains_null": any(v is None for v in pvals),
+                        "contains_nan": None,
+                        "lower_bound": (
+                            bound_bytes(t, min(nn)) if nn else None
+                        ),
+                        "upper_bound": (
+                            bound_bytes(t, max(nn)) if nn else None
+                        ),
+                    }
+                    for c, t in pkey
+                    for pvals in [
+                        [e["data_file"]["partition"].get(c) for e in entries]
+                    ]
+                    for nn in [[v for v in pvals if v is not None]]
+                ]
+                or None,
                 "key_metadata": None,
             }
         ]
@@ -1262,7 +1296,55 @@ def read_iceberg_v2(
     part_types: dict[str, str] = {}  # ordered union of all specs' fields
     eq_deletes: dict[str, dict] = {}
     pos_deletes: list[dict] = []
+    # IS [NOT] NULL conjuncts prune on the null-count metrics (fids
+    # 109/110) — affirmative evidence only: a fid absent from the maps
+    # (partial metrics are spec-legal) never skips
+    null_conjuncts = _null_conjuncts(where)
+    specs_by_id = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    snap_types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
     for mf in manifest_files:
+        # manifest-level pruning (spec "Manifest Lists" field summaries):
+        # a DATA manifest whose per-partition-field bounds exclude the
+        # predicate is never even OPENED — the planning gate that matters
+        # when a 100 TB table carries thousands of manifests. Identity
+        # transforms only (bucket/truncate bounds live in transformed
+        # space); delete manifests are never skipped (extra delete files
+        # are harmless, missing ones are not).
+        if (
+            where is not None
+            and mf.get("content", 0) == 0
+            and mf.get("partitions")
+        ):
+            spec_fields = specs_by_id.get(
+                mf["partition_spec_id"], {}
+            ).get("fields", [])
+            stats, no_null_cols = {}, set()
+            for fld, summ in zip(spec_fields, mf["partitions"]):
+                if fld.get("transform") != "identity":
+                    continue
+                t = snap_types_by_id.get(fld["source-id"])
+                if t is None:
+                    continue
+                if not summ["contains_null"]:
+                    no_null_cols.add(fld["name"])
+                lb, ub = summ.get("lower_bound"), summ.get("upper_bound")
+                if lb is not None and ub is not None:
+                    stats[fld["name"]] = [
+                        bound_value(t, lb), bound_value(t, ub)
+                    ]
+            from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+            if stats and Warehouse._can_skip(
+                {"partition": {}, "stats": stats}, where
+            ):
+                continue
+            # identity partition: value NULL <=> the column is NULL for
+            # every row of the file, so a no-nulls summary kills IS NULL
+            if any(
+                not is_not and col in no_null_cols
+                for col, is_not in null_conjuncts
+            ):
+                continue
         _mschema, mmeta, entries = read_ocf(_from_uri(mf["manifest_path"]))
         if mf.get("content", 0) == 1:  # delete manifest
             for e in entries:
@@ -1299,17 +1381,6 @@ def read_iceberg_v2(
         types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
         names_by_id = {f["id"]: f["name"] for f in schema["fields"]}
         ids_by_name = {n: i for i, n in names_by_id.items()}
-        # IS [NOT] NULL conjuncts prune on the null-count metrics (fids
-        # 109/110) — affirmative evidence only: a fid absent from the maps
-        # (partial metrics are spec-legal) never skips
-        null_conjuncts: list[tuple[str, bool]] = []
-        if where is not None:
-            for conj in _split_outside_quotes(where, "AND") or []:
-                m = re.match(
-                    r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$", conj, re.I
-                )
-                if m:
-                    null_conjuncts.append((m.group(1), bool(m.group(2))))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue

@@ -1504,6 +1504,66 @@ def test_spec_read_prunes_files_on_null_counts(spark, tmp_path):
     ).count()
 
 
+def test_manifest_level_partition_summary_pruning(spark, tmp_path, monkeypatch):
+    """The manifest-list ``partitions`` field summaries (fid 507) must be
+    exported with exact contains_null/bounds, the reader must skip an
+    excluded DATA manifest without ever OPENING it (the planning gate for
+    thousand-manifest tables), and a tampered summary must fail deep
+    validation."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources import iceberg_v2 as iv
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li, partition_by="l_linenumber")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    summ = dm["partitions"]
+    assert summ and len(summ) == 1 and summ[0]["contains_null"] is False
+    lo = bound_value("int", summ[0]["lower_bound"])
+    hi = bound_value("int", summ[0]["upper_bound"])
+    assert (lo, hi) == (1, li.agg(F.max("l_linenumber")).first()[0])
+
+    # the reader must not OPEN the excluded manifest: count manifest Avro
+    # reads (the manifest LIST itself is read via the module function too,
+    # so count only non-list paths)
+    opened: list[str] = []
+    real = iv.read_ocf
+
+    def counting(path):
+        if "snap-" not in os.path.basename(path):
+            opened.append(path)
+        return real(path)
+
+    monkeypatch.setattr(iv, "read_ocf", counting)
+    assert iv.read_iceberg_v2(spark, loc, where="l_linenumber = -5").count() == 0
+    assert opened == [], "excluded manifest was opened"
+    opened.clear()
+    n2 = iv.read_iceberg_v2(spark, loc, where="l_linenumber = 2").count()
+    assert len(opened) == 1 and n2 == li.filter("l_linenumber = 2").count()
+    monkeypatch.setattr(iv, "read_ocf", real)
+
+    # tamper: shrink the upper bound so the summary no longer covers the
+    # entries — deep validation must flag it
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        MANIFEST_FILE_SCHEMA, bound_bytes,
+    )
+
+    dm["partitions"][0]["upper_bound"] = bound_bytes("int", 1)
+    write_ocf(_from_uri(snap["manifest-list"]), MANIFEST_FILE_SCHEMA, mfs)
+    bad = mod.validate(loc, deep=True)
+    assert any("do not cover" in b for b in bad), bad
+
+
 def test_spec_read_prunes_files_from_manifest_bounds(spark, exported):
     """Iceberg scan planning: the exported bounds + partition values must
     prune non-matching files BEFORE the scan — inputFiles() shows only the

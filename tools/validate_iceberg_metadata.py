@@ -400,6 +400,7 @@ def _deep_walk(meta: dict) -> list[str]:
                 v.append(f"unreadable manifest {mp}: {e}")
                 continue
             m_content = mf.get("content", 0)
+            v.extend(_check_partition_summaries(meta, mf, mp, entries))
             for e in entries:
                 d = e["data_file"]
                 fp = _from_uri(d["file_path"])
@@ -440,6 +441,67 @@ def _deep_walk(meta: dict) -> list[str]:
 #: Delete Files").
 _POS_PATH_FID = 2147483546
 _POS_POS_FID = 2147483545
+
+
+def _check_partition_summaries(
+    meta: dict, mf: dict, mp: str, entries: list
+) -> list[str]:
+    """Manifest-list field summaries vs the manifest's actual partition
+    values: contains_null must be exact, and every non-null value of an
+    identity field must fall inside [lower_bound, upper_bound]."""
+    summaries = mf.get("partitions")
+    if not summaries or mf.get("content", 0) != 0:
+        return []
+    spec = next(
+        (
+            s for s in meta.get("partition-specs", [])
+            if s["spec-id"] == mf["partition_spec_id"]
+        ),
+        None,
+    )
+    if spec is None:
+        return [f"manifest {mp}: unknown partition_spec_id {mf['partition_spec_id']}"]
+    if len(summaries) != len(spec["fields"]):
+        return [
+            f"manifest {mp}: {len(summaries)} partition summaries for a "
+            f"{len(spec['fields'])}-field spec"
+        ]
+    types_by_id: dict[int, str] = {}
+    for sch in meta.get("schemas", []):
+        for f in sch.get("fields", []):
+            types_by_id.setdefault(f["id"], f["type"])
+    # single-value deserialization for the bound comparison
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import bound_value
+
+    v: list[str] = []
+    for fld, summ in zip(spec["fields"], summaries):
+        if fld.get("transform") != "identity":
+            continue
+        nm = fld["name"]
+        vals = [e["data_file"]["partition"].get(nm) for e in entries]
+        has_null = any(x is None for x in vals)
+        if bool(summ["contains_null"]) != has_null:
+            v.append(
+                f"manifest {mp}: partitions[{nm}].contains_null="
+                f"{summ['contains_null']} but entries say {has_null}"
+            )
+        nonnull = [x for x in vals if x is not None]
+        lb, ub = summ.get("lower_bound"), summ.get("upper_bound")
+        t = types_by_id.get(fld["source-id"])
+        if nonnull and (lb is None or ub is None):
+            v.append(
+                f"manifest {mp}: partitions[{nm}] has values but no bounds"
+            )
+        elif nonnull and t is not None and isinstance(t, str):
+            lo, hi = bound_value(t, lb), bound_value(t, ub)
+            bad = [x for x in nonnull if x < lo or x > hi]
+            if bad:
+                v.append(
+                    f"manifest {mp}: partitions[{nm}] bounds [{lo}, {hi}] "
+                    f"do not cover {bad[:3]}"
+                )
+    return v
 
 
 def _kv(entry_map) -> dict[int, int]:
