@@ -657,6 +657,27 @@ def _footer_metrics(
     return {k: tuple(v) for k, v in agg.items()}, sorted(offsets)
 
 
+def _partition_summaries(entries: list[dict], pkey: tuple) -> Optional[list]:
+    """spec "Manifest Lists" field summaries for one manifest's entries:
+    exact contains_null plus single-value-serialized bounds per partition
+    field, in spec-field order."""
+    if not pkey:
+        return None
+    out = []
+    for c, t in pkey:
+        pvals = [e["data_file"]["partition"].get(c) for e in entries]
+        nn = [v for v in pvals if v is not None]
+        out.append(
+            {
+                "contains_null": any(v is None for v in pvals),
+                "contains_nan": None,
+                "lower_bound": bound_bytes(t, min(nn)) if nn else None,
+                "upper_bound": bound_bytes(t, max(nn)) if nn else None,
+            }
+        )
+    return out
+
+
 def _to_uri(path: str) -> str:
     return path if "://" in path else "file://" + os.path.abspath(path)
 
@@ -818,10 +839,18 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
     spec_ids: dict[tuple, int] = {}
     spec_field_ids: dict[tuple, list[int]] = {}
     last_pfid = 999  # Java: PARTITION_DATA_ID_START - 1 when unpartitioned
-    first_seen_seq: dict[str, int] = {}
     #: abs data-file path -> name-keyed footer metrics (a file re-listed by
     #: later snapshots reads its footer once per export)
     footer_cache: dict[str, dict] = {}
+    # fast-append manifest chain (Iceberg's actual commit shape): each
+    # snapshot re-lists its parent's data manifests UNCHANGED, writes ONE
+    # new manifest for the files it added, and filter-rewrites only the
+    # manifests whose files it removed — per-commit metadata cost is
+    # O(added files), not O(total files), which is what keeps commits
+    # cheap when a 100 TB table carries millions of files
+    minfo: dict[str, dict] = {}  # manifest path -> {entry, files, pkey}
+    data_mfs_by_sid: dict[int, list[str]] = {}  # snapshot id -> paths
+    snap_spec_id: dict[int, int] = {}
     #: (predicate, file-scope) -> written delete-manifest info; a predicate
     #: first seen at sequence d keeps that sequence in every later
     #: snapshot's manifest list (inheritance = re-listing the same manifest)
@@ -844,153 +873,223 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             f["name"]: f["type"] for f in schemas[schema_id]["fields"]
         }
 
-        # partition columns for THIS snapshot, from its file entries (the
-        # warehouse records hive partition values per file)
-        pcols = sorted({k for f in snap["manifest"] for k in f["partition"]})
-        pkey = tuple((c, ice_types.get(c, "string")) for c in pcols)
-        if pkey not in spec_ids:
-            spec_ids[pkey] = len(specs)
-            assigned = [last_pfid + 1 + i for i in range(len(pcols))]
-            last_pfid += len(pcols)
-            spec_field_ids[pkey] = assigned
-            specs.append(
-                {
-                    "spec-id": len(specs),
-                    "fields": [
-                        {
-                            "name": c,
-                            "transform": "identity",
-                            "source-id": int(fids[c]),
-                            "field-id": pfid,
-                        }
-                        for c, pfid in zip(pcols, assigned)
-                    ],
-                }
-            )
-        spec_id = spec_ids[pkey]
-        partition_avro_fields = [
-            {
-                "name": c,
-                "type": ["null", _PARTITION_AVRO.get(t, "string")],
-                "default": None,
-                "field-id": pfid,
-            }
-            for (c, t), pfid in zip(pkey, spec_field_ids[pkey])
+        # parent delta in file-URI space: what THIS snapshot added/removed
+        # relative to its exported parent (an expired parent truncates the
+        # chain, so the first exported snapshot "adds" everything it lists)
+        uri_of = {
+            f["path"]: _to_uri(wh._abs_path(name, f["path"]))
+            for f in snap["manifest"]
+        }
+        cur_uris = set(uri_of.values())
+        parent_sid = snap.get("parent_id")
+        parent_mpaths = data_mfs_by_sid.get(parent_sid, [])
+        parent_uris: set[str] = set()
+        for p in parent_mpaths:
+            parent_uris |= minfo[p]["files"]
+        added = [
+            f for f in snap["manifest"] if uri_of[f["path"]] not in parent_uris
         ]
+        removed_uris = parent_uris - cur_uris
 
-        entries = []
-        counts = {0: [0, 0], 1: [0, 0]}  # status -> [files, rows]
-        entry_seqs: list[int] = []
-        for f in snap["manifest"]:
-            fseq = first_seen_seq.setdefault(f["path"], seq)
-            entry_seqs.append(fseq)
-            status = 1 if fseq == seq else 0
-            lower, upper = [], []
-            for col, (mn, mx) in sorted(f.get("stats", {}).items()):
-                t = ice_types.get(col)
-                fid = fids.get(col)
-                if t is None or fid is None:
-                    continue
-                lb, ub = bound_bytes(t, mn), bound_bytes(t, mx)
-                if lb is not None and ub is not None:
-                    lower.append({"key": int(fid), "value": lb})
-                    upper.append({"key": int(fid), "value": ub})
-            abs_path = wh._abs_path(name, f["path"])
-            cached = footer_cache.get(abs_path)
-            if cached is None:
-                cached = footer_cache[abs_path] = _footer_metrics(abs_path)
-            fm, split_offsets = cached
-            col_sizes, val_counts, null_counts = [], [], []
-            for nm in sorted(fm, key=lambda n: fids.get(n, 1 << 30)):
-                fid = fids.get(nm)
-                if fid is None:  # column unknown at this schema vintage
-                    continue
-                sz, nv, nn = fm[nm]
-                col_sizes.append({"key": int(fid), "value": int(sz)})
-                val_counts.append({"key": int(fid), "value": int(nv)})
-                if nn is not None:
-                    null_counts.append({"key": int(fid), "value": int(nn)})
-            entries.append(
+        # partition spec for the files THIS snapshot writes; a no-add
+        # snapshot inherits its parent's spec id (never re-derive from the
+        # full file set — that would alias a delete-only commit on a
+        # partitioned table to the unpartitioned spec)
+        if added or parent_sid not in snap_spec_id:
+            pcols = sorted(
+                {k for f in (added or snap["manifest"]) for k in f["partition"]}
+            )
+            pkey = tuple((c, ice_types.get(c, "string")) for c in pcols)
+            if pkey not in spec_ids:
+                spec_ids[pkey] = len(specs)
+                assigned = [last_pfid + 1 + i for i in range(len(pcols))]
+                last_pfid += len(pcols)
+                spec_field_ids[pkey] = assigned
+                specs.append(
+                    {
+                        "spec-id": len(specs),
+                        "fields": [
+                            {
+                                "name": c,
+                                "transform": "identity",
+                                "source-id": int(fids[c]),
+                                "field-id": pfid,
+                            }
+                            for c, pfid in zip(pcols, assigned)
+                        ],
+                    }
+                )
+            spec_id = spec_ids[pkey]
+        else:
+            spec_id = snap_spec_id[parent_sid]
+            pkey = ()
+        snap_spec_id[int(snap["snapshot_id"])] = spec_id
+
+        mlist_records = []
+        this_sid_mpaths: list[str] = []
+        # inherit the parent's manifests: unchanged re-list when no file
+        # was removed from them, filter-rewrite (survivors as EXISTING
+        # with their original sequence numbers) when some were
+        for pm in parent_mpaths:
+            info = minfo[pm]
+            hit = info["files"] & removed_uris
+            if not hit:
+                mlist_records.append(info["entry"])
+                this_sid_mpaths.append(pm)
+                continue
+            survivors = info["files"] - hit
+            if not survivors:
+                continue  # every file gone: drop the manifest entirely
+            p_schema, p_hdr, p_entries = read_ocf(pm)
+            keep = [
+                e
+                for e in p_entries
+                if e["data_file"]["file_path"] in survivors
+            ]
+            for e in keep:
+                e["status"] = 0  # EXISTING; entry seqs stay original
+            rw_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+            rw_len = write_ocf(
+                rw_path,
+                p_schema,
+                keep,
+                metadata={
+                    k: v for k, v in p_hdr.items()
+                    if not k.startswith("avro.")
+                },
+            )
+            entry = dict(info["entry"])
+            entry.update(
                 {
-                    "status": status,
-                    "snapshot_id": int(snap["snapshot_id"]),
-                    "sequence_number": fseq,
-                    "file_sequence_number": fseq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": _to_uri(wh._abs_path(name, f["path"])),
-                        "file_format": "PARQUET",
-                        "partition": {
-                            c: _typed_partition_value(t, f["partition"].get(c))
-                            for c, t in pkey
-                        },
-                        "record_count": int(f["row_count"]),
-                        "file_size_in_bytes": int(f["size_bytes"]),
-                        "column_sizes": col_sizes or None,
-                        "value_counts": val_counts or None,
-                        "null_value_counts": null_counts or None,
-                        "split_offsets": split_offsets or None,
-                        "lower_bounds": lower or None,
-                        "upper_bounds": upper or None,
-                    },
+                    "manifest_path": _to_uri(rw_path),
+                    "manifest_length": rw_len,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in keep
+                    ),
+                    "added_snapshot_id": int(snap["snapshot_id"]),
+                    "added_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_files_count": len(keep),
+                    "existing_rows_count": sum(
+                        int(e["data_file"]["record_count"]) for e in keep
+                    ),
+                    "partitions": _partition_summaries(keep, info["pkey"]),
                 }
             )
-            counts[status][0] += 1
-            counts[status][1] += int(f["row_count"])
+            mlist_records.append(entry)
+            minfo[rw_path] = {**info, "entry": entry, "files": survivors}
+            this_sid_mpaths.append(rw_path)
 
-        manifest_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
-        mlen = write_ocf(
-            manifest_path,
-            _manifest_entry_schema(partition_avro_fields),
-            entries,
-            metadata={
-                "schema": json.dumps(schemas[schema_id]),
-                "schema-id": str(schema_id),
-                "partition-spec": json.dumps(specs[spec_id]["fields"]),
-                "partition-spec-id": str(spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        mlist_records = [
-            {
+        added_rows = 0
+        if added:
+            partition_avro_fields = [
+                {
+                    "name": c,
+                    "type": ["null", _PARTITION_AVRO.get(t, "string")],
+                    "default": None,
+                    "field-id": pfid,
+                }
+                for (c, t), pfid in zip(pkey, spec_field_ids[pkey])
+            ]
+            entries = []
+            for f in added:
+                lower, upper = [], []
+                for col, (mn, mx) in sorted(f.get("stats", {}).items()):
+                    t = ice_types.get(col)
+                    fid = fids.get(col)
+                    if t is None or fid is None:
+                        continue
+                    lb, ub = bound_bytes(t, mn), bound_bytes(t, mx)
+                    if lb is not None and ub is not None:
+                        lower.append({"key": int(fid), "value": lb})
+                        upper.append({"key": int(fid), "value": ub})
+                abs_path = wh._abs_path(name, f["path"])
+                cached = footer_cache.get(abs_path)
+                if cached is None:
+                    cached = footer_cache[abs_path] = _footer_metrics(abs_path)
+                fm, split_offsets = cached
+                col_sizes, val_counts, null_counts = [], [], []
+                for nm in sorted(fm, key=lambda n: fids.get(n, 1 << 30)):
+                    fid = fids.get(nm)
+                    if fid is None:  # column unknown at this schema vintage
+                        continue
+                    sz, nv, nn = fm[nm]
+                    col_sizes.append({"key": int(fid), "value": int(sz)})
+                    val_counts.append({"key": int(fid), "value": int(nv)})
+                    if nn is not None:
+                        null_counts.append({"key": int(fid), "value": int(nn)})
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": int(snap["snapshot_id"]),
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": uri_of[f["path"]],
+                            "file_format": "PARQUET",
+                            "partition": {
+                                c: _typed_partition_value(
+                                    t, f["partition"].get(c)
+                                )
+                                for c, t in pkey
+                            },
+                            "record_count": int(f["row_count"]),
+                            "file_size_in_bytes": int(f["size_bytes"]),
+                            "column_sizes": col_sizes or None,
+                            "value_counts": val_counts or None,
+                            "null_value_counts": null_counts or None,
+                            "split_offsets": split_offsets or None,
+                            "lower_bounds": lower or None,
+                            "upper_bounds": upper or None,
+                        },
+                    }
+                )
+                added_rows += int(f["row_count"])
+
+            manifest_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+            mlen = write_ocf(
+                manifest_path,
+                _manifest_entry_schema(partition_avro_fields),
+                entries,
+                metadata={
+                    "schema": json.dumps(schemas[schema_id]),
+                    "schema-id": str(schema_id),
+                    "partition-spec": json.dumps(specs[spec_id]["fields"]),
+                    "partition-spec-id": str(spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            new_entry = {
                 "manifest_path": _to_uri(manifest_path),
                 "manifest_length": mlen,
                 "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": seq,
-                "min_sequence_number": min(entry_seqs, default=seq),
+                "min_sequence_number": seq,
                 "added_snapshot_id": int(snap["snapshot_id"]),
-                "added_files_count": counts[1][0],
-                "existing_files_count": counts[0][0],
+                "added_files_count": len(added),
+                "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": counts[1][1],
-                "existing_rows_count": counts[0][1],
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                # spec "Manifest Lists": per-partition-field summaries, in
-                # spec-field order — readers skip whole manifests on these
-                # before opening any manifest Avro
-                "partitions": [
-                    {
-                        "contains_null": any(v is None for v in pvals),
-                        "contains_nan": None,
-                        "lower_bound": (
-                            bound_bytes(t, min(nn)) if nn else None
-                        ),
-                        "upper_bound": (
-                            bound_bytes(t, max(nn)) if nn else None
-                        ),
-                    }
-                    for c, t in pkey
-                    for pvals in [
-                        [e["data_file"]["partition"].get(c) for e in entries]
-                    ]
-                    for nn in [[v for v in pvals if v is not None]]
-                ]
-                or None,
+                # spec "Manifest Lists": per-partition-field summaries —
+                # readers skip whole manifests on these before opening
+                # any manifest Avro
+                "partitions": _partition_summaries(entries, pkey),
                 "key_metadata": None,
             }
-        ]
+            mlist_records.append(new_entry)
+            minfo[manifest_path] = {
+                "entry": new_entry,
+                "files": {uri_of[f["path"]] for f in added},
+                "pkey": pkey,
+            }
+            this_sid_mpaths.append(manifest_path)
+        data_mfs_by_sid[int(snap["snapshot_id"])] = this_sid_mpaths
         for dp in snap.get("delete_predicates") or []:
             dkey = (dp["predicate"], tuple(dp["files"]))
             art = delete_artifacts.get(dkey)
@@ -1097,6 +1196,16 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         op = {"append": "append", "replace": "overwrite"}.get(
             snap.get("operation", "append"), "overwrite"
         )
+        total_rows = sum(int(f["row_count"]) for f in snap["manifest"])
+        summary = {
+            "operation": op,
+            "added-data-files": str(len(added)),
+            "added-records": str(added_rows),
+            "total-data-files": str(len(snap["manifest"])),
+            "total-records": str(total_rows),
+        }
+        if removed_uris:
+            summary["deleted-data-files"] = str(len(removed_uris))
         snapshots_json.append(
             {
                 "snapshot-id": int(snap["snapshot_id"]),
@@ -1105,13 +1214,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                 "timestamp-ms": int(snap["timestamp_ms"]),
                 "manifest-list": _to_uri(mlist_path),
                 # spec: summary values are strings
-                "summary": {
-                    "operation": op,
-                    "added-data-files": str(counts[1][0]),
-                    "added-records": str(counts[1][1]),
-                    "total-data-files": str(counts[0][0] + counts[1][0]),
-                    "total-records": str(counts[0][1] + counts[1][1]),
-                },
+                "summary": summary,
                 "schema-id": schema_id,
             }
         )

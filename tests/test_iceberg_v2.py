@@ -287,13 +287,70 @@ def test_metadata_json_v2_layout(exported):
         "snapshot-id": meta["current-snapshot-id"],
         "type": "branch",
     }
-    # the append snapshot must account its carried files as EXISTING
+    # fast-append commit shape: the append snapshot RE-LISTS the create
+    # snapshot's manifest unchanged (its files stay ADDED at sequence 1)
+    # and adds ONE new manifest carrying only the appended files
     last = meta["snapshots"][-1]
     _, _, mfs = read_ocf(_from_uri(last["manifest-list"]))
-    assert mfs[0]["existing_files_count"] > 0
-    assert mfs[0]["added_files_count"] > 0
-    assert mfs[0]["min_sequence_number"] == 1
-    assert mfs[0]["sequence_number"] == last["sequence-number"]
+    data_mfs = [m for m in mfs if m["content"] == 0]
+    assert len(data_mfs) == 2
+    assert [m["sequence_number"] for m in data_mfs] == [1, last["sequence-number"]]
+    assert all(m["added_files_count"] > 0 for m in data_mfs)
+    assert all(m["existing_files_count"] == 0 for m in data_mfs)
+    first_list = meta["snapshots"][0]
+    _, _, mfs0 = read_ocf(_from_uri(first_list["manifest-list"]))
+    # the inherited manifest is the SAME file, byte-identical
+    assert data_mfs[0]["manifest_path"] == mfs0[0]["manifest_path"]
+    assert data_mfs[0]["added_snapshot_id"] == first_list["snapshot-id"]
+
+
+def test_fast_append_filter_rewrite_on_compaction(spark, tmp_path):
+    """A snapshot that REMOVES files (compaction) must filter-rewrite only
+    the touched manifests: the current manifest list never references a
+    removed file, row accounting stays exact, time travel to the
+    pre-compaction snapshot still lists the originals, and deep
+    validation passes the whole chain."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    wh.append("t", li.filter("l_linenumber = 2"))
+    wh.rewrite_data_files("t")  # compaction: removes small files, adds one
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    snaps = meta["snapshots"]
+    assert len(snaps) == 3
+    assert snaps[-1]["summary"]["operation"] in ("replace", "overwrite")
+    assert int(snaps[-1]["summary"].get("deleted-data-files", "0")) > 0
+
+    def data_files(snapshot):
+        _, _, mfs = read_ocf(_from_uri(snapshot["manifest-list"]))
+        out = []
+        for m in mfs:
+            if m["content"] != 0:
+                continue
+            _, _, es = read_ocf(_from_uri(m["manifest_path"]))
+            out.extend(e["data_file"]["file_path"] for e in es)
+        return out
+
+    pre = set(data_files(snaps[1]))
+    post = set(data_files(snaps[2]))
+    assert pre and post and post != pre
+    # no pre-compaction file survives into the compacted snapshot's list
+    live = {f["path"] for f in wh._load_meta("t")["snapshots"][-1]["manifest"]}
+    assert len(post) == len(live)
+    # both vintages read correctly through the spec path
+    n_all = li.filter("l_linenumber <= 2").count()
+    assert read_iceberg_v2(spark, loc).count() == n_all
+    assert (
+        read_iceberg_v2(
+            spark, loc, snapshot_id=snaps[1]["snapshot-id"]
+        ).count() == n_all
+    )
 
 
 def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path):
