@@ -932,27 +932,37 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         # with their original sequence numbers) when some were
         for pm in parent_mpaths:
             info = minfo[pm]
+            if not info["files"]:
+                # an all-DELETED manifest was listed once by the snapshot
+                # that emptied it (for incremental consumers); drop it from
+                # every later list, as Iceberg's next commit does
+                continue
             hit = info["files"] & removed_uris
             if not hit:
                 mlist_records.append(info["entry"])
                 this_sid_mpaths.append(pm)
                 continue
             survivors = info["files"] - hit
-            if not survivors:
-                continue  # every file gone: drop the manifest entirely
             p_schema, p_hdr, p_entries = read_ocf(pm)
-            keep = [
-                e
-                for e in p_entries
-                if e["data_file"]["file_path"] in survivors
-            ]
-            for e in keep:
-                e["status"] = 0  # EXISTING; entry seqs stay original
+            keep, dead = [], []
+            for e in p_entries:
+                fp = e["data_file"]["file_path"]
+                if fp in survivors:
+                    e["status"] = 0  # EXISTING; entry seqs stay original
+                    keep.append(e)
+                elif fp in hit:
+                    # spec: the REMOVING snapshot records the file as a
+                    # DELETED entry (incremental/CDC consumers read these);
+                    # the entry is dropped at the manifest's next rewrite
+                    e["status"] = 2
+                    e["snapshot_id"] = int(snap["snapshot_id"])
+                    dead.append(e)
+                # else: a status-2 entry from an EARLIER rewrite — drop
             rw_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
             rw_len = write_ocf(
                 rw_path,
                 p_schema,
-                keep,
+                keep + dead,
                 metadata={
                     k: v for k, v in p_hdr.items()
                     if not k.startswith("avro.")
@@ -965,7 +975,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     "manifest_length": rw_len,
                     "sequence_number": seq,
                     "min_sequence_number": min(
-                        e["sequence_number"] for e in keep
+                        e["sequence_number"] for e in keep + dead
                     ),
                     "added_snapshot_id": int(snap["snapshot_id"]),
                     "added_files_count": 0,
@@ -974,7 +984,13 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     "existing_rows_count": sum(
                         int(e["data_file"]["record_count"]) for e in keep
                     ),
-                    "partitions": _partition_summaries(keep, info["pkey"]),
+                    "deleted_files_count": len(dead),
+                    "deleted_rows_count": sum(
+                        int(e["data_file"]["record_count"]) for e in dead
+                    ),
+                    "partitions": _partition_summaries(
+                        keep + dead, info["pkey"]
+                    ),
                 }
             )
             mlist_records.append(entry)
@@ -1328,6 +1344,7 @@ def read_iceberg_v2(
     where: Optional[str] = None,
     ref: Optional[str] = None,
     as_of_ms: Optional[int] = None,
+    restrict_files: Optional[set] = None,
 ) -> DataFrame:
     """Scan an Iceberg v2 table through the SPEC metadata only.
 
@@ -1545,6 +1562,11 @@ def read_iceberg_v2(
                         break
                 if skip:
                     continue
+            if (
+                restrict_files is not None
+                and df_rec["file_path"] not in restrict_files
+            ):
+                continue  # incremental scan: only the requested files
             file_parts[df_rec["file_path"]] = {
                 n: df_rec["partition"].get(n) for n, _ in local_fields
             }
@@ -1756,6 +1778,91 @@ def read_iceberg_v2(
     if extras:
         out = out.drop(*extras)
     return out.filter(where) if where is not None else out
+
+
+def read_iceberg_v2_changes(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: Optional[int] = None,
+    where: Optional[str] = None,
+) -> DataFrame:
+    """Incremental APPEND scan over the spec metadata: the rows added by
+    snapshots AFTER ``from_snapshot_id`` up to and including
+    ``to_snapshot_id`` (default: current) — Iceberg's IncrementalAppendScan.
+
+    Like the reference implementation, the range must be append-only:
+    a replace/overwrite/delete snapshot inside it raises (its changes are
+    not expressible as appended rows). The fast-append manifest chain
+    makes this scan cheap by construction: each snapshot in the range
+    contributes exactly its own new manifest (``added_snapshot_id`` binds
+    it), so the metadata read is O(commits in range), never O(table).
+    Rows come back through the same typed projection as a full read,
+    restricted to the added files.
+    """
+    mdir = os.path.join(_from_uri(location), "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot_id not in by_id:
+        raise KeyError(f"unknown from_snapshot_id {from_snapshot_id}")
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta["current-snapshot-id"]
+    )
+    if to_id not in by_id:
+        raise KeyError(f"unknown to_snapshot_id {to_id}")
+    # walk to's ancestry back to from (exclusive)
+    rng: list[dict] = []
+    sid = to_id
+    while sid is not None and sid != from_snapshot_id:
+        snap = by_id.get(sid)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_id}"
+            )
+        rng.append(snap)
+        sid = snap.get("parent-snapshot-id")
+    if sid is None and from_snapshot_id != to_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of {to_id}"
+        )
+    rng.reverse()
+    bad = [
+        s["snapshot-id"]
+        for s in rng
+        if s.get("summary", {}).get("operation") != "append"
+    ]
+    if bad:
+        raise ValueError(
+            f"incremental append scan requires an append-only range; "
+            f"snapshots {bad} are not appends"
+        )
+    range_ids = {s["snapshot-id"] for s in rng}
+    added: set[str] = set()
+    if rng:
+        # append-only range: TO's manifest list carries every in-range
+        # manifest unchanged (nothing was rewritten), and added_snapshot_id
+        # binds each commit to exactly its own new manifest — one list
+        # read plus one manifest read per in-range commit
+        _, _, mfs = read_ocf(_from_uri(by_id[to_id]["manifest-list"]))
+        for mf in mfs:
+            if mf.get("content", 0) != 0:
+                continue
+            if mf["added_snapshot_id"] not in range_ids:
+                continue  # pre-range manifest: nothing new in it
+            _, _, entries = read_ocf(_from_uri(mf["manifest_path"]))
+            added.update(
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["status"] == 1 and e["snapshot_id"] in range_ids
+            )
+    return read_iceberg_v2(
+        spark, location, snapshot_id=to_id, where=where, restrict_files=added
+    )
 
 
 # ---------------------------------------------------------------- query

@@ -334,13 +334,15 @@ def test_fast_append_filter_rewrite_on_compaction(spark, tmp_path):
             if m["content"] != 0:
                 continue
             _, _, es = read_ocf(_from_uri(m["manifest_path"]))
-            out.extend(e["data_file"]["file_path"] for e in es)
+            out.extend(
+                e["data_file"]["file_path"] for e in es if e["status"] != 2
+            )
         return out
 
     pre = set(data_files(snaps[1]))
     post = set(data_files(snaps[2]))
     assert pre and post and post != pre
-    # no pre-compaction file survives into the compacted snapshot's list
+    # no pre-compaction file survives LIVE in the compacted snapshot's list
     live = {f["path"] for f in wh._load_meta("t")["snapshots"][-1]["manifest"]}
     assert len(post) == len(live)
     # both vintages read correctly through the spec path
@@ -351,6 +353,115 @@ def test_fast_append_filter_rewrite_on_compaction(spark, tmp_path):
             spark, loc, snapshot_id=snaps[1]["snapshot-id"]
         ).count() == n_all
     )
+
+
+def test_deleted_entries_recorded_then_dropped(spark, tmp_path):
+    """The snapshot that removes files must record them as status-2
+    DELETED entries in the rewritten manifest (what incremental/CDC
+    consumers read), with deleted_files/rows counts in its list entry; a
+    LATER snapshot re-lists without them once the manifest is empty."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    wh.append("t", li.filter("l_linenumber = 2"))
+    wh.rewrite_data_files("t")  # removes every pre-compaction file
+    wh.append("t", li.filter("l_linenumber = 3"))
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    snaps = meta["snapshots"]
+    compact = snaps[2]
+
+    _, _, mfs = read_ocf(_from_uri(compact["manifest-list"]))
+    rewritten = [
+        m for m in mfs if m["content"] == 0 and m["deleted_files_count"] > 0
+    ]
+    assert rewritten, "compaction snapshot records no DELETED entries"
+    statuses = []
+    for m in rewritten:
+        _, _, es = read_ocf(_from_uri(m["manifest_path"]))
+        statuses.extend(e["status"] for e in es)
+        assert all(
+            e["snapshot_id"] == compact["snapshot-id"]
+            for e in es
+            if e["status"] == 2
+        )
+        # entry sequence numbers stay the ORIGINAL data sequences
+        assert all(
+            e["sequence_number"] < compact["sequence-number"]
+            for e in es
+            if e["status"] == 2
+        )
+    assert 2 in statuses
+    # the deleting snapshot still reads correctly (status-2 skipped)
+    n_12 = li.filter("l_linenumber <= 2").count()
+    assert (
+        read_iceberg_v2(
+            spark, loc, snapshot_id=compact["snapshot-id"]
+        ).count() == n_12
+    )
+    # the NEXT snapshot's list has dropped the emptied manifests
+    _, _, mfs3 = read_ocf(_from_uri(snaps[3]["manifest-list"]))
+    assert all(
+        m["deleted_files_count"] == 0 for m in mfs3 if m["content"] == 0
+    )
+    assert read_iceberg_v2(spark, loc).count() == li.filter(
+        "l_linenumber <= 3"
+    ).count()
+    mod = _load_validator()
+    assert mod.validate(loc, deep=True) == []
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """read_iceberg_v2_changes returns exactly the rows appended in
+    (from, to], reads only the in-range manifests, and refuses a range
+    containing a non-append snapshot."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        read_iceberg_v2_changes,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    wh.append("t", li.filter("l_linenumber = 2"))
+    wh.append("t", li.filter("l_linenumber = 3"))
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    s1, s2, s3 = [s["snapshot-id"] for s in meta["snapshots"]]
+
+    got = read_iceberg_v2_changes(spark, loc, from_snapshot_id=s1)
+    assert got.count() == li.filter("l_linenumber IN (2, 3)").count()
+    assert set(
+        r["l_linenumber"] for r in got.select("l_linenumber").distinct().collect()
+    ) == {2, 3}
+    one = read_iceberg_v2_changes(
+        spark, loc, from_snapshot_id=s1, to_snapshot_id=s2
+    )
+    assert one.count() == li.filter("l_linenumber = 2").count()
+    # empty range and where-composition
+    assert read_iceberg_v2_changes(
+        spark, loc, from_snapshot_id=s3
+    ).count() == 0
+    filtered = read_iceberg_v2_changes(
+        spark, loc, from_snapshot_id=s1, where="l_quantity >= 25"
+    )
+    assert filtered.count() == li.filter(
+        "l_linenumber IN (2, 3) AND l_quantity >= 25"
+    ).count()
+
+    # a compaction inside the range must refuse
+    wh.rewrite_data_files("t")
+    loc2 = export_iceberg_v2(wh, "t", str(tmp_path / "ice2"))
+    meta2 = _load_meta(loc2)
+    with pytest.raises(ValueError, match="append-only"):
+        read_iceberg_v2_changes(
+            spark, loc2, from_snapshot_id=meta2["snapshots"][0]["snapshot-id"]
+        )
+    # non-ancestor from
+    with pytest.raises((ValueError, KeyError)):
+        read_iceberg_v2_changes(spark, loc, from_snapshot_id=99999)
 
 
 def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path):
