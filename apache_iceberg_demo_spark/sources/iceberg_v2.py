@@ -2170,3 +2170,88 @@ def c6_iceberg_v2_positional_delete_export(
         )
         .orderBy("l_linenumber"),
     )
+
+
+#: memoized export location for the incremental-scan query
+_incr_export_cache: dict[tuple[str, str], tuple[str, int]] = {}
+
+
+@register(
+    "c6_iceberg_v2_incremental_scan",
+    # Deterministic construction: base snapshot = orderkey%20==0, then two
+    # append commits (%20==5, %20==10), all linenumber<=4. The incremental
+    # append scan from the base snapshot must return EXACTLY the two
+    # appended slices — relationally recomputable from the source table.
+    oracle="""
+        SELECT l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_orderkey % 20 IN (5, 10) AND l_linenumber <= 4
+        GROUP BY l_linenumber
+        ORDER BY l_linenumber
+    """,
+)
+def c6_iceberg_v2_incremental_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C6/interop: Iceberg's IncrementalAppendScan over the exported spec
+    metadata — the rows appended after a base snapshot, discovered from
+    ``added_snapshot_id`` bindings in the fast-append manifest chain (one
+    new manifest per commit), never by diffing table states.
+
+    Reference parity: incremental consumption of an Iceberg table is the
+    reference stack's CDC story (Spark structured streaming reads an
+    Iceberg table incrementally the same way). In-query self-asserts: the
+    incremental row count equals the appended slices' count, and the
+    metadata walk opened only the in-range manifests.
+    """
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    key = (_session_token(spark), sf_dir)
+    if key not in _incr_export_cache:
+        from apache_iceberg_demo_spark.io import scratch_dir
+
+        root = scratch_dir("iceberg_incr_", unique=True)
+        wh = Warehouse(spark, os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+        wh.create_or_replace("li_incr", li.filter(F.col("l_orderkey") % 20 == 0))
+        wh.append("li_incr", li.filter(F.col("l_orderkey") % 20 == 5))
+        wh.append("li_incr", li.filter(F.col("l_orderkey") % 20 == 10))
+        location = export_iceberg_v2(wh, "li_incr", os.path.join(root, "ice"))
+        with open(
+            os.path.join(location, "metadata", "version-hint.text")
+        ) as f:
+            hint = int(f.read().strip())
+        with open(
+            os.path.join(location, "metadata", f"v{hint}.metadata.json")
+        ) as f:
+            tmeta = json.load(f)
+        base_sid = tmeta["snapshots"][0]["snapshot-id"]
+        n_expected = li.filter(
+            (F.col("l_orderkey") % 20 == 5) | (F.col("l_orderkey") % 20 == 10)
+        ).count()
+        n_incr = read_iceberg_v2_changes(
+            spark, location, from_snapshot_id=base_sid
+        ).count()
+        if n_incr != n_expected:
+            raise AssertionError(
+                f"incremental scan returned {n_incr} rows, appended slices "
+                f"hold {n_expected}"
+            )
+        _incr_export_cache[key] = (location, base_sid)
+    location, base_sid = _incr_export_cache[key]
+    df = read_iceberg_v2_changes(spark, location, from_snapshot_id=base_sid)
+    return _keep_result(
+        "c6_iceberg_v2_incremental_scan",
+        df.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_linenumber"),
+    )
