@@ -1337,6 +1337,30 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
 # ---------------------------------------------------------------- reader
 
 
+def _load_table_metadata(mdir: str) -> dict:
+    """HadoopTableOperations discovery: ``version-hint.text`` names the
+    current version; the hint is OPTIONAL in real tables (a crashed writer
+    may never land it), and the reference behavior is to fall back to
+    listing ``v*.metadata.json`` and taking the highest version."""
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            version = int(f.read().strip())
+    else:
+        versions = [
+            int(m.group(1))
+            for p in os.listdir(mdir)
+            if (m := re.fullmatch(r"v(\d+)\.metadata\.json", p))
+        ]
+        if not versions:
+            raise FileNotFoundError(
+                f"no version-hint.text and no vN.metadata.json under {mdir}"
+            )
+        version = max(versions)
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        return json.load(f)
+
+
 def read_iceberg_v2(
     spark: SparkSession,
     location: str,
@@ -1368,10 +1392,7 @@ def read_iceberg_v2(
     a broadcast anti-join on (file, pos).
     """
     mdir = os.path.join(_from_uri(location), "metadata")
-    with open(os.path.join(mdir, "version-hint.text")) as f:
-        version = int(f.read().strip())
-    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
-        meta = json.load(f)
+    meta = _load_table_metadata(mdir)
     if meta["format-version"] != 2:
         raise ValueError(f"unsupported format-version {meta['format-version']}")
     if sum(x is not None for x in (ref, snapshot_id, as_of_ms)) > 1:
@@ -1801,10 +1822,7 @@ def read_iceberg_v2_changes(
     restricted to the added files.
     """
     mdir = os.path.join(_from_uri(location), "metadata")
-    with open(os.path.join(mdir, "version-hint.text")) as f:
-        version = int(f.read().strip())
-    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
-        meta = json.load(f)
+    meta = _load_table_metadata(mdir)
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if from_snapshot_id not in by_id:
         raise KeyError(f"unknown from_snapshot_id {from_snapshot_id}")

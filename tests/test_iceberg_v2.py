@@ -413,6 +413,78 @@ def test_deleted_entries_recorded_then_dropped(spark, tmp_path):
     assert mod.validate(loc, deep=True) == []
 
 
+def test_version_hint_fallback(spark, tmp_path):
+    """The version hint is OPTIONAL (a crashed writer may never land it):
+    reader and validator must fall back to the highest vN.metadata.json,
+    exactly HadoopTableOperations' discovery."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    n = read_iceberg_v2(spark, loc).count()
+    os.remove(os.path.join(loc, "metadata", "version-hint.text"))
+    assert read_iceberg_v2(spark, loc).count() == n
+    mod = _load_validator()
+    assert mod.validate(loc, deep=True) == []
+
+
+def test_jvm_reference_avro_reads_rewritten_manifest(spark, tmp_path):
+    """Bidirectional conformance for the filter-rewrite shape: the JVM's
+    REFERENCE Avro implementation must parse a rewritten manifest carrying
+    both EXISTING and DELETED entries and agree value-by-value on status,
+    snapshot ids, and sequence numbers."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    wh.append("t", li.filter("l_linenumber = 2"))
+    wh.rewrite_data_files("t")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    compact = meta["snapshots"][2]
+    _, _, mfs = read_ocf(_from_uri(compact["manifest-list"]))
+    rewritten = next(
+        m for m in mfs if m["content"] == 0 and m["deleted_files_count"] > 0
+    )
+    path = _from_uri(rewritten["manifest_path"])
+    _, _, ours = read_ocf(path)
+    assert {e["status"] for e in ours} >= {2}
+
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    theirs = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        theirs.append(
+            (
+                int(str(rec.get("status"))),
+                int(str(rec.get("snapshot_id"))),
+                int(str(rec.get("sequence_number"))),
+                str(rec.get("data_file").get("file_path")),
+            )
+        )
+    dfr.close()
+    assert theirs == [
+        (
+            e["status"],
+            e["snapshot_id"],
+            e["sequence_number"],
+            e["data_file"]["file_path"],
+        )
+        for e in ours
+    ]
+    # DELETED entries carry the deleting snapshot, original sequences
+    for st, sid, seq, _ in theirs:
+        if st == 2:
+            assert sid == compact["snapshot-id"]
+            assert seq < compact["sequence-number"]
+
+
 def test_incremental_append_scan(spark, tmp_path):
     """read_iceberg_v2_changes returns exactly the rows appended in
     (from, to], reads only the in-range manifests, and refuses a range

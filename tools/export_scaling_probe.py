@@ -63,8 +63,30 @@ def main(argv: list[str]) -> int:
         avro_bytes = sum(
             os.path.getsize(p) for p in glob.glob(os.path.join(mdir, "*.avro"))
         )
+        t1 = time.time()
         n_rows = read_iceberg_v2(spark, loc).count()
+        full_s = time.time() - t1
         assert n_rows == 100 * n, (n_rows, n)
+        # incremental scan of just the LAST commit: metadata cost is one
+        # manifest list + ONE manifest, regardless of table history
+        from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+            read_iceberg_v2_changes,
+        )
+
+        mpath = os.path.join(mdir, "version-hint.text")
+        with open(mpath) as f:
+            hint = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+            tmeta = json.load(f)
+        penult = tmeta["snapshots"][-2]["snapshot-id"] if n > 1 else None
+        incr_s, n_incr = None, None
+        if penult is not None:
+            t2 = time.time()
+            n_incr = read_iceberg_v2_changes(
+                spark, loc, from_snapshot_id=penult
+            ).count()
+            incr_s = round(time.time() - t2, 2)
+            assert n_incr == 100, n_incr
         print(
             json.dumps(
                 {
@@ -73,6 +95,8 @@ def main(argv: list[str]) -> int:
                     "manifest_files": len(manifests),
                     "manifest_entries": entries,
                     "metadata_avro_kb": round(avro_bytes / 1024, 1),
+                    "full_read_s": round(full_s, 2),
+                    "incr_last_commit_s": incr_s,
                 }
             ),
             flush=True,

@@ -95,10 +95,22 @@ def validate(location: str, deep: bool = False) -> list[str]:
     v: list[str] = []
     mdir = os.path.join(_from_uri(location), "metadata")
     hint = os.path.join(mdir, "version-hint.text")
-    if not os.path.exists(hint):
-        return [f"missing {hint}"]
-    with open(hint) as f:
-        version = int(f.read().strip())
+    if os.path.exists(hint):
+        with open(hint) as f:
+            version = int(f.read().strip())
+    else:
+        # the hint is optional (HadoopTableOperations falls back to the
+        # highest vN.metadata.json when a crashed writer never landed it)
+        import re as _re
+
+        versions = [
+            int(m.group(1))
+            for p in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+            if (m := _re.fullmatch(r"v(\d+)\.metadata\.json", p))
+        ]
+        if not versions:
+            return [f"no version-hint.text and no vN.metadata.json in {mdir}"]
+        version = max(versions)
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
     if not os.path.exists(mpath):
         return [f"version-hint names v{version} but {mpath} is missing"]
