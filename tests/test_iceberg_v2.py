@@ -536,6 +536,33 @@ def test_incremental_append_scan(spark, tmp_path):
         read_iceberg_v2_changes(spark, loc, from_snapshot_id=99999)
 
 
+def test_incremental_scan_ignores_pre_range_deletes(spark, tmp_path):
+    """An MoR equality delete committed BEFORE the range must not suppress
+    rows appended inside it: the appended files carry a HIGHER data
+    sequence than the delete, so the spec's strictly-less rule exempts
+    them — the incremental scan returns every appended row, including
+    ones matching the old delete's key."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        read_iceberg_v2_changes,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    wh.delete_where_mor("t", "l_quantity = 5")  # equality delete, pre-range
+    wh.append("t", li.filter("l_linenumber = 2"))
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    # delete commit is a metadata-only snapshot between create and append
+    del_sid = meta["snapshots"][1]["snapshot-id"]
+    got = read_iceberg_v2_changes(spark, loc, from_snapshot_id=del_sid)
+    assert got.count() == li.filter("l_linenumber = 2").count()
+    assert got.filter("l_quantity = 5").count() == li.filter(
+        "l_linenumber = 2 AND l_quantity = 5"
+    ).count() > 0
+
+
 def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path):
     """VERDICT r10 item 4: a second consumer of the metadata.json layer —
     the standalone spec validator (written from the public spec rules, no
