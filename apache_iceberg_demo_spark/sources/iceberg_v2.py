@@ -927,6 +927,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
 
         mlist_records = []
         this_sid_mpaths: list[str] = []
+        removed_rows = 0
         # inherit the parent's manifests: unchanged re-list when no file
         # was removed from them, filter-rewrite (survivors as EXISTING
         # with their original sequence numbers) when some were
@@ -958,6 +959,8 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                     e["snapshot_id"] = int(snap["snapshot_id"])
                     dead.append(e)
                 # else: a status-2 entry from an EARLIER rewrite — drop
+            dead_rows = sum(int(e["data_file"]["record_count"]) for e in dead)
+            removed_rows += dead_rows
             rw_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
             rw_len = write_ocf(
                 rw_path,
@@ -985,9 +988,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                         int(e["data_file"]["record_count"]) for e in keep
                     ),
                     "deleted_files_count": len(dead),
-                    "deleted_rows_count": sum(
-                        int(e["data_file"]["record_count"]) for e in dead
-                    ),
+                    "deleted_rows_count": dead_rows,
                     "partitions": _partition_summaries(
                         keep + dead, info["pkey"]
                     ),
@@ -1222,6 +1223,7 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
         }
         if removed_uris:
             summary["deleted-data-files"] = str(len(removed_uris))
+            summary["deleted-records"] = str(removed_rows)
         snapshots_json.append(
             {
                 "snapshot-id": int(snap["snapshot_id"]),

@@ -326,6 +326,10 @@ def test_fast_append_filter_rewrite_on_compaction(spark, tmp_path):
     assert len(snaps) == 3
     assert snaps[-1]["summary"]["operation"] in ("replace", "overwrite")
     assert int(snaps[-1]["summary"].get("deleted-data-files", "0")) > 0
+    # compaction replaced every pre-existing file: deleted-records == all
+    assert int(snaps[-1]["summary"]["deleted-records"]) == li.filter(
+        "l_linenumber <= 2"
+    ).count()
 
     def data_files(snapshot):
         _, _, mfs = read_ocf(_from_uri(snapshot["manifest-list"]))
