@@ -1885,6 +1885,48 @@ def read_iceberg_v2_changes(
     )
 
 
+def iceberg_v2_change_feed(
+    spark: SparkSession, location: str, cursor_path: str
+) -> tuple[DataFrame, int]:
+    """At-least-once incremental CONSUMPTION of an exported table — the
+    consumer half of the CDC story (what a foreachBatch sink polls).
+
+    Reads the rows appended since the snapshot recorded in
+    ``cursor_path`` (no cursor yet = initial load: the full table as of
+    current) and returns ``(frame, to_snapshot_id)``. The caller
+    processes the frame, then calls :func:`advance_change_feed` with the
+    returned id — separating read from advance is what makes the feed
+    at-least-once: a crash between the two replays the same delta, never
+    skips one. (Advancing first would silently drop the delta —
+    at-most-once.) The cursor advance is an atomic replace, so a torn
+    write can never corrupt it."""
+    meta = _load_table_metadata(os.path.join(_from_uri(location), "metadata"))
+    to_id = meta["current-snapshot-id"]
+    if not os.path.exists(cursor_path):
+        return read_iceberg_v2(spark, location, snapshot_id=to_id), to_id
+    with open(cursor_path) as f:
+        cur = json.load(f)["snapshot-id"]
+    if cur == to_id:
+        return (
+            read_iceberg_v2(spark, location, snapshot_id=to_id).limit(0),
+            to_id,
+        )
+    return (
+        read_iceberg_v2_changes(
+            spark, location, from_snapshot_id=cur, to_snapshot_id=to_id
+        ),
+        to_id,
+    )
+
+
+def advance_change_feed(cursor_path: str, snapshot_id: int) -> None:
+    """Atomically record the last fully-processed snapshot."""
+    tmp = f"{cursor_path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot-id": int(snapshot_id)}, f)
+    os.replace(tmp, cursor_path)
+
+
 # ---------------------------------------------------------------- query
 
 def _session_token(spark: SparkSession) -> str:

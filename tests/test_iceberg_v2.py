@@ -540,6 +540,54 @@ def test_incremental_append_scan(spark, tmp_path):
         read_iceberg_v2_changes(spark, loc, from_snapshot_id=99999)
 
 
+def test_change_feed_at_least_once(spark, tmp_path):
+    """Durable-cursor consumption across re-exports: initial load, then
+    per-commit deltas; a crash between read and advance REPLAYS the same
+    delta (at-least-once, never skipping); caught-up polls are empty."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        advance_change_feed,
+        iceberg_v2_change_feed,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    ice = str(tmp_path / "ice")
+    cursor = str(tmp_path / "cursor.json")
+
+    wh.create_or_replace("t", li.filter("l_linenumber = 1"))
+    export_iceberg_v2(wh, "t", ice)
+    df, sid = iceberg_v2_change_feed(spark, ice, cursor)
+    assert df.count() == li.filter("l_linenumber = 1").count()  # initial load
+    advance_change_feed(cursor, sid)
+
+    # caught up: empty delta, same schema
+    df0, sid0 = iceberg_v2_change_feed(spark, ice, cursor)
+    assert sid0 == sid and df0.count() == 0
+    assert df0.columns == df.columns
+
+    wh.append("t", li.filter("l_linenumber = 2"))
+    export_iceberg_v2(wh, "t", ice)  # re-export bumps vN.metadata.json
+    df1, sid1 = iceberg_v2_change_feed(spark, ice, cursor)
+    n2 = li.filter("l_linenumber = 2").count()
+    assert sid1 != sid and df1.count() == n2
+    # CRASH before advance: the next poll replays the SAME delta
+    df1b, sid1b = iceberg_v2_change_feed(spark, ice, cursor)
+    assert sid1b == sid1 and df1b.count() == n2
+    advance_change_feed(cursor, sid1b)
+
+    wh.append("t", li.filter("l_linenumber = 3"))
+    export_iceberg_v2(wh, "t", ice)
+    df2, sid2 = iceberg_v2_change_feed(spark, ice, cursor)
+    assert df2.count() == li.filter("l_linenumber = 3").count()
+    assert set(
+        r["l_linenumber"]
+        for r in df2.select("l_linenumber").distinct().collect()
+    ) == {3}
+    advance_change_feed(cursor, sid2)
+    assert iceberg_v2_change_feed(spark, ice, cursor)[0].count() == 0
+
+
 def test_incremental_scan_ignores_pre_range_deletes(spark, tmp_path):
     """An MoR equality delete committed BEFORE the range must not suppress
     rows appended inside it: the appended files carry a HIGHER data
