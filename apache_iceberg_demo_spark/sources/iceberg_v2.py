@@ -2317,3 +2317,93 @@ def c6_iceberg_v2_incremental_scan(
         )
         .orderBy("l_linenumber"),
     )
+
+
+#: memoized change-feed consumption result (kept-persisted per session)
+_feed_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+@register(
+    "c6_iceberg_v2_change_feed_consume",
+    # Deterministic construction: three commits (orderkey%20==0 create,
+    # %20==5 append, %20==10 append; linenumber<=4), the location
+    # re-exported after each, a durable-cursor poll between commits. Poll
+    # k's delta is exactly commit k's slice, so the tagged union is
+    # relationally recomputable from the source table.
+    oracle="""
+        SELECT poll, l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM (
+            SELECT 1 AS poll, l_linenumber FROM lineitem
+            WHERE l_orderkey % 20 = 0 AND l_linenumber <= 4
+            UNION ALL
+            SELECT 2, l_linenumber FROM lineitem
+            WHERE l_orderkey % 20 = 5 AND l_linenumber <= 4
+            UNION ALL
+            SELECT 3, l_linenumber FROM lineitem
+            WHERE l_orderkey % 20 = 10 AND l_linenumber <= 4
+        )
+        GROUP BY poll, l_linenumber
+        ORDER BY poll, l_linenumber
+    """,
+)
+def c6_iceberg_v2_change_feed_consume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C6/interop: at-least-once CONSUMPTION of the exported table via the
+    durable-cursor change feed — three commits, the location re-exported
+    after each (metadata version bumps), one poll per commit; each poll's
+    delta is tagged and unioned.
+
+    Reference parity: the consumer half of the reference stack's CDC
+    story (a downstream engine polling an Iceberg table for new rows).
+    In-query self-assert: each poll's delta count equals its commit's
+    slice count, and a replay WITHOUT advancing returns the same delta.
+    """
+    from apache_iceberg_demo_spark.io import load, scratch_dir
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    key = (_session_token(spark), sf_dir)
+    if key not in _feed_cache:
+        root = scratch_dir("iceberg_feed_", unique=True)
+        wh = Warehouse(spark, os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+        ice = os.path.join(root, "ice")
+        cursor = os.path.join(root, "cursor.json")
+        slices = [
+            li.filter(F.col("l_orderkey") % 20 == 0),
+            li.filter(F.col("l_orderkey") % 20 == 5),
+            li.filter(F.col("l_orderkey") % 20 == 10),
+        ]
+        deltas = []
+        for poll, sl in enumerate(slices, start=1):
+            if poll == 1:
+                wh.create_or_replace("t", sl)
+            else:
+                wh.append("t", sl)
+            export_iceberg_v2(wh, "t", ice)
+            df, sid = iceberg_v2_change_feed(spark, ice, cursor)
+            n_delta, n_slice = df.count(), sl.count()
+            if n_delta != n_slice:
+                raise AssertionError(
+                    f"poll {poll}: delta {n_delta} != commit slice {n_slice}"
+                )
+            # crash-replay: polling again BEFORE advancing repeats the delta
+            replay, _ = iceberg_v2_change_feed(spark, ice, cursor)
+            if replay.count() != n_delta:
+                raise AssertionError(
+                    f"poll {poll}: replay {replay.count()} != {n_delta}"
+                )
+            advance_change_feed(cursor, sid)
+            deltas.append(df.withColumn("poll", F.lit(poll)))
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        result = _keep_result(
+            "c6_iceberg_v2_change_feed_consume",
+            out.groupBy("poll", "l_linenumber")
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .orderBy("poll", "l_linenumber"),
+        )
+        _feed_cache[key] = result
+    return _feed_cache[key]
