@@ -1627,6 +1627,39 @@ def test_sort_order_and_summary_export(spark, tmp_path):
     assert snap["summary"]["total-data-files"].isdigit()
 
 
+def test_divergent_branch_fast_append_inheritance(spark, tmp_path):
+    """TRUE divergence: after a branch appends, MAIN appends too — two
+    children of one parent. Each line must inherit the shared create
+    manifest BY REFERENCE (same file in both heads' manifest lists) and
+    add only its own manifest; reads through main and the ref stay
+    disjoint beyond the shared base."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+    wh.create_or_replace("nt", n.filter(F.col("n_nationkey") < 10))
+    wh.create_branch("nt", "side")
+    wh.append_to_branch(
+        "nt", "side", n.filter(F.col("n_nationkey").between(10, 12))
+    )
+    wh.append("nt", n.filter(F.col("n_nationkey").between(20, 24)))  # main
+    loc = export_iceberg_v2(wh, "nt", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+
+    def mpaths(sid):
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+        _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+        return [m["manifest_path"] for m in mfs if m["content"] == 0]
+
+    main_ms = mpaths(meta["current-snapshot-id"])
+    side_ms = mpaths(meta["refs"]["side"]["snapshot-id"])
+    shared = set(main_ms) & set(side_ms)
+    assert len(shared) == 1, "create manifest must be shared by reference"
+    assert len(main_ms) == 2 and len(side_ms) == 2
+    assert read_iceberg_v2(spark, loc).count() == 15  # 10 + main's 5
+    assert read_iceberg_v2(spark, loc, ref="side").count() == 13  # 10 + 3
+
+
 def test_refs_export_branches_and_tags(spark, tmp_path):
     """Branches and tags export as spec refs with their ancestries in the
     snapshot list; the snapshot-log stays main-history-only; reads through
