@@ -219,6 +219,11 @@ _DRIVER_VERIFIED: set[str] = {
     # VERDICT r10 item 1:
     "s1_stratified_sample_by", "a7_iceberg_v2_spec_scan",
     "c6_iceberg_v2_equality_delete_export",
+    # --- r11 driver greens (CORRECTNESS_r11.json — all 50 rows fully green:
+    # the 3 new interop queries hash-green first run plus 47 _RECHECK
+    # re-proofs), folded in per VERDICT r11 item 1:
+    "c6_iceberg_v2_positional_delete_export", "c6_iceberg_v2_incremental_scan",
+    "c6_iceberg_v2_change_feed_consume",
 }
 
 # Names that must lead the registry regardless of verification history
@@ -235,34 +240,34 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-11 staleness rotation (VERDICT r10 item 1): the r10 run re-proved
+# Round-12 staleness rotation (VERDICT r11 item 1): the r11 run re-proved
 # 47 of the previous block, leaving its 3 tail names unreached — they lead
-# this rotation — topped up with the next-stalest 47 greens (the r03/r04
-# fold tail onward: nation-volume matrix, the b4 approx/statistical block,
-# b5/b6/b7 galleries, then the oldest r05 names). They rank directly after
-# any genuinely unverified newcomers; future rounds rotate the next-stalest
-# block in.
+# this rotation — topped up with the next-stalest 47 greens (the whole
+# remaining r05-era fold: the c5 text family, b5 window galleries, b8
+# function galleries, subquery tail — then the oldest r06 names). Computed
+# from the cumulative CORRECTNESS_r01-r11 record (latest green round per
+# query). They rank directly after any genuinely unverified newcomers;
+# future rounds rotate the next-stalest block in.
 _RECHECK: list[str] = [
-    "b3_local_supplier_volume", "b3_market_share", "b3_min_cost_supplier",
-    "b3_nation_volume_matrix", "b3_product_type_profit",
-    "b3_returned_item_reporting", "b4_approx_count_distinct",
-    "b4_freq_items", "b4_important_stock_value", "b4_percentile_approx",
-    "b4_promo_revenue_share", "b4_revenue_delta_forecast",
-    "b4_shipdelay_priority", "b4_supplier_part_census",
-    "b4_top_supplier_revenue", "b5_pivot_status_counts",
-    "b5_unpivot_measures", "b6_limit_offset", "b6_sort_nulls_placement",
-    "b6_topk_limit", "b7_distinct_pairs", "b7_drop_duplicates_subset",
-    "b7_except", "b7_except_all", "b7_intersect", "b7_intersect_all",
-    "b7_union_all", "b7_union_by_name", "b7_union_distinct",
-    "b8_map_funcs", "c3_cosine_neardup_pairs", "c3_cosine_topk",
-    "c3_cosine_topk_batch", "c4_multimodal_metadata",
-    "s1_hash_sample_10pct", "s1_mixture_weighted",
-    "s1_train_val_test_split", "b4_filtered_aggs",
-    "b4_rollup_reuse_hierarchy", "b2_sql_api_shipping_priority",
-    "b2_scalar_subquery", "b2_in_subquery", "b4_hll_sketch_mergeable",
-    "b4_data_profile", "b2_sql_pipe_syntax", "b4_retention_cohorts",
-    "asof_join_tolerance", "c1_dedup_keep_best", "c2_containment_pairs",
-    "b2_sql_named_params",
+    "c1_dedup_keep_best", "c2_containment_pairs", "b2_sql_named_params",
+    "b3_join_range_binned", "s1_mixture_temperature",
+    "s1_split_leakage_audit", "c3_quantize_int8_error",
+    "b2_correlated_exists", "b2_correlated_scalar",
+    "b2_not_in_null_semantics", "b2_recursive_cte_spine",
+    "c5_token_frequencies", "c5_doc_stats", "c5_quality_score",
+    "c5_token_count_bpe_regex", "c5_lang_source_stats", "c5_tfidf_top_terms",
+    "pipeline_llm_corpus_clean", "c5_sequence_packing",
+    "c5_decontaminate_ngram_overlap", "pipeline_pretrain_data_prep",
+    "c5_repetition_stats", "c5_unigram_logprob_score", "b5_row_number_topk",
+    "b5_rank_dense_ntile", "b5_lag_lead", "b5_running_agg", "b5_range_frame",
+    "b5_value_functions", "b5_percent_rank_cume_dist", "b5_gap_fill_forward",
+    "b5_named_window_clause", "a01_a06_csv_ingest_roundtrip",
+    "b8_string_funcs", "b8_date_funcs", "b8_math_funcs", "b8_conditional",
+    "b8_array_funcs", "b8_json_funcs", "b8_variant_json",
+    "b1_json_roundtrip", "b1_csv_malformed_modes", "b1_orc_roundtrip",
+    "b1_partitioned_parquet_roundtrip", "b1_metadata_columns",
+    "b1_mergeschema_landing", "b1_xml_roundtrip", "b1_python_datasource",
+    "b10_pandas_udf_scalar", "b10_udtf_explode_bigrams",
 ]
 
 
