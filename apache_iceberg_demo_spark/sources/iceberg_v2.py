@@ -46,6 +46,8 @@ table survives the spec-shaped round trip with a DuckDB value-hash oracle.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import re
@@ -59,6 +61,44 @@ from pyspark.sql.types import StructType
 
 from apache_iceberg_demo_spark.registry import register
 from apache_iceberg_demo_spark.sources.avro_ocf import read_ocf, write_ocf
+
+# ---------------------------------------------------------------- errors
+
+
+class CursorExpiredError(KeyError):
+    """A change-feed cursor names a snapshot no longer in table metadata —
+    ``expire_snapshots`` ran past it (or the id never existed; the two are
+    indistinguishable once history is gone, and the recovery is the same).
+
+    Recovery contract (keeps the feed at-least-once): call
+    :func:`reset_change_feed` on the cursor path — the next
+    :func:`iceberg_v2_change_feed` poll performs a full initial load of
+    the table as of current, replaying rows the consumer may have seen
+    but never skipping one. Consumers that tolerate a bounded gap may
+    instead ``advance_change_feed(cursor_path, err.oldest_available)``
+    and resume incrementally — rows appended between the expired cursor
+    and ``oldest_available`` are then skipped (at-most-once across the
+    expiry horizon), which is why reset-to-full-load is the default
+    recommendation and this path is opt-in.
+
+    Subclasses :class:`KeyError` so pre-r12 callers that caught the bare
+    ``KeyError`` keep working.
+    """
+
+    def __init__(self, from_snapshot_id: int, oldest_available: int) -> None:
+        super().__init__(
+            f"from_snapshot_id {from_snapshot_id} is not in table metadata "
+            f"(expired or never existed); oldest available snapshot is "
+            f"{oldest_available} — reset_change_feed() for a full-reload "
+            f"resume, or advance_change_feed(cursor, {oldest_available}) "
+            f"to accept the gap"
+        )
+        self.from_snapshot_id = int(from_snapshot_id)
+        self.oldest_available = int(oldest_available)
+
+    def __str__(self) -> str:  # KeyError.__str__ would repr() the message
+        return self.args[0]
+
 
 # ---------------------------------------------------------------- types
 
@@ -107,13 +147,56 @@ def _iceberg_schema(schema_id: int, struct: StructType, fids: dict) -> dict:
 
 #: single-value binary serialization for bounds (spec "Binary single-value
 #: serialization"): int = 4-byte little-endian, long = 8 LE, float/double =
-#: IEEE LE, string = UTF-8.
+#: IEEE LE, string = UTF-8, date = 4-byte LE days from epoch, boolean =
+#: one byte 0x00/0x01, decimal(p,s) = minimal-length big-endian
+#: two's-complement unscaled value. Timestamps stay unserialized (their
+#: warehouse stats arrive as engine-formatted strings whose round-trip is
+#: not bit-stable; absent bounds are spec-legal and never unsound).
 _BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _decimal_scale(ice_type: str) -> int:
+    return int(ice_type[len("decimal("):-1].split(",")[1].strip())
 
 
 def bound_bytes(ice_type: str, value) -> Optional[bytes]:
     if ice_type == "string" and isinstance(value, str):
         return value.encode("utf-8")
+    if ice_type == "date":
+        # warehouse stats/partition values carry dates as ISO strings
+        if isinstance(value, str):
+            try:
+                value = datetime.date.fromisoformat(value)
+            except ValueError:
+                return None
+        if isinstance(value, datetime.datetime):
+            return None
+        if isinstance(value, datetime.date):
+            return struct.pack("<i", (value - _EPOCH_DATE).days)
+        if isinstance(value, int) and not isinstance(value, bool):
+            return struct.pack("<i", value)  # already days-from-epoch
+        return None
+    if ice_type == "boolean":
+        if isinstance(value, str):
+            if value.lower() not in ("true", "false"):
+                return None
+            value = value.lower() == "true"
+        if not isinstance(value, bool):
+            return None
+        return b"\x01" if value else b"\x00"
+    if ice_type.startswith("decimal("):
+        try:
+            unscaled = decimal.Decimal(str(value)).scaleb(
+                _decimal_scale(ice_type)
+            )
+        except decimal.InvalidOperation:
+            return None
+        if unscaled != int(unscaled):  # not exactly representable: no bound
+            return None
+        n = int(unscaled)
+        return n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
     fmt = _BOUND_PACK.get(ice_type)
     if fmt is None or isinstance(value, (str, bool)):
         return None
@@ -124,9 +207,33 @@ def bound_bytes(ice_type: str, value) -> Optional[bytes]:
 
 
 def bound_value(ice_type: str, raw: bytes):
+    """Decode a single-value-serialized bound. Dates come back as ISO
+    strings — the engine stores and compares date stats in ISO-string
+    space (lexicographic == chronological), so the decoded form plugs
+    straight into ``Warehouse._can_skip``. Raises for types this exporter
+    never serializes; prune/validator paths use :func:`try_bound_value`."""
     if ice_type == "string":
         return raw.decode("utf-8")
+    if ice_type == "date":
+        days = struct.unpack("<i", raw)[0]
+        return (_EPOCH_DATE + datetime.timedelta(days=days)).isoformat()
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type.startswith("decimal("):
+        n = int.from_bytes(raw, "big", signed=True)
+        return decimal.Decimal(n).scaleb(-_decimal_scale(ice_type))
     return struct.unpack(_BOUND_PACK[ice_type], raw)[0]
+
+
+def try_bound_value(ice_type: str, raw: bytes):
+    """`bound_value` that returns None for undecodable/foreign types
+    instead of raising — an external table whose bounds use a
+    serialization this reader doesn't know must lose the pruning
+    opportunity, never abort the read (ADVICE r11)."""
+    try:
+        return bound_value(ice_type, raw)
+    except (KeyError, struct.error, ValueError, IndexError):
+        return None
 
 
 # ---------------------------------------------------------------- avro schemas
@@ -1472,9 +1579,9 @@ def read_iceberg_v2(
                     no_null_cols.add(fld["name"])
                 lb, ub = summ.get("lower_bound"), summ.get("upper_bound")
                 if lb is not None and ub is not None:
-                    stats[fld["name"]] = [
-                        bound_value(t, lb), bound_value(t, ub)
-                    ]
+                    lo, hi = try_bound_value(t, lb), try_bound_value(t, ub)
+                    if lo is not None and hi is not None:
+                        stats[fld["name"]] = [lo, hi]
             from apache_iceberg_demo_spark.sources.warehouse import Warehouse
 
             if stats and Warehouse._can_skip(
@@ -1543,10 +1650,10 @@ def read_iceberg_v2(
                     fid = kv["key"]
                     if fid in uppers and fid in types_by_id:
                         t = types_by_id[fid]
-                        stats[names_by_id[fid]] = [
-                            bound_value(t, kv["value"]),
-                            bound_value(t, uppers[fid]),
-                        ]
+                        lo = try_bound_value(t, kv["value"])
+                        hi = try_bound_value(t, uppers[fid])
+                        if lo is not None and hi is not None:
+                            stats[names_by_id[fid]] = [lo, hi]
                 entry_view = {
                     "partition": {
                         n: str(v)
@@ -1827,7 +1934,17 @@ def read_iceberg_v2_changes(
     meta = _load_table_metadata(mdir)
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if from_snapshot_id not in by_id:
-        raise KeyError(f"unknown from_snapshot_id {from_snapshot_id}")
+        # expired (or bogus) cursor: surface the oldest snapshot still on
+        # current's ancestry — the earliest point an incremental scan can
+        # resume from — plus the typed recovery contract (VERDICT r11
+        # item 2). Root-of-ancestry, not min(by_id): a branch-only
+        # snapshot older than the main chain is not a resume point.
+        sid = meta["current-snapshot-id"]
+        while sid is not None and by_id.get(sid, {}).get(
+            "parent-snapshot-id"
+        ) in by_id:
+            sid = by_id[sid]["parent-snapshot-id"]
+        raise CursorExpiredError(from_snapshot_id, sid)
     to_id = (
         to_snapshot_id
         if to_snapshot_id is not None
@@ -1925,6 +2042,18 @@ def advance_change_feed(cursor_path: str, snapshot_id: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"snapshot-id": int(snapshot_id)}, f)
     os.replace(tmp, cursor_path)
+
+
+def reset_change_feed(cursor_path: str) -> None:
+    """Recover a feed whose cursor outlived snapshot retention
+    (:class:`CursorExpiredError`): drop the cursor so the next poll is a
+    full initial load of the table as of current. Replays rows the
+    consumer already processed — at-least-once is preserved, nothing is
+    ever skipped. Idempotent (a missing cursor is already reset)."""
+    try:
+        os.remove(cursor_path)
+    except FileNotFoundError:
+        pass
 
 
 # ---------------------------------------------------------------- query

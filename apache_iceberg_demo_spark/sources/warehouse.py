@@ -1222,6 +1222,15 @@ class Warehouse:
         conjunct suffices to skip the file."""
         import re
 
+        # any top-level OR disables skipping: the AND split below has no
+        # precedence awareness, so "a = 1 OR b = 2 AND c = 3" could skip a
+        # file (or a whole manifest, via the v2 reader's summary-prune call
+        # site) on the c-conjunct even though a=1 rows match (ADVICE r11).
+        # Quoted literals are masked first so a value containing " OR "
+        # doesn't trip the guard.
+        if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", where), re.IGNORECASE):
+            return False
+
         mb = re.fullmatch(
             r"\s*(\w+)\s+BETWEEN\s+('[^']*'|[-0-9.]+)\s+AND\s+('[^']*'|[-0-9.]+)\s*",
             where,

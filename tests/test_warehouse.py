@@ -442,6 +442,13 @@ def test_can_skip_between_and_conjunction(spark, wh):
     assert cs(entry, "y = 'zzz' AND x >= 0")
     assert not cs(entry, "x >= 15 AND y = 'b'")
     assert not cs(entry, "some_unparseable || garbage")
+    # ADVICE r11: any top-level OR disables skipping — the AND split has
+    # no precedence awareness, so "a OR b AND c" must never skip on c
+    assert not cs(entry, "x = 15 OR y = 'zzz' AND x >= 100")
+    assert not cs(entry, "y = 'zzz' OR x = 15")
+    assert not cs(entry, "x >= 100 or x <= -5")  # lowercase too
+    # ...but OR inside a quoted literal is data, not a connective
+    assert cs(entry, "y = 'zzz OR aaa' AND x >= 100")
 
 
 def test_zorder_registered_query(spark):

@@ -12,10 +12,10 @@ spec text alone — it imports nothing from the exporter, so an exporter bug
 cannot self-certify.
 
 The preferred second consumer would be pyiceberg's metadata model, but no
-wheel is obtainable in this container (verified round 11:
-``pip download pyiceberg`` fails with DNS resolution errors — fully
-offline; same class of blocker as DuckDB's iceberg extension, documented
-at apache_iceberg_demo_spark/sources/iceberg_v2.py:28-31).
+wheel is obtainable in this container (re-verified 2026-08-16, round 12:
+``pip download pyiceberg`` finds no distribution and DuckDB's
+``INSTALL iceberg`` cannot reach extensions.duckdb.org — fully offline;
+documented at apache_iceberg_demo_spark/sources/iceberg_v2.py:28-31).
 
 Checks (each failure is one violation line):
 - required top-level fields present with spec types;
@@ -484,7 +484,10 @@ def _check_partition_summaries(
             types_by_id.setdefault(f["id"], f["type"])
     # single-value deserialization for the bound comparison
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from apache_iceberg_demo_spark.sources.iceberg_v2 import bound_value
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        bound_bytes,
+        try_bound_value,
+    )
 
     v: list[str] = []
     for fld, summ in zip(spec["fields"], summaries):
@@ -501,18 +504,40 @@ def _check_partition_summaries(
         nonnull = [x for x in vals if x is not None]
         lb, ub = summ.get("lower_bound"), summ.get("upper_bound")
         t = types_by_id.get(fld["source-id"])
-        if nonnull and (lb is None or ub is None):
-            v.append(
-                f"manifest {mp}: partitions[{nm}] has values but no bounds"
-            )
-        elif nonnull and t is not None and isinstance(t, str):
-            lo, hi = bound_value(t, lb), bound_value(t, ub)
-            bad = [x for x in nonnull if x < lo or x > hi]
-            if bad:
+        if not nonnull or t is None or not isinstance(t, str):
+            continue
+        # bounds are OPTIONAL in the spec — require them only when this
+        # exporter's serialization covers the type AND the actual values
+        # (probe via bound_bytes; e.g. timestamps never serialize here,
+        # and a decimal value outside its scale doesn't either). A
+        # missing-bounds report for an unserializable type was the
+        # ADVICE-r11 false positive on date-partitioned tables.
+        serializable = all(bound_bytes(t, x) is not None for x in nonnull)
+        if lb is None or ub is None:
+            if serializable:
                 v.append(
-                    f"manifest {mp}: partitions[{nm}] bounds [{lo}, {hi}] "
-                    f"do not cover {bad[:3]}"
+                    f"manifest {mp}: partitions[{nm}] has values but no bounds"
                 )
+            continue
+        lo, hi = try_bound_value(t, lb), try_bound_value(t, ub)
+        if lo is None or hi is None:
+            # foreign serialization (e.g. a Java-Iceberg bound type this
+            # validator can't decode): skip the comparison, never crash
+            continue
+        # compare in decoded space: round-trip each entry value through
+        # the same serialization so types always match (a date partition
+        # value arrives as an Avro string; decoded bounds are ISO strings)
+        bad = []
+        for x in nonnull:
+            bx = bound_bytes(t, x)
+            cx = try_bound_value(t, bx) if bx is not None else None
+            if cx is not None and (cx < lo or cx > hi):
+                bad.append(x)
+        if bad:
+            v.append(
+                f"manifest {mp}: partitions[{nm}] bounds [{lo}, {hi}] "
+                f"do not cover {bad[:3]}"
+            )
     return v
 
 
