@@ -1,0 +1,347 @@
+"""Iceberg partition transforms (public spec, "Partition Transforms" +
+Appendix B "32-bit Hash Requirements").
+
+The warehouse writes hidden-partitioned tables by materializing a derived
+partition column at write time (``Warehouse._apply_transform``); this
+module holds the spec-conformant pieces shared by the writer, the v2
+exporter (``sources/iceberg_v2.py``), the spec reader's pruning, and the
+standalone metadata validator:
+
+- ``murmur3_32`` — MurmurHash3 x86 32-bit, seed 0, the exact function the
+  spec mandates for ``bucket[N]``; pinned against the spec's published
+  test vectors (int 34 → 2017239379, string "iceberg" → 1210000089,
+  date 2017-11-16 → -653330422, …) in tests/test_iceberg_v2.py. An
+  engine that buckets with any other hash (Spark's ``F.hash`` is
+  murmur3 with seed 42 and different byte layouts; ``xxhash64`` is a
+  different function entirely) would make FOREIGN readers prune the
+  wrong files — conformance here is a correctness requirement, not
+  style.
+- ``bucket_value`` — spec byte layouts per source type + the
+  ``(hash & Integer.MAX_VALUE) % N`` projection.
+- ``parse_spec`` — ``"days(ts)"`` / ``"bucket(16, id)"`` /
+  ``"truncate(4, col)"`` / plain-column spec strings → a Transform
+  record carrying the spec-facing transform name (``day``,
+  ``bucket[16]``, ``truncate[4]``, ``identity``), the derived column
+  name, and the result type rule.
+- ``partition_value_to_spec`` — the warehouse's human-readable hive dir
+  value (``"1995-03"``) → the spec's result-typed value (int months
+  since epoch), used when exporting manifests.
+- ``prune_disjoint`` — conservative transformed-space pruning: given a
+  simple conjunct on the SOURCE column and a manifest/file's partition
+  bound range in transformed space, decide whether no row can match.
+  Monotonic transforms (day/month/year/hour/truncate) map inequalities
+  through; bucket prunes equality only.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import struct
+from dataclasses import dataclass
+from typing import Optional
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+# ----------------------------------------------------------- murmur3
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm), SIGNED int32
+    result — the spec's required hash for bucket transforms."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_bytes(value) -> Optional[bytes]:
+    """Spec Appendix B byte layouts: int/long/date/time/timestamp hash as
+    the 8-byte little-endian LONG; string as UTF-8; decimal as the
+    minimal big-endian two's-complement unscaled value."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(
+            1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+        )
+        return struct.pack(
+            "<q", int((value - epoch).total_seconds() * 1_000_000)
+        )
+    if isinstance(value, datetime.date):
+        return struct.pack("<q", (value - _EPOCH).days)
+    if isinstance(value, decimal.Decimal):
+        unscaled = int(value.scaleb(-value.as_tuple().exponent))
+        return unscaled.to_bytes(
+            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+        )
+    return None
+
+
+def bucket_value(value, n: int) -> Optional[int]:
+    """Iceberg ``bucket[N]``: ``(murmur3(v) & Integer.MAX_VALUE) % N``;
+    None for null or an unhashable source type. Accepts numpy scalars /
+    NaN as delivered by Arrow-batched pandas UDFs."""
+    try:
+        import numpy as np
+
+        if isinstance(value, np.generic):
+            value = value.item()
+    except ImportError:
+        pass
+    if isinstance(value, float):
+        if value != value:  # pandas null → NaN
+            return None
+        if value.is_integer():
+            value = int(value)
+    b = _bucket_bytes(value)
+    if b is None:
+        return None
+    return (murmur3_32(b) & 0x7FFFFFFF) % int(n)
+
+
+def bucket_udf(n: int):
+    """Arrow-batched pandas UDF computing ``bucket[n]`` of a column.
+    Defined here with concrete (non-string) type hints: modules under
+    ``from __future__ import annotations`` stringify hints, which
+    pandas_udf's signature inference rejects."""
+    import pandas  # noqa: F401  (hint resolution needs the module live)
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s):
+        return s.map(lambda v: bucket_value(v, n))
+
+    _bucket.__annotations__ = {
+        "s": pandas.Series, "return": pandas.Series
+    }
+    return pandas_udf(_bucket, "int")
+
+
+# ----------------------------------------------------------- spec parse
+
+
+@dataclass(frozen=True)
+class Transform:
+    """One parsed partition-spec term."""
+
+    kind: str            # identity | day | month | year | hour | bucket | truncate
+    source: str          # source column name
+    param: Optional[int]  # N for bucket, W for truncate, else None
+    derived: str         # the warehouse's materialized column name
+
+    @property
+    def spec_name(self) -> str:
+        """The transform string the Iceberg spec JSON uses."""
+        if self.kind == "bucket":
+            return f"bucket[{self.param}]"
+        if self.kind == "truncate":
+            return f"truncate[{self.param}]"
+        return self.kind
+
+    def result_type(self, source_ice_type: str) -> str:
+        """Iceberg result type of the transform (spec table): day → date,
+        month/year/hour/bucket → int, identity/truncate → source type."""
+        if self.kind == "day":
+            return "date"
+        if self.kind in ("month", "year", "hour", "bucket"):
+            return "int"
+        return source_ice_type
+
+
+#: warehouse spec-string function → spec transform kind
+_FN_TO_KIND = {
+    "days": "day",
+    "months": "month",
+    "years": "year",
+    "hours": "hour",
+    "bucket": "bucket",
+    "truncate": "truncate",
+}
+
+
+def parse_spec(spec: Optional[str]) -> Optional[Transform]:
+    """Parse one warehouse partition-spec string. Plain column → identity;
+    unknown function names raise (same contract as _apply_transform)."""
+    if spec is None:
+        return None
+    spec = spec.strip()
+    if "(" not in spec:
+        return Transform("identity", spec, None, spec)
+    fn, arg = spec.split("(", 1)
+    fn, arg = fn.strip(), arg.rstrip(")").strip()
+    kind = _FN_TO_KIND.get(fn)
+    if kind is None:
+        raise ValueError(f"unknown partition transform {spec!r}")
+    if kind in ("bucket", "truncate"):
+        n, col = [a.strip() for a in arg.split(",")]
+        suffix = "bucket" if kind == "bucket" else "trunc"
+        return Transform(kind, col, int(n), f"{col}_{suffix}")
+    return Transform(kind, arg, None, f"{arg}_{fn}")
+
+
+def spec_name_to_transform(
+    spec_name: str, source: str = "", derived: str = ""
+) -> Optional[Transform]:
+    """Inverse of ``Transform.spec_name`` for reader/validator use:
+    ``"bucket[16]"`` → Transform. None for void/unknown (callers must
+    treat unknown transforms as un-pruneable, never as identity)."""
+    if spec_name == "identity":
+        return Transform("identity", source, None, derived or source)
+    for kind in ("bucket", "truncate"):
+        if spec_name.startswith(kind + "[") and spec_name.endswith("]"):
+            try:
+                param = int(spec_name[len(kind) + 1:-1])
+            except ValueError:
+                return None
+            return Transform(kind, source, param, derived)
+    if spec_name in ("day", "month", "year", "hour"):
+        return Transform(spec_name, source, None, derived)
+    return None
+
+
+# ------------------------------------------------- value conversions
+
+
+def partition_value_to_spec(tr: Transform, raw: str, source_ice_type: str):
+    """Hive-dir partition value (always a string, the warehouse's
+    human-readable form) → the spec's result-typed value for manifests:
+    day ``"1995-03-04"`` → days since epoch, month ``"1995-03"`` →
+    months since epoch, year ``"1995"`` → years since 1970, hour
+    ``"1995-03-04-07"`` → hours since epoch, bucket → int as-is,
+    truncate → int/long parsed, other source types kept as written.
+    ``None`` passes through (null partition value)."""
+    if raw is None:
+        return None
+    if tr.kind == "identity":
+        return raw
+    if tr.kind == "day":
+        return (datetime.date.fromisoformat(raw) - _EPOCH).days
+    if tr.kind == "month":
+        y, m = int(raw[0:4]), int(raw[5:7])
+        return (y - 1970) * 12 + (m - 1)
+    if tr.kind == "year":
+        return int(raw) - 1970
+    if tr.kind == "hour":
+        d = datetime.date.fromisoformat(raw[:10])
+        return ((d - _EPOCH).days * 24) + int(raw[11:13])
+    if tr.kind == "bucket":
+        return int(raw)
+    if tr.kind == "truncate":
+        if source_ice_type in ("int", "long"):
+            return int(raw)
+        return raw
+    raise ValueError(f"unconvertible transform {tr.kind}")
+
+
+def apply_py(tr: Transform, value, source_ice_type: str = "string"):
+    """Evaluate the transform on a PREDICATE LITERAL driver-side (for
+    pruning): value is the parsed literal — ISO date string, int/float
+    number, or plain string. None when the literal can't be transformed
+    (callers must not prune then)."""
+    if value is None:
+        return None
+    try:
+        if tr.kind == "identity":
+            return value
+        if tr.kind == "day":
+            return (datetime.date.fromisoformat(str(value)[:10]) - _EPOCH).days
+        if tr.kind == "month":
+            s = str(value)
+            return (int(s[0:4]) - 1970) * 12 + (int(s[5:7]) - 1)
+        if tr.kind == "year":
+            return int(str(value)[0:4]) - 1970
+        if tr.kind == "hour":
+            s = str(value)
+            d = datetime.date.fromisoformat(s[:10])
+            hh = int(s[11:13]) if len(s) >= 13 else 0
+            return (d - _EPOCH).days * 24 + hh
+        if tr.kind == "bucket":
+            v = value
+            if isinstance(v, float) and v.is_integer():
+                v = int(v)
+            if source_ice_type == "date" and isinstance(v, str):
+                v = datetime.date.fromisoformat(v[:10])
+            if source_ice_type.startswith("decimal(") and isinstance(
+                v, (str, int, float)
+            ):
+                v = decimal.Decimal(str(v))
+            return bucket_value(v, tr.param)
+        if tr.kind == "truncate":
+            if isinstance(value, str):
+                return value[: tr.param]
+            if isinstance(value, float) and value.is_integer():
+                value = int(value)
+            if isinstance(value, int):
+                return value - (value % tr.param)  # python % is floor-mod
+            return None
+    except (ValueError, decimal.InvalidOperation):
+        return None
+    return None
+
+
+# ------------------------------------------------------------- pruning
+
+#: transforms through which `c op lit ⇒ T(c) op' T(lit)` holds with
+#: op' the weakened operator below (monotonic non-decreasing transforms)
+_MONOTONIC = {"identity", "day", "month", "year", "hour", "truncate"}
+
+
+def prune_disjoint(tr: Transform, op: str, lit, lo, hi,
+                   source_ice_type: str = "string") -> bool:
+    """True iff NO source value satisfying ``col op lit`` can land in a
+    partition whose transformed value lies in ``[lo, hi]`` — the sound
+    direction for skipping a manifest/file. Conservative: any doubt →
+    False (never skip).
+
+    Monotonic transforms: ``c >= L ⇒ T(c) >= T(L)`` (and dually), so a
+    range wholly below/above T(L) is disjoint; strict ops weaken to
+    non-strict in transformed space (two source values in one day).
+    Bucket: equality only — T(L) outside [lo, hi] is disjoint."""
+    t_lit = apply_py(tr, lit, source_ice_type)
+    if t_lit is None or lo is None or hi is None:
+        return False
+    try:
+        if tr.kind == "bucket":
+            return op in ("=", "==") and (t_lit < lo or t_lit > hi)
+        if tr.kind not in _MONOTONIC:
+            return False
+        if op in ("=", "=="):
+            return t_lit < lo or t_lit > hi
+        if op in (">", ">="):
+            return hi < t_lit
+        if op in ("<", "<="):
+            return lo > t_lit
+    except TypeError:  # incomparable types: never skip
+        return False
+    return False

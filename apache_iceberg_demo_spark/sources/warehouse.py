@@ -432,21 +432,42 @@ class Warehouse:
 
     @classmethod
     def _apply_transform(cls, df: DataFrame, spec: str) -> tuple[DataFrame, str]:
-        """Resolve 'days(ts)' / 'bucket(16, id)' / plain column specs to a
-        materialized partition column; returns (df, partition_col_name)."""
+        """Resolve 'days(ts)' / 'bucket(16, id)' / 'truncate(4, col)' /
+        plain column specs to a materialized partition column; returns
+        (df, partition_col_name).
+
+        ``bucket`` uses the SPEC's murmur3-32 hash (seed 0, Appendix-B
+        byte layouts, pinned against the published test vectors) — not
+        Spark's ``F.hash`` (seed 42) or ``xxhash64``: the v2 export
+        declares these tables ``bucket[N]``-partitioned, and a foreign
+        Iceberg reader prunes with ITS murmur3, so any other hash here
+        would make that reader silently drop matching files. The hash
+        runs as an Arrow-batched pandas UDF (write-time only; a JVM
+        deployment would use Iceberg's bundled bucket expression)."""
+        from apache_iceberg_demo_spark.sources import transforms as T
+
         spec = spec.strip()
         if "(" not in spec:
             return df, spec
-        fn, arg = spec.split("(", 1)
-        arg = arg.rstrip(")").strip()
-        fn = fn.strip()
-        if fn == "bucket":
-            n, col = [a.strip() for a in arg.split(",")]
-            pcol = f"{col}_bucket"
-            return df.withColumn(pcol, F.pmod(F.xxhash64(col), F.lit(int(n)))), pcol
+        tr = T.parse_spec(spec)
+        pcol = tr.derived
+        if tr.kind == "bucket":
+            return df.withColumn(pcol, T.bucket_udf(tr.param)(F.col(tr.source))), pcol
+        if tr.kind == "truncate":
+            dtype = dict(df.dtypes).get(tr.source, "")
+            if dtype in ("int", "bigint", "smallint", "tinyint"):
+                expr = F.col(tr.source) - F.pmod(F.col(tr.source), F.lit(tr.param))
+            elif dtype == "string":
+                expr = F.substring(F.col(tr.source), 1, tr.param)
+            else:
+                raise ValueError(
+                    f"truncate transform unsupported for {dtype or 'unknown'}"
+                    f" column {tr.source!r} (int/long/string only)"
+                )
+            return df.withColumn(pcol, expr), pcol
+        fn = spec.split("(", 1)[0].strip()
         if fn in cls.TRANSFORMS:
-            pcol = f"{arg}_{fn}"
-            return df.withColumn(pcol, cls.TRANSFORMS[fn](arg)), pcol
+            return df.withColumn(pcol, cls.TRANSFORMS[fn](tr.source)), pcol
         raise ValueError(f"unknown partition transform {spec!r}")
 
     def create_or_replace(
@@ -460,7 +481,8 @@ class Warehouse:
 
         ``partition_by`` accepts a plain column or an Iceberg-style hidden
         transform — ``days(ts)``, ``months(ts)``, ``years(ts)``, ``hours(ts)``,
-        ``bucket(16, key)`` — derived at write time and recorded in metadata.
+        ``bucket(16, key)``, ``truncate(4, col)`` — derived at write time
+        and recorded in metadata.
 
         The committed schema is the DataFrame's schema (the reference's
         replace-wins behavior, SURVEY.md §1.3), made explicit here.
