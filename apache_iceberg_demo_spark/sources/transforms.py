@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import re
 import struct
 from dataclasses import dataclass
 from typing import Optional
@@ -258,7 +259,9 @@ def partition_value_to_spec(tr: Transform, raw: str, source_ice_type: str):
     if tr.kind == "bucket":
         return int(raw)
     if tr.kind == "truncate":
-        if source_ice_type in ("int", "long"):
+        # accepts Iceberg names AND Spark simpleStrings (the warehouse-
+        # native pruner passes the latter)
+        if source_ice_type in ("int", "long", "bigint", "smallint", "tinyint"):
             return int(raw)
         return raw
     raise ValueError(f"unconvertible transform {tr.kind}")
@@ -311,6 +314,30 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
 
 
 # ------------------------------------------------------------- pruning
+
+_SIMPLE_CONJ_RE = re.compile(
+    r"\s*(\w+)\s*(<=|>=|==|=|<|>)\s*('([^']*)'|[-0-9.]+)\s*"
+)
+
+
+def simple_conjuncts(where: Optional[str]) -> list[tuple]:
+    """Parse a predicate into recognized ``(col, op, literal)`` AND-
+    conjuncts for transformed-space pruning. Any top-level OR → no
+    conjuncts (pruning on an AND split of a mixed OR/AND predicate is
+    unsound — same guard as Warehouse._can_skip); unrecognized conjuncts
+    are simply dropped (conservative: fewer pruning opportunities)."""
+    if where is None:
+        return []
+    if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", where), re.IGNORECASE):
+        return []
+    out = []
+    for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        m = _SIMPLE_CONJ_RE.fullmatch(part)
+        if m:
+            col, op, raw, s_lit = m.group(1), m.group(2), m.group(3), m.group(4)
+            lit: object = s_lit if s_lit is not None else float(raw)
+            out.append((col, op, lit))
+    return out
 
 #: transforms through which `c op lit ⇒ T(c) op' T(lit)` holds with
 #: op' the weakened operator below (monotonic non-decreasing transforms)

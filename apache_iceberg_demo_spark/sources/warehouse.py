@@ -417,6 +417,55 @@ class Warehouse:
         writer.parquet(data_dir)
         return data_dir
 
+    def _transform_prune(
+        self, meta: dict, snap: dict, files: list[dict], where: str
+    ) -> list[dict]:
+        """Hidden-partitioning file pruning on the NATIVE read path: map
+        SOURCE-column conjuncts through the table's partition transform
+        and drop files whose (transformed) partition value is provably
+        disjoint. Matters most for bucket tables — a key-equality
+        predicate cannot prune via min/max stats (the hash destroys
+        order) but prunes to 1-of-N files here. Conservative: no
+        transform spec / no matching conjunct / unconvertible value →
+        keep the file."""
+        from apache_iceberg_demo_spark.sources import transforms as T
+
+        spec_str = meta.get("partition_spec")
+        if not (spec_str and "(" in str(spec_str)):
+            return files
+        tr = T.parse_spec(str(spec_str))
+        conjs = [
+            c for c in T.simple_conjuncts(where) if c[0] == tr.source
+        ]
+        if not conjs:
+            return files
+        try:
+            struct_json = json.loads(snap.get("schema") or meta["schema"])
+            src_type = next(
+                f["type"] if isinstance(f["type"], str) else "string"
+                for f in struct_json["fields"]
+                if f["name"] == tr.source
+            )
+        except (KeyError, StopIteration, TypeError):
+            src_type = "string"
+        kept = []
+        for f in files:
+            raw = f["partition"].get(tr.derived)
+            if raw is None:
+                kept.append(f)
+                continue
+            try:
+                tv = T.partition_value_to_spec(tr, raw, src_type)
+            except (ValueError, TypeError):
+                kept.append(f)
+                continue
+            if not any(
+                T.prune_disjoint(tr, op, lit, tv, tv, src_type)
+                for _, op, lit in conjs
+            ):
+                kept.append(f)
+        return kept
+
     #: Iceberg-style hidden partition transforms (public Iceberg spec names):
     #: the table tracks `(transform, source_col)`; writers derive the partition
     #: value automatically and readers prune on it without the user ever
@@ -1134,6 +1183,7 @@ class Warehouse:
         field_map = snap.get("field_map", meta.get("field_map", {}))
         if where is not None:
             files = [f for f in files if not self._can_skip(f, where)]
+            files = self._transform_prune(meta, snap, files, where)
         if not files:
             # empty relation with the DECLARED schema (includes partition
             # columns, which a bare one-file read would miss) — handles both

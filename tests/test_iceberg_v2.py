@@ -2077,3 +2077,259 @@ def test_spec_read_prunes_files_from_manifest_bounds(spark, exported):
     nothing = read_iceberg_v2(spark, location, where="l_orderkey <= -1")
     assert len(nothing.inputFiles()) == 0 or nothing.count() == 0
     assert nothing.count() == 0
+
+
+# ------------------------------------------- hidden partitioning (r12)
+
+
+def test_murmur3_bucket_spec_vectors():
+    """The bucket transform's hash pinned against the PUBLISHED Iceberg
+    spec test vectors (Appendix B) — the conformance contract that lets a
+    foreign engine prune our bucket[N] tables correctly."""
+    import datetime
+    import decimal as dec
+    import struct
+
+    from apache_iceberg_demo_spark.sources.transforms import (
+        _bucket_bytes,
+        bucket_value,
+        murmur3_32,
+    )
+
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379          # int
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379          # long
+    assert murmur3_32(b"iceberg") == 1210000089                     # string
+    assert murmur3_32(
+        _bucket_bytes(datetime.date(2017, 11, 16))
+    ) == -653330422                                                 # date
+    assert murmur3_32(
+        _bucket_bytes(dec.Decimal("14.20"))
+    ) == -500754589                                                 # decimal
+    assert murmur3_32(
+        _bucket_bytes(datetime.datetime(2017, 11, 16, 22, 31, 8))
+    ) == -2047944441                                                # timestamp
+    t_us = (22 * 3600 + 31 * 60 + 8) * 1_000_000
+    assert murmur3_32(struct.pack("<q", t_us)) == -662762989        # time
+    # projection: (hash & Integer.MAX_VALUE) % N
+    assert bucket_value(34, 8) == 2017239379 % 8
+    assert bucket_value(None, 8) is None
+
+
+def test_hidden_partitioning_day_export_roundtrip(spark, tmp_path):
+    """days(ts) exports as a REAL day-transform spec: the derived column
+    is hidden from the schema, the spec field binds source-id to the
+    TIMESTAMP column with transform "day", manifest partition values are
+    int days since epoch, summary bounds serialize as dates, the reader
+    reproduces the source rows and prunes files from a source-column
+    predicate, and deep validation is clean."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    wh.create_or_replace("t", o, partition_by="days(o_orderdate)")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    names = {f["name"] for s in meta["schemas"] for f in s["fields"]}
+    assert "o_orderdate_days" not in names  # hidden, not a schema column
+    spec = meta["partition-specs"][0]["fields"]
+    src_fid = next(
+        f["id"]
+        for f in meta["schemas"][-1]["fields"]
+        if f["name"] == "o_orderdate"
+    )
+    assert spec == [
+        {
+            "name": "o_orderdate_days",
+            "transform": "day",
+            "source-id": src_fid,
+            "field-id": 1000,
+        }
+    ]
+
+    # manifest partition values are int days since epoch
+    import datetime
+
+    snap = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    _, mmeta, entries = read_ocf(_from_uri(mfs[0]["manifest_path"]))
+    assert json.loads(mmeta["partition-spec"])[0]["transform"] == "day"
+    epoch = datetime.date(1970, 1, 1)
+    lo_expect = (datetime.date(1995, 1, 1) - epoch).days
+    hi_expect = (datetime.date(1995, 12, 31) - epoch).days
+    for e in entries:
+        v = e["data_file"]["partition"]["o_orderdate_days"]
+        assert isinstance(v, int) and lo_expect <= v <= hi_expect
+    # summary bounds serialized as dates (4-byte LE days)
+    summ = mfs[0]["partitions"][0]
+    assert len(summ["lower_bound"]) == 4
+    assert lo_expect <= bound_value_days(summ["lower_bound"]) <= hi_expect
+
+    # read-back: user columns only, exact rows
+    got = read_iceberg_v2(spark, loc)
+    assert sorted(got.columns) == sorted(o.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, o.collect()))
+
+    # source-column predicate prunes in transformed space and stays exact
+    filt = read_iceberg_v2(spark, loc, where="o_orderdate >= '1995-07-01'")
+    assert 0 < len(filt.inputFiles()) < len(got.inputFiles())
+    assert filt.count() == o.filter("o_orderdate >= '1995-07-01'").count()
+    none = read_iceberg_v2(spark, loc, where="o_orderdate < '1990-01-01'")
+    assert none.count() == 0
+
+
+def bound_value_days(raw: bytes) -> int:
+    import struct
+
+    return struct.unpack("<i", raw)[0]
+
+
+def test_hidden_partitioning_bucket_and_truncate(spark, tmp_path):
+    """bucket(8, key) and truncate(4, str) export as bucket[8] /
+    truncate[4] specs; the manifest bucket values match the spec's
+    murmur3 projection recomputed independently; equality predicates on
+    the SOURCE column prune to the single matching partition file."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.transforms import bucket_value
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+
+    wh.create_or_replace("tb", o, partition_by="bucket(8, o_custkey)")
+    locb = export_iceberg_v2(wh, "tb", str(tmp_path / "iceb"))
+    assert mod.validate(locb, deep=True) == []
+    meta = _load_meta(locb)
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "bucket[8]"
+    # every file's bucket value == murmur3 projection of any row's key
+    _, _, mfs = read_ocf(_from_uri(meta["snapshots"][-1]["manifest-list"]))
+    _, _, entries = read_ocf(_from_uri(mfs[0]["manifest_path"]))
+    by_file = {
+        e["data_file"]["file_path"]: e["data_file"]["partition"][
+            "o_custkey_bucket"
+        ]
+        for e in entries
+    }
+    full = read_iceberg_v2(spark, locb)
+    k = o.select("o_custkey").first()[0]
+    eq = read_iceberg_v2(spark, locb, where=f"o_custkey = {k}")
+    assert len(eq.inputFiles()) == 1 and len(full.inputFiles()) > 1
+    assert eq.count() == o.filter(F.col("o_custkey") == k).count()
+    # the one surviving file's partition value is murmur3-bucket(key)
+    surviving = eq.inputFiles()[0].replace("file:", "")
+    v = next(
+        pv
+        for fp, pv in by_file.items()
+        if _from_uri(fp) == "/" + surviving.lstrip("/")
+    )
+    assert v == bucket_value(k, 8)
+
+    wh.create_or_replace("tt", o, partition_by="truncate(4, o_orderpriority)")
+    loct = export_iceberg_v2(wh, "tt", str(tmp_path / "icet"))
+    assert mod.validate(loct, deep=True) == []
+    metat = _load_meta(loct)
+    assert (
+        metat["partition-specs"][0]["fields"][0]["transform"] == "truncate[4]"
+    )
+    pri = read_iceberg_v2(spark, loct, where="o_orderpriority = '1-URGENT'")
+    allt = read_iceberg_v2(spark, loct)
+    assert 0 < len(pri.inputFiles()) < len(allt.inputFiles())
+    assert pri.count() == o.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_hidden_partitioning_manifest_prune_unopened(spark, tmp_path, monkeypatch):
+    """Transformed-space SUMMARY pruning: on a multi-commit days(ts)
+    table (fast-append → one manifest per commit), a one-month source
+    predicate must leave the out-of-range months' manifests UNOPENED."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources import iceberg_v2 as iv
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    months = ["1995-01", "1995-02", "1995-03"]
+    for i, m in enumerate(months):
+        sl = o.filter(F.date_format("o_orderdate", "yyyy-MM") == m)
+        if i == 0:
+            wh.create_or_replace("t", sl, partition_by="days(o_orderdate)")
+        else:
+            wh.append("t", sl)
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+
+    opened: list[str] = []
+    real = iv.read_ocf
+
+    def counting(path):
+        if "snap-" not in os.path.basename(path):
+            opened.append(path)
+        return real(path)
+
+    monkeypatch.setattr(iv, "read_ocf", counting)
+    got = iv.read_iceberg_v2(
+        spark,
+        loc,
+        where="o_orderdate >= '1995-02-01' AND o_orderdate < '1995-03-01'",
+    )
+    n = got.count()
+    monkeypatch.setattr(iv, "read_ocf", real)
+    assert len(opened) == 1, f"opened {len(opened)} manifests, expected 1"
+    assert n == o.filter(
+        "o_orderdate >= '1995-02-01' AND o_orderdate < '1995-03-01'"
+    ).count() > 0
+
+
+def test_hidden_partition_manifest_jvm_readback(spark, tmp_path):
+    """The JVM's REFERENCE Avro implementation reads a day-transform
+    manifest: int partition values and the day transform in the embedded
+    partition-spec header — an independent decoder, not our own reader
+    checking our own writer."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 40 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-03-01")
+    )
+    wh.create_or_replace("t", o, partition_by="days(o_orderdate)")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    _, _, mfs = read_ocf(_from_uri(meta["snapshots"][-1]["manifest-list"]))
+    mpath = _from_uri(mfs[0]["manifest_path"])
+    _, _, ours = read_ocf(mpath)
+
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mpath), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    spec_header = bytes(dfr.getMeta("partition-spec")).decode()
+    assert json.loads(spec_header)[0]["transform"] == "day"
+    theirs = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        theirs.append(
+            (
+                str(rec.get("data_file").get("file_path")),
+                int(
+                    str(
+                        rec.get("data_file")
+                        .get("partition")
+                        .get("o_orderdate_days")
+                    )
+                ),
+            )
+        )
+    dfr.close()
+    assert theirs == [
+        (
+            e["data_file"]["file_path"],
+            e["data_file"]["partition"]["o_orderdate_days"],
+        )
+        for e in ours
+    ]
+    assert all(isinstance(v, int) and v > 9000 for _, v in theirs)

@@ -144,11 +144,26 @@ def test_hidden_partitioning_transforms(spark, wh):
     pred = f"l_shipdate_months = '{month}'"
     assert wh.read("t", where=pred).count() == wh.read("t").filter(pred).count() > 0
 
-    # bucket transform
+    # bucket transform — spec murmur3 values, and SOURCE-column equality
+    # prunes to the single matching bucket file on the native read path
+    # (stats can't: the hash destroys key order)
+    from apache_iceberg_demo_spark.sources.transforms import bucket_value
+
     wh.create_or_replace("tb", li, partition_by="bucket(8, l_orderkey)")
     parts = {f["partition"]["l_orderkey_bucket"]
              for f in wh._load_meta("tb")["snapshots"][-1]["manifest"]}
     assert len(parts) <= 8 and len(parts) > 1
+    k = li.select("l_orderkey").first()[0]
+    pruned = wh.read("tb", where=f"l_orderkey = {k}")
+    assert len(pruned.inputFiles()) == 1
+    assert f"l_orderkey_bucket={bucket_value(k, 8)}" in pruned.inputFiles()[0]
+    assert pruned.count() == li.filter(F.col("l_orderkey") == k).count() > 0
+
+    # truncate transform: prefix dirs, source-column predicate prunes
+    wh.create_or_replace("tt", li, partition_by="truncate(1, l_returnflag)")
+    tp = wh.read("tt", where="l_returnflag = 'R'")
+    assert len(tp.inputFiles()) < len(wh.read("tt").inputFiles())
+    assert tp.count() == li.filter("l_returnflag = 'R'").count() > 0
 
 
 def test_scd2_history_tracking(spark, wh):

@@ -488,11 +488,12 @@ def _check_partition_summaries(
         bound_bytes,
         try_bound_value,
     )
+    from apache_iceberg_demo_spark.sources.transforms import (
+        spec_name_to_transform,
+    )
 
     v: list[str] = []
     for fld, summ in zip(spec["fields"], summaries):
-        if fld.get("transform") != "identity":
-            continue
         nm = fld["name"]
         vals = [e["data_file"]["partition"].get(nm) for e in entries]
         has_null = any(x is None for x in vals)
@@ -503,9 +504,16 @@ def _check_partition_summaries(
             )
         nonnull = [x for x in vals if x is not None]
         lb, ub = summ.get("lower_bound"), summ.get("upper_bound")
-        t = types_by_id.get(fld["source-id"])
-        if not nonnull or t is None or not isinstance(t, str):
+        src_t = types_by_id.get(fld["source-id"])
+        if not nonnull or src_t is None or not isinstance(src_t, str):
             continue
+        # entry partition values (and summary bounds) live in the
+        # transform's RESULT type space — day → int days serialized as
+        # date, month/year/hour/bucket → int, truncate/identity → source
+        tf = spec_name_to_transform(fld.get("transform", "identity"))
+        if tf is None:
+            continue  # void/foreign transform: values not comparable here
+        t = tf.result_type(src_t)
         # bounds are OPTIONAL in the spec — require them only when this
         # exporter's serialization covers the type AND the actual values
         # (probe via bound_bytes; e.g. timestamps never serialize here,
