@@ -180,12 +180,18 @@ class Transform:
         return source_ice_type
 
 
-#: warehouse spec-string function → spec transform kind
+#: warehouse spec-string function → spec transform kind. Both the
+#: warehouse's plural spellings (days/months/…, matching Spark's
+#: partitioning functions) and Iceberg's own singular names are accepted.
 _FN_TO_KIND = {
     "days": "day",
+    "day": "day",
     "months": "month",
+    "month": "month",
     "years": "year",
+    "year": "year",
     "hours": "hour",
+    "hour": "hour",
     "bucket": "bucket",
     "truncate": "truncate",
 }
@@ -208,7 +214,9 @@ def parse_spec(spec: Optional[str]) -> Optional[Transform]:
         n, col = [a.strip() for a in arg.split(",")]
         suffix = "bucket" if kind == "bucket" else "trunc"
         return Transform(kind, col, int(n), f"{col}_{suffix}")
-    return Transform(kind, arg, None, f"{arg}_{fn}")
+    # derived name normalized to the plural suffix regardless of which
+    # spelling the spec used ("day(ts)" and "days(ts)" are one layout)
+    return Transform(kind, arg, None, f"{arg}_{kind}s")
 
 
 def spec_name_to_transform(

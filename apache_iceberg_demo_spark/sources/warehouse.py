@@ -514,9 +514,9 @@ class Warehouse:
                     f" column {tr.source!r} (int/long/string only)"
                 )
             return df.withColumn(pcol, expr), pcol
-        fn = spec.split("(", 1)[0].strip()
-        if fn in cls.TRANSFORMS:
-            return df.withColumn(pcol, cls.TRANSFORMS[fn](tr.source)), pcol
+        plural = tr.kind + "s"  # day -> days, matching TRANSFORMS keys
+        if plural in cls.TRANSFORMS:
+            return df.withColumn(pcol, cls.TRANSFORMS[plural](tr.source)), pcol
         raise ValueError(f"unknown partition transform {spec!r}")
 
     def create_or_replace(
