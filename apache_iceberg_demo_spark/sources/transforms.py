@@ -338,6 +338,14 @@ def simple_conjuncts(where: Optional[str]) -> list[tuple]:
         return []
     if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", where), re.IGNORECASE):
         return []
+    # BETWEEN expands to two inequality conjuncts BEFORE the AND split
+    # (splitting "c BETWEEN a AND b" on AND would shred it)
+    where = re.sub(
+        r"(\w+)\s+BETWEEN\s+('[^']*'|[-0-9.]+)\s+AND\s+('[^']*'|[-0-9.]+)",
+        r"\1 >= \2 AND \1 <= \3",
+        where,
+        flags=re.IGNORECASE,
+    )
     out = []
     for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
         m = _SIMPLE_CONJ_RE.fullmatch(part)

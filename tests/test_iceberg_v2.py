@@ -2368,3 +2368,45 @@ def test_unpartitioned_to_transform_evolution_export(spark, tmp_path):
     assert read_iceberg_v2(spark, loc, where=w).count() == (
         o.filter(w).count() + o2.filter(w).count()
     )
+
+
+def test_hidden_partitioning_hours_and_between_prune(spark, tmp_path):
+    """hours(ts) exports as an hour transform (int hours since epoch) and
+    a BETWEEN source predicate prunes via the expanded inequality pair."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.transforms import (
+        parse_spec,
+        partition_value_to_spec,
+        simple_conjuncts,
+    )
+
+    # unit: hour conversion + BETWEEN expansion
+    tr = parse_spec("hours(ts)")
+    assert tr.spec_name == "hour"
+    assert partition_value_to_spec(tr, "1970-01-02-03", "timestamptz") == 27
+    assert simple_conjuncts("ts BETWEEN '1995-01-01' AND '1995-02-01'") == [
+        ("ts", ">=", "1995-01-01"),
+        ("ts", "<=", "1995-02-01"),
+    ]
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .limit(200)
+    )
+    wh.create_or_replace("t", e, partition_by="hours(ts)")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "hour"
+    names = {f["name"] for s in meta["schemas"] for f in s["fields"]}
+    assert "ts_hours" not in names
+    got = read_iceberg_v2(spark, loc)
+    assert got.count() == e.count()
+    # BETWEEN on the source timestamp prunes files in hour space
+    tmin, tmax = e.agg(F.min("ts"), F.max("ts")).first()
+    mid = tmin + (tmax - tmin) / 2
+    w = f"ts BETWEEN '{tmin}' AND '{mid}'"
+    filt = read_iceberg_v2(spark, loc, where=w)
+    assert filt.count() == e.filter(w).count() > 0
+    assert len(filt.inputFiles()) <= len(got.inputFiles())
