@@ -298,15 +298,27 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
             hh = int(s[11:13]) if len(s) >= 13 else 0
             return (d - _EPOCH).days * 24 + hh
         if tr.kind == "bucket":
+            # the literal must hash in the SOURCE column's byte layout —
+            # a quoted numeric literal ('5' against an int key) must be
+            # coerced to the int layout, or the hash lands in the wrong
+            # bucket and pruning drops a matching file
             v = value
-            if isinstance(v, float) and v.is_integer():
-                v = int(v)
-            if source_ice_type == "date" and isinstance(v, str):
-                v = datetime.date.fromisoformat(v[:10])
-            if source_ice_type.startswith("decimal(") and isinstance(
-                v, (str, int, float)
+            if source_ice_type in (
+                "int", "long", "integer", "bigint", "smallint", "tinyint"
             ):
+                fv = float(str(v))
+                if not fv.is_integer():
+                    return None  # int key can never equal a fractional lit
+                v = int(fv)
+            elif source_ice_type == "string":
+                if not isinstance(v, str):
+                    return None
+            elif source_ice_type == "date":
+                v = datetime.date.fromisoformat(str(v)[:10])
+            elif source_ice_type.startswith("decimal("):
                 v = decimal.Decimal(str(v))
+            elif isinstance(v, float) and v.is_integer():
+                v = int(v)
             return bucket_value(v, tr.param)
         if tr.kind == "truncate":
             if isinstance(value, str):

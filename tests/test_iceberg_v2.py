@@ -2410,3 +2410,35 @@ def test_hidden_partitioning_hours_and_between_prune(spark, tmp_path):
     filt = read_iceberg_v2(spark, loc, where=w)
     assert filt.count() == e.filter(w).count() > 0
     assert len(filt.inputFiles()) <= len(got.inputFiles())
+
+
+def test_bucket_prune_literal_coercion():
+    """A bucket-prune literal must hash in the SOURCE column's byte
+    layout: '5' against an int key coerces to the int layout (utf-8
+    hashing would land in the wrong bucket and prune a matching file);
+    incompatible literal/source combinations never prune."""
+    import datetime
+
+    from apache_iceberg_demo_spark.sources.transforms import (
+        apply_py,
+        bucket_value,
+        parse_spec,
+        prune_disjoint,
+    )
+
+    tr = parse_spec("bucket(8, k)")
+    assert apply_py(tr, "5", "long") == bucket_value(5, 8)
+    assert apply_py(tr, 5.0, "long") == bucket_value(5, 8)
+    assert apply_py(tr, 5.5, "long") is None      # fractional vs int key
+    assert apply_py(tr, 7, "string") is None      # numeric lit vs string key
+    assert apply_py(tr, "abc", "string") == bucket_value("abc", 8)
+    assert apply_py(tr, "2017-11-16", "date") == bucket_value(
+        datetime.date(2017, 11, 16), 8
+    )
+    assert apply_py(tr, "oops", "long") is None   # unparseable: no prune
+    # prune_disjoint: only equality prunes buckets, and never on doubt
+    b = bucket_value(5, 8)
+    assert prune_disjoint(tr, "=", "5", (b + 1) % 8, (b + 1) % 8, "long")
+    assert not prune_disjoint(tr, "=", "5", b, b, "long")
+    assert not prune_disjoint(tr, ">=", "5", (b + 1) % 8, (b + 1) % 8, "long")
+    assert not prune_disjoint(tr, "=", "oops", 0, 7, "long")
