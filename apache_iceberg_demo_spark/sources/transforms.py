@@ -315,6 +315,8 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
                     return None
             elif source_ice_type == "date":
                 v = datetime.date.fromisoformat(str(v)[:10])
+            elif source_ice_type in ("timestamp", "timestamptz"):
+                v = datetime.datetime.fromisoformat(str(v))
             elif source_ice_type.startswith("decimal("):
                 v = decimal.Decimal(str(v))
             elif isinstance(v, float) and v.is_integer():
