@@ -187,6 +187,10 @@ def bound_bytes(ice_type: str, value) -> Optional[bytes]:
             return None
         return b"\x01" if value else b"\x00"
     if ice_type.startswith("decimal("):
+        from apache_iceberg_demo_spark.sources.transforms import (
+            min_signed_bytes,
+        )
+
         try:
             unscaled = decimal.Decimal(str(value)).scaleb(
                 _decimal_scale(ice_type)
@@ -195,8 +199,7 @@ def bound_bytes(ice_type: str, value) -> Optional[bytes]:
             return None
         if unscaled != int(unscaled):  # not exactly representable: no bound
             return None
-        n = int(unscaled)
-        return n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
+        return min_signed_bytes(int(unscaled))
     fmt = _BOUND_PACK.get(ice_type)
     if fmt is None or isinstance(value, (str, bool)):
         return None

@@ -83,6 +83,19 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def min_signed_bytes(n: int) -> bytes:
+    """MINIMAL-length big-endian two's complement — the spec's decimal
+    serialization for both bucket hashing and bounds. The naive
+    ``(bit_length()+8)//8`` emits a redundant 0xFF byte for negative
+    powers of two (-128 → ``ff80`` instead of ``80``), which changes the
+    murmur3 hash a conformant reader computes."""
+    if n >= 0:
+        length = n.bit_length() // 8 + 1
+    else:
+        length = (-n - 1).bit_length() // 8 + 1
+    return n.to_bytes(length, "big", signed=True)
+
+
 def _bucket_bytes(value) -> Optional[bytes]:
     """Spec Appendix B byte layouts: int/long/date/time/timestamp hash as
     the 8-byte little-endian LONG; string as UTF-8; decimal as the
@@ -94,26 +107,35 @@ def _bucket_bytes(value) -> Optional[bytes]:
     if isinstance(value, str):
         return value.encode("utf-8")
     if isinstance(value, datetime.datetime):
-        epoch = datetime.datetime(
-            1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+        # hash the UTC INSTANT: an aware value's offset must not cancel
+        # (epoch in the value's own tz would hash the local wall clock);
+        # micros via exact integer arithmetic — float total_seconds()
+        # truncates beyond 2^53 µs
+        if value.tzinfo is not None:
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
+        td = value - epoch
+        micros = (
+            td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
         )
-        return struct.pack(
-            "<q", int((value - epoch).total_seconds() * 1_000_000)
-        )
+        return struct.pack("<q", micros)
     if isinstance(value, datetime.date):
         return struct.pack("<q", (value - _EPOCH).days)
     if isinstance(value, decimal.Decimal):
         unscaled = int(value.scaleb(-value.as_tuple().exponent))
-        return unscaled.to_bytes(
-            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
-        )
+        return min_signed_bytes(unscaled)
     return None
 
 
 def bucket_value(value, n: int) -> Optional[int]:
     """Iceberg ``bucket[N]``: ``(murmur3(v) & Integer.MAX_VALUE) % N``;
-    None for null or an unhashable source type. Accepts numpy scalars /
-    NaN as delivered by Arrow-batched pandas UDFs."""
+    None for null or an unhashable source type (including an int64-range
+    overflow — a literal no stored value can equal must simply not
+    prune, never crash the read). Accepts numpy scalars / NaN / NaT as
+    delivered by Arrow-batched pandas UDFs."""
     try:
         import numpy as np
 
@@ -121,12 +143,17 @@ def bucket_value(value, n: int) -> Optional[int]:
             value = value.item()
     except ImportError:
         pass
-    if isinstance(value, float):
-        if value != value:  # pandas null → NaN
+    try:
+        if value != value:  # pandas null: float NaN, and NaT (datetime-ish)
             return None
-        if value.is_integer():
-            value = int(value)
-    b = _bucket_bytes(value)
+    except (TypeError, ValueError):
+        pass
+    if isinstance(value, float) and value.is_integer():
+        value = int(value)
+    try:
+        b = _bucket_bytes(value)
+    except (struct.error, OverflowError, ValueError):
+        return None
     if b is None:
         return None
     return (murmur3_32(b) & 0x7FFFFFFF) % int(n)
@@ -267,12 +294,19 @@ def partition_value_to_spec(tr: Transform, raw: str, source_ice_type: str):
     if tr.kind == "bucket":
         return int(raw)
     if tr.kind == "truncate":
-        # accepts Iceberg names AND Spark simpleStrings (the warehouse-
-        # native pruner passes the latter)
-        if source_ice_type in ("int", "long", "bigint", "smallint", "tinyint"):
+        # accepts Iceberg names AND Spark spellings (the warehouse-native
+        # pruner passes Spark-JSON types — "integer", not "int")
+        if source_ice_type in _INT_TYPES:
             return int(raw)
         return raw
     raise ValueError(f"unconvertible transform {tr.kind}")
+
+
+#: integer source-type spellings across Iceberg ("int"/"long"), Spark
+#: simpleString ("bigint"/"smallint"/"tinyint"), and Spark JSON ("integer")
+_INT_TYPES = frozenset(
+    {"int", "integer", "long", "bigint", "smallint", "tinyint"}
+)
 
 
 def apply_py(tr: Transform, value, source_ice_type: str = "string"):
@@ -303,9 +337,7 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
             # coerced to the int layout, or the hash lands in the wrong
             # bucket and pruning drops a matching file
             v = value
-            if source_ice_type in (
-                "int", "long", "integer", "bigint", "smallint", "tinyint"
-            ):
+            if source_ice_type in _INT_TYPES:
                 fv = float(str(v))
                 if not fv.is_integer():
                     return None  # int key can never equal a fractional lit
@@ -323,14 +355,20 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
                 v = int(v)
             return bucket_value(v, tr.param)
         if tr.kind == "truncate":
-            if isinstance(value, str):
-                return value[: tr.param]
-            if isinstance(value, float) and value.is_integer():
-                value = int(value)
-            if isinstance(value, int):
-                return value - (value % tr.param)  # python % is floor-mod
-            return None
-    except (ValueError, decimal.InvalidOperation):
+            # coerce by SOURCE type, like bucket: a quoted numeric
+            # literal against an int column must int-truncate, never
+            # string-prefix (wrong space compared successfully against
+            # the int-space partition value and unsoundly pruned)
+            if source_ice_type in _INT_TYPES:
+                fv = float(str(value))
+                if not fv.is_integer():
+                    return None  # int column can never equal it
+                iv = int(fv)
+                return iv - (iv % tr.param)  # python % is floor-mod
+            if source_ice_type == "string":
+                return value[: tr.param] if isinstance(value, str) else None
+            return None  # unsupported truncate source: never prune
+    except (ValueError, decimal.InvalidOperation, struct.error, OverflowError):
         return None
     return None
 
@@ -341,27 +379,57 @@ _SIMPLE_CONJ_RE = re.compile(
     r"\s*(\w+)\s*(<=|>=|==|=|<|>)\s*('([^']*)'|[-0-9.]+)\s*"
 )
 
+_QUOTED_RE = re.compile(r"'[^']*'")
+
+
+def split_and_conjuncts(where: str) -> Optional[list[str]]:
+    """Split a predicate on TOP-LEVEL ``AND`` with quoted literals masked
+    first — the single tokenizer every pruner must use. Splitting the raw
+    text would let data INSIDE a string literal fabricate conjuncts
+    (``note = 'a AND k = 5 AND b'`` must remain ONE unrecognized conjunct,
+    never inject ``k = 5``). BETWEEN expands to its inequality pair
+    before the split, also mask-aware. Returns None when a top-level OR
+    is present (an AND split of a mixed predicate is unsound to prune
+    on)."""
+    literals: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    def _unmask(s: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], s
+        )
+
+    masked = _QUOTED_RE.sub(_mask, where)
+    if re.search(r"\bOR\b", masked, re.IGNORECASE):
+        return None
+    masked = re.sub(
+        r"(\w+)\s+BETWEEN\s+(\x00\d+\x00|[-0-9.]+)\s+AND\s+"
+        r"(\x00\d+\x00|[-0-9.]+)",
+        r"\1 >= \2 AND \1 <= \3",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    return [
+        _unmask(part)
+        for part in re.split(r"\s+AND\s+", masked, flags=re.IGNORECASE)
+    ]
+
 
 def simple_conjuncts(where: Optional[str]) -> list[tuple]:
     """Parse a predicate into recognized ``(col, op, literal)`` AND-
     conjuncts for transformed-space pruning. Any top-level OR → no
-    conjuncts (pruning on an AND split of a mixed OR/AND predicate is
-    unsound — same guard as Warehouse._can_skip); unrecognized conjuncts
-    are simply dropped (conservative: fewer pruning opportunities)."""
+    conjuncts; unrecognized conjuncts are simply dropped (conservative:
+    fewer pruning opportunities, never a fabricated one)."""
     if where is None:
         return []
-    if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", where), re.IGNORECASE):
+    parts = split_and_conjuncts(where)
+    if parts is None:
         return []
-    # BETWEEN expands to two inequality conjuncts BEFORE the AND split
-    # (splitting "c BETWEEN a AND b" on AND would shred it)
-    where = re.sub(
-        r"(\w+)\s+BETWEEN\s+('[^']*'|[-0-9.]+)\s+AND\s+('[^']*'|[-0-9.]+)",
-        r"\1 >= \2 AND \1 <= \3",
-        where,
-        flags=re.IGNORECASE,
-    )
     out = []
-    for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+    for part in parts:
         m = _SIMPLE_CONJ_RE.fullmatch(part)
         if m:
             col, op, raw, s_lit = m.group(1), m.group(2), m.group(3), m.group(4)

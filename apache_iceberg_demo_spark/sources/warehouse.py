@@ -1294,28 +1294,22 @@ class Warehouse:
         conjunct suffices to skip the file."""
         import re
 
-        # any top-level OR disables skipping: the AND split below has no
-        # precedence awareness, so "a = 1 OR b = 2 AND c = 3" could skip a
-        # file (or a whole manifest, via the v2 reader's summary-prune call
-        # site) on the c-conjunct even though a=1 rows match (ADVICE r11).
-        # Quoted literals are masked first so a value containing " OR "
-        # doesn't trip the guard.
-        if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", where), re.IGNORECASE):
-            return False
-
-        mb = re.fullmatch(
-            r"\s*(\w+)\s+BETWEEN\s+('[^']*'|[-0-9.]+)\s+AND\s+('[^']*'|[-0-9.]+)\s*",
-            where,
-            re.IGNORECASE,
+        from apache_iceberg_demo_spark.sources.transforms import (
+            split_and_conjuncts,
         )
-        if mb:
-            c, lo, hi = mb.group(1), mb.group(2), mb.group(3)
-            return Warehouse._can_skip(
-                file_entry, f"{c} >= {lo}"
-            ) or Warehouse._can_skip(file_entry, f"{c} <= {hi}")
-        parts = re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)
+
+        # shared mask-aware tokenizer (transforms.split_and_conjuncts):
+        # any top-level OR disables skipping (the AND split has no
+        # precedence awareness — ADVICE r11), quoted literals are masked
+        # so data containing " OR " / " AND x = 5 " can neither trip the
+        # guard nor FABRICATE a conjunct, and BETWEEN expands to its
+        # inequality pair before the split.
+        parts = split_and_conjuncts(where)
+        if parts is None:
+            return False
         if len(parts) > 1:
             return any(Warehouse._can_skip(file_entry, p) for p in parts)
+        where = parts[0]
         m = re.fullmatch(
             r"\s*(\w+)\s*(<=|>=|<|>|=|==)\s*('([^']*)'|[-0-9.]+)\s*", where
         )

@@ -2442,3 +2442,86 @@ def test_bucket_prune_literal_coercion():
     assert not prune_disjoint(tr, "=", "5", b, b, "long")
     assert not prune_disjoint(tr, ">=", "5", (b + 1) % 8, (b + 1) % 8, "long")
     assert not prune_disjoint(tr, "=", "oops", 0, 7, "long")
+
+
+def test_prune_soundness_review_regressions():
+    """Round-12 review findings, pinned: (1) truncate-on-int literals
+    coerce to int space ('integer' Spark-JSON spelling included) —
+    string-prefix truncation of a quoted numeric literal compared
+    against an int-space partition value and unsoundly pruned; (2) text
+    inside a quoted literal can neither fabricate a conjunct nor trip
+    the OR guard; (3) aware timestamps hash their UTC instant, not the
+    local wall clock; (4) an int64-overflow literal never crashes a
+    read, it just doesn't prune; (5) NaT buckets to null; (6) decimal
+    serialization is MINIMAL two's complement (-1.28 → 0x80, not
+    0xff80); (7) timestamp micros are exact integers beyond 2^53 µs."""
+    import datetime
+    import decimal as dec
+    import struct
+
+    import pandas as pd
+
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import bound_bytes
+    from apache_iceberg_demo_spark.sources.transforms import (
+        _bucket_bytes,
+        apply_py,
+        bucket_value,
+        min_signed_bytes,
+        murmur3_32,
+        parse_spec,
+        prune_disjoint,
+        simple_conjuncts,
+        split_and_conjuncts,
+    )
+
+    # (1) truncate literal coercion, both spellings, fractional refusal
+    tt = parse_spec("truncate(10, k)")
+    assert apply_py(tt, "1234", "integer") == 1230
+    assert apply_py(tt, 1234.0, "bigint") == 1230
+    assert apply_py(tt, "12.5", "integer") is None
+    assert not prune_disjoint(tt, "=", "1234", 1230, 1230, "integer")
+    # string-source truncate still prefixes; numeric lit never prunes it
+    ts = parse_spec("truncate(3, s)")
+    assert apply_py(ts, "abcdef", "string") == "abc"
+    assert apply_py(ts, 123, "string") is None
+
+    # (2) literal injection: one legit conjunct, nothing fabricated
+    inj = "note = 'a AND o_orderkey = 5 AND b'"
+    assert simple_conjuncts(inj) == [
+        ("note", "=", "a AND o_orderkey = 5 AND b")
+    ]
+    assert split_and_conjuncts("a = 1 OR b = 2") is None
+    assert split_and_conjuncts("note = 'x OR y' AND k = 3") == [
+        "note = 'x OR y'", "k = 3",
+    ]
+    entry = {"partition": {}, "stats": {"x": [10, 20]}}
+    assert not Warehouse._can_skip(entry, "note = 'zzz AND x = 99' ")
+
+    # (3) aware timestamps hash the UTC instant
+    tz5 = datetime.timezone(datetime.timedelta(hours=5))
+    assert _bucket_bytes(
+        datetime.datetime(1970, 1, 1, 12, 0, tzinfo=tz5)
+    ) == struct.pack("<q", 7 * 3600 * 1_000_000)
+
+    # (4) overflow literal: no crash, no prune
+    tb = parse_spec("bucket(8, k)")
+    assert apply_py(tb, 99999999999999999999.0, "long") is None
+    assert not prune_disjoint(tb, "=", 99999999999999999999.0, 3, 3, "long")
+
+    # (5) NaT → null bucket (the pandas-UDF null path for ts columns)
+    assert bucket_value(pd.NaT, 8) is None
+
+    # (6) minimal two's complement, shared by bucket hash and bounds
+    assert min_signed_bytes(-128) == b"\x80"
+    assert min_signed_bytes(128) == b"\x00\x80"
+    assert _bucket_bytes(dec.Decimal("-1.28")) == b"\x80"
+    assert bound_bytes("decimal(9,2)", "-1.28") == b"\x80"
+    assert murmur3_32(_bucket_bytes(dec.Decimal("14.20"))) == -500754589
+
+    # (7) exact integer micros far from epoch
+    far = datetime.datetime(2500, 6, 1, 12, 34, 56, 1)
+    td = far - datetime.datetime(1970, 1, 1)
+    assert _bucket_bytes(far) == struct.pack(
+        "<q",
+        td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds,
+    )
