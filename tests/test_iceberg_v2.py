@@ -2525,3 +2525,36 @@ def test_prune_soundness_review_regressions():
         "<q",
         td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds,
     )
+
+
+def test_transform_summary_tamper_detected(spark, tmp_path):
+    """Deep validation covers TRANSFORMED partition summaries too: on a
+    days(ts) table, shrinking a manifest's day-space upper bound below
+    the entries' values must be flagged (same tamper class as the
+    identity test, but decoded through the transform's result type)."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        MANIFEST_FILE_SCHEMA,
+        bound_bytes,
+    )
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 40 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    wh.create_or_replace("t", o, partition_by="days(o_orderdate)")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    snap = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    # day-space bound: serialize an impossibly-early date as the upper
+    dm["partitions"][0]["upper_bound"] = bound_bytes("date", "1990-01-01")
+    write_ocf(_from_uri(snap["manifest-list"]), MANIFEST_FILE_SCHEMA, mfs)
+    bad = mod.validate(loc, deep=True)
+    assert any("do not cover" in b for b in bad), bad
