@@ -309,6 +309,30 @@ _INT_TYPES = frozenset(
 )
 
 
+def _exact_int_literal(v) -> Optional[int]:
+    """Parse a predicate literal as an EXACT int, or None (no prune).
+    Quoted literals parse through int() (arbitrary precision); numeric
+    literals arrive as float64 from the conjunct parser, which silently
+    rounds past 2^53 — a rounded key would truncate/bucket to the wrong
+    partition and unsoundly prune (found by the r12 hypothesis property
+    test on a 2^54-scale literal)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if not v.is_integer() or abs(v) >= 2.0**53:
+            return None
+        return int(v)
+    try:
+        return int(str(v).strip())
+    except ValueError:
+        try:
+            return _exact_int_literal(float(str(v)))
+        except (ValueError, OverflowError):
+            return None
+
+
 def apply_py(tr: Transform, value, source_ice_type: str = "string"):
     """Evaluate the transform on a PREDICATE LITERAL driver-side (for
     pruning): value is the parsed literal — ISO date string, int/float
@@ -338,10 +362,9 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
             # bucket and pruning drops a matching file
             v = value
             if source_ice_type in _INT_TYPES:
-                fv = float(str(v))
-                if not fv.is_integer():
-                    return None  # int key can never equal a fractional lit
-                v = int(fv)
+                v = _exact_int_literal(v)
+                if v is None:
+                    return None
             elif source_ice_type == "string":
                 if not isinstance(v, str):
                     return None
@@ -360,10 +383,9 @@ def apply_py(tr: Transform, value, source_ice_type: str = "string"):
             # string-prefix (wrong space compared successfully against
             # the int-space partition value and unsoundly pruned)
             if source_ice_type in _INT_TYPES:
-                fv = float(str(value))
-                if not fv.is_integer():
-                    return None  # int column can never equal it
-                iv = int(fv)
+                iv = _exact_int_literal(value)
+                if iv is None:
+                    return None
                 return iv - (iv % tr.param)  # python % is floor-mod
             if source_ice_type == "string":
                 return value[: tr.param] if isinstance(value, str) else None

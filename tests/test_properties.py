@@ -734,3 +734,138 @@ def test_jpeg_decode_hand_assembled_bytes():
     np.testing.assert_array_equal(np.unique(rgb[:, :, 0]), [133])
     np.testing.assert_array_equal(np.unique(rgb[:, :, 1]), [136])
     np.testing.assert_array_equal(np.unique(rgb[:, :, 2]), [115])
+
+
+# ------------------------- hidden-partitioning prune soundness (r12)
+
+_OPS = ["<", "<=", ">", ">=", "=", "=="]
+
+
+def _holds(v, op, lit) -> bool:
+    return {
+        "<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+        "=": v == lit, "==": v == lit,
+    }[op]
+
+
+@given(
+    days=st.integers(min_value=-30000, max_value=30000),
+    lit_days=st.integers(min_value=-30000, max_value=30000),
+    op=st.sampled_from(_OPS),
+)
+@settings(max_examples=300, deadline=None)
+def test_day_transform_prune_is_sound(days, lit_days, op):
+    """If a stored date satisfies `c op lit`, the file whose day-space
+    partition value holds that date must NOT be pruned."""
+    import datetime
+
+    from apache_iceberg_demo_spark.sources.transforms import (
+        parse_spec,
+        prune_disjoint,
+    )
+
+    epoch = datetime.date(1970, 1, 1)
+    v = epoch + datetime.timedelta(days=days)
+    lit = (epoch + datetime.timedelta(days=lit_days)).isoformat()
+    if _holds(v.isoformat(), op, lit):  # ISO order == chronological
+        tr = parse_spec("days(ts)")
+        assert not prune_disjoint(tr, op, lit, days, days, "timestamptz")
+
+
+@given(
+    v=st.integers(min_value=-(2**62), max_value=2**62),
+    lit=st.integers(min_value=-(2**62), max_value=2**62),
+    w=st.integers(min_value=1, max_value=1000),
+    op=st.sampled_from(_OPS),
+    quoted=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_truncate_int_prune_is_sound(v, lit, w, op, quoted):
+    """Truncate-on-int: a satisfying stored value is never pruned, whether
+    the literal arrives numeric or quoted (the r12 review exploit)."""
+    from apache_iceberg_demo_spark.sources.transforms import (
+        parse_spec,
+        prune_disjoint,
+    )
+
+    if _holds(v, op, lit):
+        tr = parse_spec(f"truncate({w}, k)")
+        tv = v - (v % w)
+        # quoted literals parse exactly; unquoted arrive as float64 and
+        # must never prune once past 2^53 (the parser can't see the true
+        # int) — both paths must stay sound with no caller-side guard
+        lit_in = str(lit) if quoted else float(lit)
+        assert not prune_disjoint(tr, op, lit_in, tv, tv, "integer")
+
+
+@given(
+    s=st.text(alphabet=st.characters(codec="utf-8", exclude_characters="'"), max_size=20),
+    lit=st.text(alphabet=st.characters(codec="utf-8", exclude_characters="'"), max_size=20),
+    w=st.integers(min_value=1, max_value=8),
+    op=st.sampled_from(_OPS),
+)
+@settings(max_examples=300, deadline=None)
+def test_truncate_string_prune_is_sound(s, lit, w, op):
+    from apache_iceberg_demo_spark.sources.transforms import (
+        parse_spec,
+        prune_disjoint,
+    )
+
+    if _holds(s, op, lit):
+        tr = parse_spec(f"truncate({w}, c)")
+        tv = s[:w]
+        assert not prune_disjoint(tr, op, lit, tv, tv, "string")
+
+
+@given(
+    v=st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(alphabet=st.characters(codec="ascii", exclude_characters="'"), max_size=12),
+    ),
+    n=st.integers(min_value=1, max_value=64),
+    quoted=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_bucket_equality_prune_is_sound(v, n, quoted):
+    """bucket[N]: a file holding the key's own bucket is never pruned by
+    an equality literal in ANY spelling (int, float, quoted string)."""
+    from apache_iceberg_demo_spark.sources.transforms import (
+        bucket_value,
+        parse_spec,
+        prune_disjoint,
+    )
+
+    tr = parse_spec(f"bucket({n}, k)")
+    b = bucket_value(v, n)
+    if b is None:
+        return
+    if isinstance(v, int):
+        src = "long"
+        lit: object = str(v) if quoted else float(v)
+    else:
+        src = "string"
+        lit = v
+    assert not prune_disjoint(tr, "=", lit, b, b, src)
+
+
+@given(
+    inner=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="'\x00"),
+        max_size=30,
+    ),
+    col=st.sampled_from(["k", "o_orderkey", "note"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_conjunct_parser_never_fabricates_from_literals(inner, col):
+    """No text INSIDE a quoted literal may produce a conjunct on another
+    column (the r12 review injection): every parsed conjunct's literal
+    must be a substring the predicate actually quotes, and the only
+    column mentioned outside quotes is the real one."""
+    from apache_iceberg_demo_spark.sources.transforms import simple_conjuncts
+
+    where = f"{col} = '{inner}'"
+    out = simple_conjuncts(where)
+    if out == []:
+        return  # OR inside the literal is masked, so this is parseable;
+        # [] only when the regex rejects (conservative, fine)
+    assert out == [(col, "=", inner)]
