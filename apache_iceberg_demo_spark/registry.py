@@ -224,6 +224,11 @@ _DRIVER_VERIFIED: set[str] = {
     # re-proofs), folded in per VERDICT r11 item 1:
     "c6_iceberg_v2_positional_delete_export", "c6_iceberg_v2_incremental_scan",
     "c6_iceberg_v2_change_feed_consume",
+    # --- r12 driver greens (CORRECTNESS_r12.json — all 50 rows fully green:
+    # the new hidden-partitioning query hash-green first run plus 49 of the
+    # 50 _RECHECK re-proofs; only b10_udtf_explode_bigrams slipped past the
+    # budget and leads the r13 rotation), folded in per VERDICT r12 item 1:
+    "c6_iceberg_v2_hidden_partitioning",
 }
 
 # Names that must lead the registry regardless of verification history
@@ -240,34 +245,37 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-12 staleness rotation (VERDICT r11 item 1): the r11 run re-proved
-# 47 of the previous block, leaving its 3 tail names unreached — they lead
-# this rotation — topped up with the next-stalest 47 greens (the whole
-# remaining r05-era fold: the c5 text family, b5 window galleries, b8
-# function galleries, subquery tail — then the oldest r06 names). Computed
-# from the cumulative CORRECTNESS_r01-r11 record (latest green round per
-# query). They rank directly after any genuinely unverified newcomers;
-# future rounds rotate the next-stalest block in.
+# Round-13 staleness rotation (VERDICT r12 item 1): the r12 run re-proved
+# 49 of the previous block, leaving one tail name unreached
+# (b10_udtf_explode_bigrams — it leads this rotation), topped up with the
+# next-stalest 49 greens: the entire remaining r06-era fold (b8 extended
+# galleries, the b10 UDF-tier tail, the b9 streaming family, c5/s1 corpus
+# names, rows-only codec comparison) then the 9 oldest r07 names. Computed
+# from the cumulative CORRECTNESS_r01-r12 record (latest clean round per
+# query; rows-only rows count as clean when they ran without error). They
+# rank directly after any genuinely unverified newcomers; future rounds
+# rotate the next-stalest block in.
 _RECHECK: list[str] = [
-    "c1_dedup_keep_best", "c2_containment_pairs", "b2_sql_named_params",
-    "b3_join_range_binned", "s1_mixture_temperature",
-    "s1_split_leakage_audit", "c3_quantize_int8_error",
-    "b2_correlated_exists", "b2_correlated_scalar",
-    "b2_not_in_null_semantics", "b2_recursive_cte_spine",
-    "c5_token_frequencies", "c5_doc_stats", "c5_quality_score",
-    "c5_token_count_bpe_regex", "c5_lang_source_stats", "c5_tfidf_top_terms",
-    "pipeline_llm_corpus_clean", "c5_sequence_packing",
-    "c5_decontaminate_ngram_overlap", "pipeline_pretrain_data_prep",
-    "c5_repetition_stats", "c5_unigram_logprob_score", "b5_row_number_topk",
-    "b5_rank_dense_ntile", "b5_lag_lead", "b5_running_agg", "b5_range_frame",
-    "b5_value_functions", "b5_percent_rank_cume_dist", "b5_gap_fill_forward",
-    "b5_named_window_clause", "a01_a06_csv_ingest_roundtrip",
-    "b8_string_funcs", "b8_date_funcs", "b8_math_funcs", "b8_conditional",
-    "b8_array_funcs", "b8_json_funcs", "b8_variant_json",
-    "b1_json_roundtrip", "b1_csv_malformed_modes", "b1_orc_roundtrip",
-    "b1_partitioned_parquet_roundtrip", "b1_metadata_columns",
-    "b1_mergeschema_landing", "b1_xml_roundtrip", "b1_python_datasource",
-    "b10_pandas_udf_scalar", "b10_udtf_explode_bigrams",
+    "b10_udtf_explode_bigrams", "b8_cast_coercion", "a15_smoke_literal",
+    "b8_string_distance", "b8_array_ops_extended", "b8_posexplode_tokens",
+    "b8_bitwise_funcs", "b8_trig_funcs", "b8_struct_funcs",
+    "b8_try_functions", "b10_grouped_agg_median",
+    "b10_apply_in_pandas_zscore", "b10_map_in_pandas_tokens",
+    "b10_python_udf_rowwise", "b10_python_udtf_chunks",
+    "b10_map_in_arrow_stats", "b10_arrow_scalar_udf",
+    "b10_pandas_udf_scalar_iter", "c6_incremental_snapshot_read",
+    "b9_tumbling_window", "b9_sliding_window", "b9_session_window",
+    "b9_stream_stream_interval_join", "b9_stream_static_enrichment",
+    "c5_span_dedup_exact", "s1_cap_per_source", "c5_source_divergence",
+    "b3_join_runtime_bloom_prune", "b4_parquet_agg_pushdown",
+    "b2_lateral_topn_per_customer", "c1_dedup_url_canonical",
+    "s1_balanced_class_downsample", "c5_chunk_surgery_dedup",
+    "b5_distinct_count_window", "b8_url_funcs", "b4_ohlc_bars",
+    "b4_time_weighted_avg", "b4_skew_diagnosis", "c5_passage_chunking",
+    "b1_codec_comparison", "b10_udtf_polymorphic", "b4_observe_metrics",
+    "c1_dedup_incremental_index", "c4_patch_extraction",
+    "pipeline_multimodal_prep", "c3_binary_hamming_topk", "c5_language_id",
+    "b1_binaryfile_ingest", "c6_metadata_snapshots", "c6_time_travel",
 ]
 
 

@@ -455,7 +455,13 @@ def simple_conjuncts(where: Optional[str]) -> list[tuple]:
         m = _SIMPLE_CONJ_RE.fullmatch(part)
         if m:
             col, op, raw, s_lit = m.group(1), m.group(2), m.group(3), m.group(4)
-            lit: object = s_lit if s_lit is not None else float(raw)
+            if s_lit is not None:
+                lit: object = s_lit
+            else:
+                try:  # [-0-9.]+ admits junk like `1.2.3` or a bare `-`:
+                    lit = float(raw)  # drop the conjunct, never crash the
+                except ValueError:  # pruner (conservative contract above)
+                    continue
             out.append((col, op, lit))
     return out
 

@@ -447,7 +447,11 @@ class Warehouse:
                 if f["name"] == tr.source
             )
         except (KeyError, StopIteration, TypeError):
-            src_type = "string"
+            # Source column unresolvable from the schema: a "string"
+            # default could hash an int-keyed bucket literal in the
+            # utf-8 layout and unsoundly prune a matching file — the
+            # conservative contract is NO prune at all.
+            return files
         kept = []
         for f in files:
             raw = f["partition"].get(tr.derived)

@@ -2558,3 +2558,85 @@ def test_transform_summary_tamper_detected(spark, tmp_path):
     write_ocf(_from_uri(snap["manifest-list"]), MANIFEST_FILE_SCHEMA, mfs)
     bad = mod.validate(loc, deep=True)
     assert any("do not cover" in b for b in bad), bad
+
+
+def test_advice_r12_regressions(spark, tmp_path):
+    """Round-12 ADVICE findings, pinned.
+
+    (1) a malformed numeric literal that still matches the [-0-9.]+
+    regex (`1.2.3`, bare `-`) drops the conjunct instead of crashing
+    the pruner with ValueError; (2) when the source column can't be
+    resolved from the table schema, _transform_prune returns the file
+    list UNCHANGED (a "string" src_type default could hash an
+    int-keyed bucket literal in the utf-8 layout and unsoundly prune a
+    matching file); (3) CursorExpiredError tolerates a None
+    oldest_available (degenerate metadata: null/absent
+    current-snapshot-id) and the ancestry walk is bounded against
+    parent-pointer cycles in corrupt metadata."""
+    import json as _json
+
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        CursorExpiredError,
+        read_iceberg_v2_changes,
+    )
+    from apache_iceberg_demo_spark.sources.transforms import simple_conjuncts
+
+    # (1) malformed numerics: conjunct dropped, neighbours survive
+    assert simple_conjuncts("k = 1.2.3") == []
+    assert simple_conjuncts("k = -") == []
+    assert simple_conjuncts("k = 1.2.3 AND j = 7") == [("j", "=", 7.0)]
+
+    # (2) unresolvable source column → no prune at all
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    wh.create_or_replace("t", o, partition_by="bucket(4, o_custkey)")
+    meta = wh._load_meta("t")
+    snap = dict(wh._snapshot(meta, meta["current_snapshot_id"]))
+    files = snap["manifest"]
+    broken = dict(snap)
+    schema_json = _json.loads(snap.get("schema") or meta["schema"])
+    schema_json["fields"] = [
+        f for f in schema_json["fields"] if f["name"] != "o_custkey"
+    ]
+    broken["schema"] = _json.dumps(schema_json)
+    broken_meta = dict(meta)
+    broken_meta["schema"] = broken["schema"]
+    kept = wh._transform_prune(broken_meta, broken, files, "o_custkey = 5")
+    assert kept == files  # conservative: schema miss → keep everything
+    # sanity: with the schema intact the same predicate DOES prune
+    pruned = wh._transform_prune(meta, snap, files, "o_custkey = 5")
+    assert len(pruned) < len(files)
+
+    # (3a) None oldest_available stays typed (no int(None) TypeError)
+    err = CursorExpiredError(123, None)
+    assert err.oldest_available is None and err.from_snapshot_id == 123
+    assert "reset_change_feed" in str(err)
+
+    # (3b) degenerate metadata: null current-snapshot-id + a parent
+    # cycle — the walk must terminate in the typed error
+    mdir = tmp_path / "cyc" / "metadata"
+    mdir.mkdir(parents=True)
+    cyc = {
+        "format-version": 2,
+        "table-uuid": "0" * 32,
+        "location": str(tmp_path / "cyc"),
+        "current-snapshot-id": 11,
+        "snapshots": [
+            {"snapshot-id": 11, "parent-snapshot-id": 12,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 12, "parent-snapshot-id": 11,
+             "summary": {"operation": "append"}},
+        ],
+        "schemas": [], "partition-specs": [], "snapshot-log": [],
+    }
+    (mdir / "v1.metadata.json").write_text(_json.dumps(cyc))
+    (mdir / "version-hint.text").write_text("1")
+    with pytest.raises(CursorExpiredError) as exc:
+        read_iceberg_v2_changes(spark, str(tmp_path / "cyc"), 999)
+    assert exc.value.oldest_available in (11, 12)  # terminated, typed
+    cyc["current-snapshot-id"] = None
+    (mdir / "v1.metadata.json").write_text(_json.dumps(cyc))
+    with pytest.raises(CursorExpiredError) as exc2:
+        read_iceberg_v2_changes(spark, str(tmp_path / "cyc"), 999)
+    assert exc2.value.oldest_available is None
