@@ -246,6 +246,53 @@ def parse_spec(spec: Optional[str]) -> Optional[Transform]:
     return Transform(kind, arg, None, f"{arg}_{kind}s")
 
 
+def split_spec_terms(spec: Optional[str]) -> list[str]:
+    """Split a multi-term partition spec string on TOP-LEVEL commas only —
+    ``"days(ts), bucket(16, user_id)"`` → two terms; the comma inside
+    ``bucket(16, user_id)`` is not a separator. Whitespace-trimmed, empty
+    terms dropped."""
+    if spec is None:
+        return []
+    terms, depth, cur = [], 0, []
+    for ch in str(spec):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            terms.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    terms.append("".join(cur).strip())
+    return [t for t in terms if t]
+
+
+def parse_spec_list(spec) -> list[Transform]:
+    """Parse a partition spec into its Transform terms. Accepts a single
+    term, a comma-joined multi-term string (Iceberg's
+    ``PARTITIONED BY (days(ts), bucket(16, id))`` shape), or a list of
+    term strings. Duplicate derived column names raise — two spec fields
+    may not share a partition directory."""
+    if spec is None:
+        return []
+    terms = (
+        [t for s in spec for t in split_spec_terms(str(s))]
+        if isinstance(spec, (list, tuple))
+        else split_spec_terms(str(spec))
+    )
+    out = [parse_spec(t) for t in terms]
+    seen: set[str] = set()
+    for tr in out:
+        if tr.derived in seen:
+            raise ValueError(
+                f"partition spec {spec!r}: duplicate derived column "
+                f"{tr.derived!r}"
+            )
+        seen.add(tr.derived)
+    return out
+
+
 def spec_name_to_transform(
     spec_name: str, source: str = "", derived: str = ""
 ) -> Optional[Transform]:

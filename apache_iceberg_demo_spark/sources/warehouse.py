@@ -314,7 +314,7 @@ class Warehouse:
         operation: str,
         files: list[dict],
         schema_ddl: str,
-        partition_by: Optional[str],
+        partition_by,  # str | list[str] | None (multi-field specs: list)
         parent: Optional[int],
         meta: Optional[dict],
         advance_current: bool = True,
@@ -389,16 +389,29 @@ class Warehouse:
 
     # ---------- write paths ----------
 
+    @staticmethod
+    def _pcols(partition_by) -> list[str]:
+        """``meta["partition_by"]`` normalized to a list of derived
+        partition column names. Single-field tables store a plain string
+        (the pre-r13 metadata shape, kept for compatibility with existing
+        table metadata); multi-field specs store a list."""
+        if not partition_by:
+            return []
+        if isinstance(partition_by, str):
+            return [partition_by]
+        return list(partition_by)
+
     def _write_data(
         self,
         name: str,
         df: DataFrame,
         snap_tag: str,
-        partition_by: Optional[str],
+        partition_by,
         shuffle: bool = True,
     ) -> str:
         data_dir = os.path.join(self._table_dir(name), "data", snap_tag)
-        if partition_by and shuffle:
+        pcols = self._pcols(partition_by)
+        if pcols and shuffle:
             # hash-repartition on the partition column first: each partition
             # value lands in exactly ONE task, so the dynamic-partition
             # write emits one file per value regardless of upstream
@@ -410,10 +423,10 @@ class Warehouse:
             # shuffle=False to keep their range layout; at 100 TB you'd pair
             # this with maxRecordsPerFile to split the occasional giant
             # partition.
-            df = df.repartition(partition_by)
+            df = df.repartition(*pcols)
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(data_dir)
         return data_dir
 
@@ -431,42 +444,56 @@ class Warehouse:
         from apache_iceberg_demo_spark.sources import transforms as T
 
         spec_str = meta.get("partition_spec")
-        if not (spec_str and "(" in str(spec_str)):
+        if not spec_str or "(" not in str(spec_str):
             return files
-        tr = T.parse_spec(str(spec_str))
-        conjs = [
-            c for c in T.simple_conjuncts(where) if c[0] == tr.source
+        trs = [
+            t for t in T.parse_spec_list(spec_str) if t.kind != "identity"
         ]
-        if not conjs:
-            return files
+        all_conjs = T.simple_conjuncts(where)
         try:
             struct_json = json.loads(snap.get("schema") or meta["schema"])
-            src_type = next(
-                f["type"] if isinstance(f["type"], str) else "string"
+            type_of = {
+                f["name"]: (
+                    f["type"] if isinstance(f["type"], str) else "string"
+                )
                 for f in struct_json["fields"]
-                if f["name"] == tr.source
-            )
-        except (KeyError, StopIteration, TypeError):
-            # Source column unresolvable from the schema: a "string"
-            # default could hash an int-keyed bucket literal in the
-            # utf-8 layout and unsoundly prune a matching file — the
-            # conservative contract is NO prune at all.
+            }
+        except (KeyError, TypeError, ValueError):
+            # Schema unresolvable: a "string" default could hash an
+            # int-keyed bucket literal in the utf-8 layout and unsoundly
+            # prune a matching file — the conservative contract is NO
+            # prune at all.
+            return files
+        # pair each transform field with its source-column conjuncts; a
+        # field whose source type can't be resolved never prunes
+        active = []
+        for tr in trs:
+            src_type = type_of.get(tr.source)
+            if src_type is None:
+                continue
+            conjs = [c for c in all_conjs if c[0] == tr.source]
+            if conjs:
+                active.append((tr, src_type, conjs))
+        if not active:
             return files
         kept = []
         for f in files:
-            raw = f["partition"].get(tr.derived)
-            if raw is None:
-                kept.append(f)
-                continue
-            try:
-                tv = T.partition_value_to_spec(tr, raw, src_type)
-            except (ValueError, TypeError):
-                kept.append(f)
-                continue
-            if not any(
-                T.prune_disjoint(tr, op, lit, tv, tv, src_type)
-                for _, op, lit in conjs
-            ):
+            skip = False
+            for tr, src_type, conjs in active:
+                raw = f["partition"].get(tr.derived)
+                if raw is None:
+                    continue
+                try:
+                    tv = T.partition_value_to_spec(tr, raw, src_type)
+                except (ValueError, TypeError):
+                    continue
+                if any(
+                    T.prune_disjoint(tr, op, lit, tv, tv, src_type)
+                    for _, op, lit in conjs
+                ):
+                    skip = True  # ANY field's disjointness proves no match
+                    break
+            if not skip:
                 kept.append(f)
         return kept
 
@@ -484,10 +511,8 @@ class Warehouse:
     }
 
     @classmethod
-    def _apply_transform(cls, df: DataFrame, spec: str) -> tuple[DataFrame, str]:
-        """Resolve 'days(ts)' / 'bucket(16, id)' / 'truncate(4, col)' /
-        plain column specs to a materialized partition column; returns
-        (df, partition_col_name).
+    def _apply_one_transform(cls, df: DataFrame, tr) -> DataFrame:
+        """Materialize ONE parsed spec term's derived partition column.
 
         ``bucket`` uses the SPEC's murmur3-32 hash (seed 0, Appendix-B
         byte layouts, pinned against the published test vectors) — not
@@ -499,13 +524,11 @@ class Warehouse:
         deployment would use Iceberg's bundled bucket expression)."""
         from apache_iceberg_demo_spark.sources import transforms as T
 
-        spec = spec.strip()
-        if "(" not in spec:
-            return df, spec
-        tr = T.parse_spec(spec)
+        if tr.kind == "identity":
+            return df  # plain column: already present
         pcol = tr.derived
         if tr.kind == "bucket":
-            return df.withColumn(pcol, T.bucket_udf(tr.param)(F.col(tr.source))), pcol
+            return df.withColumn(pcol, T.bucket_udf(tr.param)(F.col(tr.source)))
         if tr.kind == "truncate":
             dtype = dict(df.dtypes).get(tr.source, "")
             if dtype in ("int", "bigint", "smallint", "tinyint"):
@@ -517,11 +540,30 @@ class Warehouse:
                     f"truncate transform unsupported for {dtype or 'unknown'}"
                     f" column {tr.source!r} (int/long/string only)"
                 )
-            return df.withColumn(pcol, expr), pcol
+            return df.withColumn(pcol, expr)
         plural = tr.kind + "s"  # day -> days, matching TRANSFORMS keys
         if plural in cls.TRANSFORMS:
-            return df.withColumn(pcol, cls.TRANSFORMS[plural](tr.source)), pcol
-        raise ValueError(f"unknown partition transform {spec!r}")
+            return df.withColumn(pcol, cls.TRANSFORMS[plural](tr.source))
+        raise ValueError(f"unknown partition transform {tr!r}")
+
+    @classmethod
+    def _apply_transform(cls, df: DataFrame, spec):
+        """Resolve a partition spec — one term ('days(ts)',
+        'bucket(16, id)', 'truncate(4, col)', plain column) or a
+        multi-term Iceberg-style spec ('days(ts), bucket(16, id)', or a
+        list of terms) — to materialized partition columns; returns
+        (df, partition_by) where partition_by is the derived column name
+        (str, the single-field metadata shape) or a list of names for
+        multi-field specs."""
+        from apache_iceberg_demo_spark.sources import transforms as T
+
+        trs = T.parse_spec_list(spec)
+        for tr in trs:
+            df = cls._apply_one_transform(df, tr)
+        pcols = [tr.derived for tr in trs]
+        if len(pcols) == 1:
+            return df, pcols[0]
+        return df, pcols
 
     def create_or_replace(
         self,
@@ -532,10 +574,14 @@ class Warehouse:
     ) -> dict:
         """A5/A6: ``writeTo(t).partitionedBy(c).createOrReplace()`` semantics.
 
-        ``partition_by`` accepts a plain column or an Iceberg-style hidden
+        ``partition_by`` accepts a plain column, an Iceberg-style hidden
         transform — ``days(ts)``, ``months(ts)``, ``years(ts)``, ``hours(ts)``,
-        ``bucket(16, key)``, ``truncate(4, col)`` — derived at write time
-        and recorded in metadata.
+        ``bucket(16, key)``, ``truncate(4, col)`` — or a MULTI-FIELD spec
+        (``"days(ts), bucket(16, key)"``, Iceberg's
+        ``PARTITIONED BY (days(ts), bucket(16, key))``; a list of term
+        strings also works). All derived columns are materialized at write
+        time and recorded in metadata; multi-field tables store
+        ``partition_by`` as a list of derived column names.
 
         The committed schema is the DataFrame's schema (the reference's
         replace-wins behavior, SURVEY.md §1.3), made explicit here.
@@ -599,7 +645,10 @@ class Warehouse:
         temporarily-redirected main pointer."""
         meta = self._load_meta(name)
         spec = meta.get("partition_spec")
-        if spec and meta.get("partition_by") not in df.columns:
+        if spec and any(
+            c not in df.columns
+            for c in self._pcols(meta.get("partition_by"))
+        ):
             df, _ = self._apply_transform(df, spec)
         parent = meta["current_snapshot_id"] if _parent is None else _parent
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
@@ -704,17 +753,11 @@ class Warehouse:
         prev = self._snapshot(meta, parent)
         if spec is None:
             new_pcol = None
-        elif "(" not in spec:
-            new_pcol = spec.strip()
         else:
-            fn, arg = spec.split("(", 1)
-            arg = arg.rstrip(")").strip()
-            fn = fn.strip()
-            new_pcol = (
-                f"{arg.split(',')[1].strip()}_bucket"
-                if fn == "bucket"
-                else f"{arg}_{fn}"
-            )
+            from apache_iceberg_demo_spark.sources import transforms as T
+
+            derived = [t.derived for t in T.parse_spec_list(spec)]
+            new_pcol = derived[0] if len(derived) == 1 else derived
         meta.setdefault("spec_history", []).append(
             {
                 "spec": meta.get("partition_spec") or meta.get("partition_by"),
@@ -741,9 +784,15 @@ class Warehouse:
         """Copy-on-write commit rewriting only the TOUCHED partitions:
         untouched partitions' file entries carry into the new manifest
         byte-identical (the Iceberg row-level-op shape shared by MERGE /
-        DELETE / UPDATE)."""
+        DELETE / UPDATE).
+
+        On a MULTI-field spec the touched set is computed on the FIRST
+        partition column only — sound (a file whose first-field value is
+        untouched holds no matching rows, since touched_vals covers every
+        matching row's first-field value) but coarser than per-tuple
+        tracking; the rewrite itself re-lays data under the FULL spec."""
         meta = self._load_meta(name)
-        part_col = meta["partition_by"]
+        part_col = self._pcols(meta["partition_by"])[0]
         prev = self._snapshot(meta, meta["current_snapshot_id"])
         if touched_vals:
             # files written under an EARLIER partition spec (evolve_partition_
@@ -770,10 +819,13 @@ class Warehouse:
             carry = list(prev["manifest"])
         parent = meta["current_snapshot_id"]
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
-        data_dir = self._write_data(name, new_rows, tag, part_col)
+        # write under the FULL spec (all partition columns), not just the
+        # touch-tracking first field
+        data_dir = self._write_data(name, new_rows, tag, meta["partition_by"])
         files = self._manifest_for_dir(name, data_dir)
         return self._commit(
-            name, operation, carry + files, meta["schema"], part_col, parent, meta
+            name, operation, carry + files, meta["schema"],
+            meta["partition_by"], parent, meta,
         )
 
     def delete_where(self, name: str, predicate: str) -> dict:
@@ -782,7 +834,8 @@ class Warehouse:
         DELETE semantics). On a partitioned table only partitions holding a
         matching row are rewritten."""
         meta = self._load_meta(name)
-        part_col = meta.get("partition_by")
+        pcols = self._pcols(meta.get("partition_by"))
+        part_col = pcols[0] if pcols else None
         target = self.read(name)
         cond = F.coalesce(F.expr(predicate), F.lit(False))
         if not part_col:
@@ -859,7 +912,8 @@ class Warehouse:
         moves a row across partitions rewrites both its old and new
         partition."""
         meta = self._load_meta(name)
-        part_col = meta.get("partition_by")
+        pcols = self._pcols(meta.get("partition_by"))
+        part_col = pcols[0] if pcols else None
         # mark matches BEFORE applying assignments: re-evaluating the
         # predicate on updated rows would miss any row the update moved out
         # of the predicate (e.g. a partition-column change)
@@ -1601,19 +1655,21 @@ class Warehouse:
         (Iceberg's copy-on-write MERGE rewrites only affected files).
         """
         meta = self._load_meta(name)
-        part_col = meta.get("partition_by")
-        spec = meta.get("partition_spec") or part_col
+        pcols = self._pcols(meta.get("partition_by"))
+        part_col = pcols[0] if pcols else None
+        spec = meta.get("partition_spec") or meta.get("partition_by")
         target = self.read(name)
         src_cols = [c for c in target.columns if c in source.columns]
         src = source.select(*src_cols)
-        if part_col and part_col not in src.columns:
-            # re-derive the hidden-transform partition column on the source
+        if pcols and any(c not in src.columns for c in pcols):
+            # re-derive the hidden-transform partition columns on the source
             # (the writer owns the derivation, ADVICE r01)
             src, _ = self._apply_transform(src, spec)
-            if part_col not in src.columns:
+            missing = [c for c in pcols if c not in src.columns]
+            if missing:
                 raise ValueError(
-                    f"merge source lacks partition column {part_col!r} and "
-                    f"spec {spec!r} cannot derive it from the source columns"
+                    f"merge source lacks partition column(s) {missing!r} and "
+                    f"spec {spec!r} cannot derive them from the source columns"
                 )
             src = src.select(*[c for c in target.columns if c in src.columns])
         keys = src.select(*on).dropDuplicates(on)
@@ -1660,10 +1716,11 @@ class Warehouse:
         # union the untouched file entries into the new manifest unchanged
         parent = meta["current_snapshot_id"]
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
-        data_dir = self._write_data(name, result, tag, part_col)
+        data_dir = self._write_data(name, result, tag, meta.get("partition_by"))
         new_files = self._manifest_for_dir(name, data_dir)
         return self._commit(
-            name, "merge", carry + new_files, meta["schema"], part_col, parent, meta
+            name, "merge", carry + new_files, meta["schema"],
+            meta.get("partition_by"), parent, meta,
         )
 
     def apply_scd2(

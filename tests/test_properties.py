@@ -869,3 +869,65 @@ def test_conjunct_parser_never_fabricates_from_literals(inner, col):
         return  # OR inside the literal is masked, so this is parseable;
         # [] only when the regex rejects (conservative, fine)
     assert out == [(col, "=", inner)]
+
+
+@given(
+    terms=st.lists(
+        st.sampled_from(
+            [
+                "days(ts)", "months(ts)", "years(ts)", "hours(ts)",
+                "bucket(16, user_id)", "bucket(4, k)", "truncate(10, k)",
+                "truncate(3, name)", "plain_col", "other_col",
+            ]
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_spec_list_split_matches_per_term_parse(terms):
+    """parse_spec_list over a comma-joined multi-term spec equals the
+    concatenation of parse_spec per term — the nested comma inside
+    bucket()/truncate() is never a top-level separator — unless two
+    terms collide on a derived column name, which must raise."""
+    from apache_iceberg_demo_spark.sources.transforms import (
+        parse_spec,
+        parse_spec_list,
+        split_spec_terms,
+    )
+
+    joined = ", ".join(terms)
+    assert split_spec_terms(joined) == terms
+    per_term = [parse_spec(t) for t in terms]
+    derived = [t.derived for t in per_term]
+    if len(set(derived)) != len(derived):
+        with pytest.raises(ValueError):
+            parse_spec_list(joined)
+        return
+    assert parse_spec_list(joined) == per_term
+    assert parse_spec_list(list(terms)) == per_term
+
+
+@given(
+    raws=st.lists(
+        st.sampled_from(["1.2.3", "-", "7", "-3.5", "..", "1-2"]),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_malformed_numeric_literals_drop_not_crash(raws):
+    """ADVICE r12: a malformed numeric literal matching [-0-9.]+ drops
+    its conjunct; well-formed neighbours still parse."""
+    from apache_iceberg_demo_spark.sources.transforms import simple_conjuncts
+
+    where = " AND ".join(f"c{i} = {r}" for i, r in enumerate(raws))
+    out = simple_conjuncts(where)  # must not raise
+    expect = []
+    for i, r in enumerate(raws):
+        try:
+            expect.append((f"c{i}", "=", float(r)))
+        except ValueError:
+            pass
+    assert out == expect
