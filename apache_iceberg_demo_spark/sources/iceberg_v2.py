@@ -1121,11 +1121,18 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             pkey = tuple((c, _ptype(c)) for c in pcols)
             if pkey not in spec_ids:
                 spec_ids[pkey] = len(specs)
-                assigned = [last_pfid + 1 + i for i in range(len(pcols))]
-                last_pfid += len(pcols)
-                spec_field_ids[pkey] = assigned
-                sfields = []
-                for c, pfid in zip(pcols, assigned):
+                # a field already present in an EARLIER spec (same name,
+                # transform, source-id) keeps its partition field id —
+                # Java Iceberg's PartitionSpec builder behavior; fresh
+                # ids only for genuinely new fields, so the same column
+                # never aliases under two ids across evolved specs
+                existing = {
+                    (f["name"], f["transform"], f["source-id"]): f["field-id"]
+                    for s in specs
+                    for f in s["fields"]
+                }
+                sfields, assigned = [], []
+                for c in pcols:
                     t = trs.get(c)
                     if t is not None:
                         if t.source not in fids:
@@ -1133,23 +1140,23 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
                                 f"transform source column {t.source!r} "
                                 f"has no field id in table {name!r}"
                             )
-                        sfields.append(
-                            {
-                                "name": c,
-                                "transform": t.spec_name,
-                                "source-id": int(fids[t.source]),
-                                "field-id": pfid,
-                            }
-                        )
+                        fkey = (c, t.spec_name, int(fids[t.source]))
                     else:
-                        sfields.append(
-                            {
-                                "name": c,
-                                "transform": "identity",
-                                "source-id": int(fids[c]),
-                                "field-id": pfid,
-                            }
-                        )
+                        fkey = (c, "identity", int(fids[c]))
+                    pfid = existing.get(fkey)
+                    if pfid is None:
+                        last_pfid += 1
+                        pfid = last_pfid
+                    assigned.append(pfid)
+                    sfields.append(
+                        {
+                            "name": fkey[0],
+                            "transform": fkey[1],
+                            "source-id": fkey[2],
+                            "field-id": pfid,
+                        }
+                    )
+                spec_field_ids[pkey] = assigned
                 specs.append({"spec-id": len(specs), "fields": sfields})
             spec_id = spec_ids[pkey]
         else:

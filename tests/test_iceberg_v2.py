@@ -739,7 +739,10 @@ def test_standalone_metadata_validator_passes_exports(spark, exported, tmp_path)
     with open(mfile, "w") as f:
         json.dump(m, f)
     bad = mod.validate(broken)
-    assert any("not unique across specs" in b for b in bad)
+    # the collided id binds TWO DIFFERENT fields — flagged; legitimate
+    # reuse (same name/transform/source kept across a spec evolution,
+    # Java's builder behavior) is NOT
+    assert any("bound to two different fields" in b for b in bad)
     assert any("current-snapshot-id" in b for b in bad)
     assert any("last-partition-id" in b for b in bad)
 
@@ -2851,3 +2854,161 @@ def test_multi_field_spec_row_level_ops(spark, tmp_path):
     assert upd.filter(F.col("o_orderstatus") == "Z").count() == upd.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+def test_mixed_identity_and_transform_spec(spark, tmp_path):
+    """A spec mixing an IDENTITY field with a transform —
+    ``o_orderpriority, days(o_orderdate)`` — exports the identity field
+    as a schema-visible spec field (its value joins back into the data
+    from the manifests) alongside the hidden day field; predicates on
+    both prune together; deep validation is clean."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    wh.create_or_replace("m", o, partition_by="o_orderpriority, days(o_orderdate)")
+    assert wh._load_meta("m")["partition_by"] == [
+        "o_orderpriority", "o_orderdate_days"
+    ]
+    loc = export_iceberg_v2(wh, "m", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    meta = _load_meta(loc)
+    by_name = {
+        f["name"]: f["transform"]
+        for f in meta["partition-specs"][0]["fields"]
+    }
+    assert by_name == {
+        "o_orderpriority": "identity", "o_orderdate_days": "day"
+    }
+    names = {f["name"] for s in meta["schemas"] for f in s["fields"]}
+    assert "o_orderpriority" in names       # identity: schema-visible
+    assert "o_orderdate_days" not in names  # transform: hidden
+    got = read_iceberg_v2(spark, loc)
+    assert sorted(got.columns) == sorted(o.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, o.collect())
+    )
+    w = "o_orderpriority = '1-URGENT' AND o_orderdate >= '1995-02-15'"
+    filt = read_iceberg_v2(spark, loc, where=w)
+    assert filt.count() == o.filter(w).count()
+    assert len(filt.inputFiles()) < len(got.inputFiles())
+
+
+def test_multi_field_spec_lifecycle_and_evolution(spark, tmp_path):
+    """Lifecycle ops keep a multi-field table consistent: MoR delete +
+    apply_deletes + bin-pack compaction preserve the two-column layout
+    and the list-shaped partition_by metadata; spec evolution
+    single->multi exports BOTH specs and the mixed-vintage table
+    round-trips through the spec reader; deep validation clean after
+    every step."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    o2 = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 20 == 10)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    ).select(*o.columns)
+
+    wh.create_or_replace("t", o, partition_by="days(o_orderdate), bucket(4, o_custkey)")
+    wh.append("t", o2)
+    n0 = wh.read("t").count()
+    wh.delete_where_mor("t", "o_orderpriority = '5-LOW'")
+    n1 = wh.read("t").count()
+    assert n1 < n0
+    wh.apply_deletes("t")
+    assert wh.read("t").count() == n1
+    wh.rewrite_data_files("t")
+    meta = wh._load_meta("t")
+    assert meta["partition_by"] == ["o_orderdate_days", "o_custkey_bucket"]
+    assert wh.read("t").count() == n1
+    cur = wh._snapshot(meta, meta["current_snapshot_id"])
+    assert all(
+        {"o_orderdate_days", "o_custkey_bucket"} <= set(f["partition"])
+        for f in cur["manifest"]
+    )
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    assert read_iceberg_v2(spark, loc).count() == n1
+
+    # evolution single -> multi: old day-only files stay live, new spec
+    # writes two-column; export carries both specs
+    wh.create_or_replace("e", o, partition_by="days(o_orderdate)")
+    wh.evolve_partition_spec("e", "days(o_orderdate), bucket(4, o_custkey)")
+    assert wh._load_meta("e")["partition_by"] == [
+        "o_orderdate_days", "o_custkey_bucket"
+    ]
+    wh.append("e", o2)
+    ne = wh.read("e").count()
+    assert ne == o.count() + o2.count()
+    loce = export_iceberg_v2(wh, "e", str(tmp_path / "ice_e"))
+    assert mod.validate(loce, deep=True) == []
+    assert read_iceberg_v2(spark, loce).count() == ne
+    metae = _load_meta(loce)
+    shapes = [
+        sorted((f["name"], f["transform"]) for f in s["fields"])
+        for s in metae["partition-specs"]
+    ]
+    assert [("o_orderdate_days", "day")] in shapes
+    assert sorted(
+        [("o_custkey_bucket", "bucket[4]"), ("o_orderdate_days", "day")]
+    ) in shapes
+    # partition-field ids never alias across the two specs
+    fids = [
+        f["field-id"] for s in metae["partition-specs"] for f in s["fields"]
+    ]
+    by_name_id = {}
+    for s in metae["partition-specs"]:
+        for f in s["fields"]:
+            by_name_id.setdefault(f["name"], set()).add(f["field-id"])
+    assert all(len(v) == 1 for v in by_name_id.values())
+    assert metae["last-partition-id"] == max(fids)
+
+
+def test_transform_summary_tamper_second_field(spark, tmp_path):
+    """Deep validation evaluates EVERY spec field's summary: on a
+    days+bucket table, shrinking the SECOND field's (bucket) summary
+    bound below the entries' values is flagged, not just the first."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        MANIFEST_FILE_SCHEMA,
+        bound_bytes,
+    )
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    wh.create_or_replace("t", o, partition_by="days(o_orderdate), bucket(4, o_custkey)")
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    spec_fields = meta["partition-specs"][0]["fields"]
+    bucket_pos = next(
+        i for i, f in enumerate(spec_fields)
+        if f["transform"] == "bucket[4]"
+    )
+    snap = meta["snapshots"][-1]
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    # claim the bucket summary tops out below any real bucket value
+    dm["partitions"][bucket_pos]["upper_bound"] = bound_bytes("int", -1)
+    dm["partitions"][bucket_pos]["lower_bound"] = bound_bytes("int", -1)
+    write_ocf(_from_uri(snap["manifest-list"]), MANIFEST_FILE_SCHEMA, mfs)
+    bad = mod.validate(loc, deep=True)
+    assert any("do not cover" in b for b in bad), bad

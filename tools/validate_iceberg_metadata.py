@@ -223,11 +223,32 @@ def validate(location: str, deep: bool = False) -> list[str]:
                     v.append(f"spec {sid}: unknown transform {t!r}")
                 if not isinstance(f.get("name"), str):
                     v.append(f"spec {sid}: partition field without name")
-        if len(all_pfids) != len(set(all_pfids)):
-            v.append(
-                "partition field ids are not unique across specs: "
-                f"{sorted(all_pfids)}"
-            )
+        # field ids must be unique WITHIN each spec; across specs an id may
+        # repeat only for the IDENTICAL field (same name/transform/source —
+        # Java's PartitionSpec builder reuses the id when a spec evolution
+        # keeps a field). Two DIFFERENT fields under one id would alias
+        # manifest partition data.
+        field_by_id: dict = {}
+        for s in meta.get("partition-specs", []):
+            in_spec: set = set()
+            for f in s.get("fields", []):
+                pfid = f.get("field-id")
+                if not isinstance(pfid, int):
+                    continue
+                if pfid in in_spec:
+                    v.append(
+                        f"spec {s.get('spec-id')}: duplicate partition "
+                        f"field id {pfid} within one spec"
+                    )
+                in_spec.add(pfid)
+                ident = (
+                    f.get("name"), f.get("transform"), f.get("source-id")
+                )
+                if field_by_id.setdefault(pfid, ident) != ident:
+                    v.append(
+                        f"partition field id {pfid} bound to two different "
+                        f"fields across specs: {field_by_id[pfid]} vs {ident}"
+                    )
         if meta["default-spec-id"] not in spec_ids:
             v.append(f"default-spec-id {meta['default-spec-id']} not in specs")
         if need("last-partition-id", int):
