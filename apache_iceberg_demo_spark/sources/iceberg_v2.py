@@ -916,6 +916,29 @@ def export_iceberg_v2(wh, name: str, location: Optional[str] = None) -> str:
             for t in _T.parse_spec_list(_spec_str)
             if t.kind != "identity"
         }
+    # defense in depth behind Warehouse._check_spec_compat: historical
+    # files laid out under a DIFFERENT transform for the same derived
+    # name (bucket/truncate width change) would export with wrong-space
+    # partition values that a conformant reader prunes incorrectly —
+    # refuse rather than emit silently-lossy metadata
+    for h in meta.get("spec_history", []):
+        hs = h.get("spec")
+        if not hs:
+            continue
+        try:
+            hist_terms = _T.parse_spec_list(hs)
+        except ValueError:
+            continue
+        for t in hist_terms:
+            cur = trs.get(t.derived)
+            if cur is not None and cur.spec_name != t.spec_name:
+                raise ValueError(
+                    f"table {name!r}: derived column {t.derived!r} was "
+                    f"written under {t.spec_name} historically but the "
+                    f"current spec declares {cur.spec_name}; exporting "
+                    f"would mislabel old files' partition values — "
+                    f"replace into a new table name to migrate"
+                )
     by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
     # ancestry of current, oldest first
     chain: list[dict] = []

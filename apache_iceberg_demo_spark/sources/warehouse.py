@@ -565,6 +565,52 @@ class Warehouse:
             return df, pcols[0]
         return df, pcols
 
+    @staticmethod
+    def _check_spec_compat(meta: dict, new_spec) -> None:
+        """Refuse a spec change that rebinds an EXISTING derived column
+        name to a different transform — ``bucket(4, k)`` → ``bucket(8, k)``
+        or a truncate width change both derive the same ``k_bucket`` /
+        ``k_trunc`` column, so files written under the old width would be
+        pruned (natively and by every spec-conformant foreign reader of
+        the v2 export) with the NEW width's hash space and silently drop
+        matching rows. Historical terms come from the current spec plus
+        the recorded spec lineage; unparseable legacy entries are skipped
+        (conservative in the other direction — they never BLOCK, the
+        runtime pruners never prune what they can't parse). Migration
+        path: replace into a NEW table name, or expire/rewrite history
+        first."""
+        from apache_iceberg_demo_spark.sources import transforms as T
+
+        try:
+            new_terms = T.parse_spec_list(new_spec)
+        except ValueError:
+            return  # create/evolve itself will raise on the bad spec
+        if not new_terms:
+            return
+        old_by_derived: dict[str, str] = {}
+        hist_specs = [meta.get("partition_spec")] + [
+            h.get("spec") for h in meta.get("spec_history", [])
+        ]
+        for hs in hist_specs:
+            if hs is None:
+                continue
+            try:
+                for t in T.parse_spec_list(hs):
+                    old_by_derived.setdefault(t.derived, t.spec_name)
+            except ValueError:
+                continue
+        for t in new_terms:
+            old = old_by_derived.get(t.derived)
+            if old is not None and old != t.spec_name:
+                raise ValueError(
+                    f"partition spec change rebinds derived column "
+                    f"{t.derived!r} from {old} to {t.spec_name}: files "
+                    f"written under the old transform would be pruned in "
+                    f"the new transform's space and silently lose rows. "
+                    f"Write to a new table, or expire_snapshots + "
+                    f"rewrite_data_files to migrate the layout first."
+                )
+
     def create_or_replace(
         self,
         name: str,
@@ -598,6 +644,8 @@ class Warehouse:
         os.makedirs(self._table_dir(name), exist_ok=True)
         exists = os.path.exists(self._meta_path(name))
         meta = self._load_meta(name) if exists else None
+        if meta is not None:
+            self._check_spec_compat(meta, spec)
         parent = meta["current_snapshot_id"] if meta else None
         tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
         # a pre-clustered frame (sort-order tables) must keep its range
@@ -611,6 +659,14 @@ class Warehouse:
             name, "replace", files, df.schema.json(), partition_by, parent, meta
         )
         meta = self._load_meta(name)
+        old_spec = meta.get("partition_spec")
+        if exists and old_spec != spec:
+            # spec lineage must survive replaces too: a later evolution /
+            # export needs every transform a historical snapshot's files
+            # were laid out under (the width-collision guard reads this)
+            meta.setdefault("spec_history", []).append(
+                {"spec": old_spec, "until_snapshot_id": parent}
+            )
         meta["partition_spec"] = spec
         # recorded for metadata consumers (Iceberg sort-order export): the
         # pre-write range+sort layout IS the table's declared sort order
@@ -749,6 +805,7 @@ class Warehouse:
         the whole point of spec evolution in the Iceberg spec.
         """
         meta = self._load_meta(name)
+        self._check_spec_compat(meta, spec)
         parent = meta["current_snapshot_id"]
         prev = self._snapshot(meta, parent)
         if spec is None:
@@ -1374,12 +1431,21 @@ class Warehouse:
         if not m:
             return False
         col, op, raw, s_lit = m.group(1), m.group(2), m.group(3), m.group(4)
-        lit: object = s_lit if s_lit is not None else float(raw)
+        if s_lit is not None:
+            lit: object = s_lit
+        else:
+            try:  # [-0-9.]+ admits junk like `1.2.3` or a bare `-`: never
+                lit = float(raw)  # skip on it, never crash the read
+            except ValueError:  # (same ADVICE r12 class as simple_conjuncts)
+                return False
         # partition-value pruning first (exact)
         if col in file_entry["partition"]:
             pv: object = file_entry["partition"][col]
             if s_lit is None:
-                pv = float(pv)
+                try:  # non-numeric stored value vs numeric literal (e.g. a
+                    pv = float(pv)  # "1995-03" month dir): incomparable —
+                except ValueError:  # keep the file
+                    return False
             return not _cmp_holds(pv, op, lit, pv, pv)
         st = file_entry["stats"].get(col)
         if not st:

@@ -3012,3 +3012,78 @@ def test_transform_summary_tamper_second_field(spark, tmp_path):
     write_ocf(_from_uri(snap["manifest-list"]), MANIFEST_FILE_SCHEMA, mfs)
     bad = mod.validate(loc, deep=True)
     assert any("do not cover" in b for b in bad), bad
+
+
+def test_review_r13_transform_width_rebind_refused(spark, tmp_path):
+    """Round-13 review findings, pinned. A spec change that REBINDS an
+    existing derived column to a different transform — bucket(4,k) →
+    bucket(8,k), truncate width changes — is refused at evolve AND at
+    replace: both widths derive the same column name, so old files'
+    stored %4 values would be pruned in %8 space (natively on time
+    travel, and by every conformant foreign reader of the export) and
+    silently drop matching rows. Disjoint-derived-name changes (days →
+    months, adding a field) stay allowed; replaces record spec lineage
+    so the export-side guard can also see it."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wh.create_or_replace("t", o, partition_by="bucket(4, o_custkey)")
+    with pytest.raises(ValueError, match="rebinds derived column"):
+        wh.evolve_partition_spec("t", "bucket(8, o_custkey)")
+    with pytest.raises(ValueError, match="rebinds derived column"):
+        wh.create_or_replace("t", o, partition_by="bucket(8, o_custkey)")
+    with pytest.raises(ValueError, match="rebinds derived column"):
+        wh.evolve_partition_spec(
+            "t", "days(o_orderdate), bucket(8, o_custkey)"
+        )
+    # same transform: allowed (no-op rebind); disjoint names: allowed
+    wh.evolve_partition_spec("t", "days(o_orderdate), bucket(4, o_custkey)")
+    wh.create_or_replace("t2", o, partition_by="truncate(10, o_orderkey)")
+    with pytest.raises(ValueError, match="rebinds derived column"):
+        wh.evolve_partition_spec("t2", "truncate(100, o_orderkey)")
+    wh.evolve_partition_spec("t2", "days(o_orderdate)")  # fine
+
+    # replace-path lineage: a days->months replace records spec_history
+    wh.create_or_replace("h", o, partition_by="days(o_orderdate)")
+    wh.create_or_replace("h", o, partition_by="months(o_orderdate)")
+    hist = [e["spec"] for e in wh._load_meta("h")["spec_history"]]
+    assert "days(o_orderdate)" in hist
+
+    # export-side defense in depth: a legacy metadata state with a
+    # width-colliding history entry refuses to export
+    wh.create_or_replace("x", o, partition_by="bucket(8, o_custkey)")
+    meta = wh._load_meta("x")
+    meta.setdefault("spec_history", []).append(
+        {"spec": "bucket(4, o_custkey)", "until_snapshot_id": 0}
+    )
+    wh._store_meta("x", meta)
+    with pytest.raises(ValueError, match="mislabel"):
+        export_iceberg_v2(wh, "x", str(tmp_path / "ice_x"))
+
+
+def test_review_r13_can_skip_malformed_literals(spark, tmp_path):
+    """_can_skip shares simple_conjuncts' never-crash contract: malformed
+    numeric literals and numeric-vs-string partition value comparisons
+    keep the file (and the read succeeds) instead of raising ValueError
+    through the scan."""
+    from apache_iceberg_demo_spark.io import load
+
+    entry = {"partition": {"m": "1995-03"}, "stats": {"x": [10, 20]}}
+    assert not Warehouse._can_skip(entry, "x = 1.2.3")
+    assert not Warehouse._can_skip(entry, "x = -")
+    assert not Warehouse._can_skip(entry, "m = 5")  # month dir vs numeric
+    assert Warehouse._can_skip(entry, "x = 99")     # well-formed still works
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wh.create_or_replace("t", o, partition_by="bucket(4, o_custkey)")
+    # end-to-end with VALID SQL whose literal token is junk for float():
+    # `1-2` is arithmetic to Spark but matches the pruner's [-0-9.]+ —
+    # the old unguarded float("1-2") crashed the read before Spark ever
+    # evaluated it; now the conjunct is dropped and Spark computes -1
+    got = wh.read("t", where="o_custkey = 1-2 AND o_orderkey > 0")
+    assert got.count() == o.filter("o_custkey = -1").count()
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert read_iceberg_v2(spark, loc, where="o_custkey = 1-2").count() \
+        == o.filter("o_custkey = -1").count()
