@@ -931,3 +931,57 @@ def test_malformed_numeric_literals_drop_not_crash(raws):
         except ValueError:
             pass
     assert out == expect
+
+
+@given(
+    day_off=st.integers(min_value=0, max_value=364),
+    key=st.integers(min_value=0, max_value=10_000),
+    lit_day=st.integers(min_value=-10, max_value=374),
+    lit_key=st.integers(min_value=0, max_value=10_000),
+    op=st.sampled_from(["=", ">=", "<=", ">", "<"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_multi_field_transform_prune_is_sound(day_off, key, lit_day, lit_key, op):
+    """Multi-field _transform_prune soundness: a file whose row matches
+    BOTH conjuncts (a date inequality through days() and a key equality
+    through bucket(4)) is NEVER pruned — any field's false-disjointness
+    would silently drop the row."""
+    import datetime
+    import json as _json
+
+    from apache_iceberg_demo_spark.sources.transforms import bucket_value
+    from apache_iceberg_demo_spark.sources.warehouse import Warehouse
+
+    epoch = datetime.date(1970, 1, 1)
+    d = datetime.date(1995, 1, 1) + datetime.timedelta(days=day_off)
+    lit_d = datetime.date(1995, 1, 1) + datetime.timedelta(days=lit_day)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "ts", "type": "date", "nullable": True, "metadata": {}},
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    meta = {
+        "partition_spec": "days(ts), bucket(4, k)",
+        "schema": _json.dumps(schema),
+    }
+    snap = {"schema": _json.dumps(schema)}
+    f = {
+        "partition": {
+            "ts_days": d.isoformat(),
+            "k_bucket": str(bucket_value(key, 4)),
+        },
+        "stats": {},
+    }
+    where = f"ts {op} '{lit_d.isoformat()}' AND k = {lit_key}"
+    wh = Warehouse.__new__(Warehouse)  # no spark needed for the pruner
+    kept = wh._transform_prune(meta, snap, [f], where)
+    row_matches = {
+        "=": d == lit_d, ">=": d >= lit_d, "<=": d <= lit_d,
+        ">": d > lit_d, "<": d < lit_d,
+    }[op] and key == lit_key
+    if row_matches:
+        assert kept == [f], (
+            f"pruned a file containing a matching row: {where} vs {f}"
+        )
