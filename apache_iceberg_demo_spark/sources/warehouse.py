@@ -565,6 +565,21 @@ class Warehouse:
             return df, pcols[0]
         return df, pcols
 
+    def _with_derived(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Materialize the CURRENT spec's derived partition columns on a
+        frame read from the table. Files written before an evolution onto
+        a transform lack the derived column entirely (so a read either
+        omits it from the declared schema or null-fills it for legacy
+        vintages); row-level ops that route rows by partition value must
+        recompute it from the SOURCE columns or they crash on the missing
+        column — or worse, silently drop legacy rows whose NULL value
+        matches no touched partition. Deterministic re-derivation
+        overwrites any stored copy with the same value."""
+        spec = meta.get("partition_spec")
+        if spec and "(" in str(spec):
+            df, _ = self._apply_transform(df, spec)
+        return df
+
     @staticmethod
     def _check_spec_compat(meta: dict, new_spec) -> None:
         """Refuse a spec change that rebinds an EXISTING derived column
@@ -851,6 +866,11 @@ class Warehouse:
         meta = self._load_meta(name)
         part_col = self._pcols(meta["partition_by"])[0]
         prev = self._snapshot(meta, meta["current_snapshot_id"])
+        # the write below partitions by the CURRENT spec's derived columns;
+        # rows read from pre-evolution vintages (and, after an evolution
+        # ONTO a transform, every row — the declared schema predates the
+        # derived column) must have them recomputed from source data
+        new_rows = self._with_derived(new_rows, meta)
         if touched_vals:
             # files written under an EARLIER partition spec (evolve_partition_
             # spec) have no entry for the current part col — they can hide
@@ -868,10 +888,15 @@ class Warehouse:
             ]
             if legacy:
                 pv = F.col(part_col).cast("string")
-                keep_legacy = self._scan_files(
-                    name, meta, prev, legacy, None
+                # re-derive BEFORE the partition filter: legacy files
+                # don't store a transform's derived column, and a
+                # null-filled pv would make ~isin drop every legacy row
+                keep_legacy = self._with_derived(
+                    self._scan_files(name, meta, prev, legacy, None), meta
                 ).filter(~pv.isin(*touched_vals))
-                new_rows = new_rows.unionByName(keep_legacy)
+                new_rows = new_rows.unionByName(
+                    keep_legacy.select(*new_rows.columns)
+                )
         else:
             carry = list(prev["manifest"])
         parent = meta["current_snapshot_id"]
@@ -893,7 +918,10 @@ class Warehouse:
         meta = self._load_meta(name)
         pcols = self._pcols(meta.get("partition_by"))
         part_col = pcols[0] if pcols else None
-        target = self.read(name)
+        # derived partition columns recomputed from source data: after an
+        # evolution onto a transform the declared schema may not carry
+        # them at all, and legacy vintages null-fill them
+        target = self._with_derived(self.read(name), meta)
         cond = F.coalesce(F.expr(predicate), F.lit(False))
         if not part_col:
             meta2 = self._load_meta(name)
@@ -974,7 +1002,7 @@ class Warehouse:
         # mark matches BEFORE applying assignments: re-evaluating the
         # predicate on updated rows would miss any row the update moved out
         # of the predicate (e.g. a partition-column change)
-        marked = self.read(name).withColumn(
+        marked = self._with_derived(self.read(name), meta).withColumn(
             "_upd", F.coalesce(F.expr(predicate), F.lit(False))
         )
         updated_all = marked
@@ -982,6 +1010,10 @@ class Warehouse:
             updated_all = updated_all.withColumn(
                 col, F.when(F.col("_upd"), F.expr(expr)).otherwise(F.col(col))
             )
+        # an assignment may SET a transform's source column — recompute
+        # the derived columns AFTER assignments so a moved row's NEW
+        # partition is tracked (and written) in the right place
+        updated_all = self._with_derived(updated_all, meta)
         if not part_col:
             meta2 = self._load_meta(name)
             parent = meta2["current_snapshot_id"]
@@ -1724,7 +1756,7 @@ class Warehouse:
         pcols = self._pcols(meta.get("partition_by"))
         part_col = pcols[0] if pcols else None
         spec = meta.get("partition_spec") or meta.get("partition_by")
-        target = self.read(name)
+        target = self._with_derived(self.read(name), meta)
         src_cols = [c for c in target.columns if c in source.columns]
         src = source.select(*src_cols)
         if pcols and any(c not in src.columns for c in pcols):

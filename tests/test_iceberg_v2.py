@@ -3087,3 +3087,68 @@ def test_review_r13_can_skip_malformed_literals(spark, tmp_path):
     loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
     assert read_iceberg_v2(spark, loc, where="o_custkey = 1-2").count() \
         == o.filter("o_custkey = -1").count()
+
+
+def test_row_level_ops_after_evolution_onto_transform(spark, tmp_path):
+    """Round-13 probe finding, pinned: row-level ops on a table whose
+    spec was EVOLVED ONTO a transform used to crash (the derived column
+    is not in the declared schema, F.col() is unresolvable) — and rows
+    from pre-evolution vintages would null-fill it, so the legacy-file
+    filter in _partial_rewrite could silently drop them. All partition
+    routing now recomputes derived columns from source data:
+    (1) unpartitioned -> days(), delete_where — exact result, every
+    rewritten file lands under a real day dir, export validates and
+    round-trips; (2) days() -> months() with legacy day files, delete —
+    legacy rows survive; (3) update_where that SETS the transform's
+    source column routes the moved row to its NEW day."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+
+    # (1) crash case: evolve onto a transform, then delete
+    wh.create_or_replace("t", o)
+    wh.evolve_partition_spec("t", "days(o_orderdate)")
+    k = o.select("o_custkey").first()[0]
+    wh.delete_where("t", f"o_custkey = {k}")
+    got = wh.read("t")
+    assert got.count() == o.filter(F.col("o_custkey") != k).count()
+    meta = wh._load_meta("t")
+    cur = wh._snapshot(meta, meta["current_snapshot_id"])
+    vals = [f["partition"].get("o_orderdate_days") for f in cur["manifest"]]
+    assert all(v and "DEFAULT" not in v for v in vals), vals[:5]
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    assert read_iceberg_v2(spark, loc).count() == got.count()
+
+    # (2) legacy-vintage survival: days -> months, delete one customer
+    wh.create_or_replace("e", o, partition_by="days(o_orderdate)")
+    wh.evolve_partition_spec("e", "months(o_orderdate)")
+    before = wh.read("e").count()
+    wh.delete_where("e", f"o_custkey = {k}")
+    assert wh.read("e").count() == before - o.filter(
+        F.col("o_custkey") == k
+    ).count()
+
+    # (3) update that moves a row across day partitions
+    wh.create_or_replace("u", o, partition_by="days(o_orderdate)")
+    probe = o.orderBy("o_orderkey").first()
+    wh.update_where(
+        "u",
+        f"o_orderkey = {probe['o_orderkey']}",
+        {"o_orderdate": "timestamp'1997-12-25 00:00:00'"},
+    )
+    u = wh.read("u")
+    moved = u.filter(F.col("o_orderkey") == probe["o_orderkey"]).collect()
+    assert len(moved) == 1
+    assert str(moved[0]["o_orderdate"]).startswith("1997-12-25")
+    assert moved[0]["o_orderdate_days"] == "1997-12-25"  # re-derived
+    assert u.count() == o.count()
+    # the moved row's file lives under its NEW day dir
+    meta_u = wh._load_meta("u")
+    cur_u = wh._snapshot(meta_u, meta_u["current_snapshot_id"])
+    assert any(
+        f["partition"].get("o_orderdate_days") == "1997-12-25"
+        for f in cur_u["manifest"]
+    )
