@@ -3152,3 +3152,74 @@ def test_row_level_ops_after_evolution_onto_transform(spark, tmp_path):
         f["partition"].get("o_orderdate_days") == "1997-12-25"
         for f in cur_u["manifest"]
     )
+
+
+def test_multi_field_spec_interop_corners(spark, tmp_path):
+    """Round-13 corner sweep, pinned: on a days+bucket(4) table —
+    incremental append scan and change feed return exactly the appended
+    slice / full initial load; WAP stage is invisible until publish and
+    the published table exports+validates; branch append + fast-forward
+    exports with refs; as_of_ms time travel through the export sees the
+    pre-append state; a MoR equality delete exports and the spec read
+    applies it."""
+    import glob as _glob
+
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        iceberg_v2_change_feed,
+        read_iceberg_v2_changes,
+    )
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    half = o.filter(F.col("o_orderkey") % 40 == 0)
+    other = o.filter(F.col("o_orderkey") % 40 == 20).select(*half.columns)
+    spec = "days(o_orderdate), bucket(4, o_custkey)"
+
+    # incremental scan + change feed
+    wh.create_or_replace("t", half, partition_by=spec)
+    wh.append("t", other)
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice_t"))
+    meta = _load_meta(loc)
+    snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert read_iceberg_v2_changes(spark, loc, snaps[0]).count() == \
+        other.count()
+    frame, to_id = iceberg_v2_change_feed(
+        spark, loc, str(tmp_path / "cursor")
+    )
+    assert frame.count() == o.count() and to_id == snaps[-1]
+
+    # as_of_ms time travel through the export
+    t0 = meta["snapshot-log"][0]["timestamp-ms"]
+    assert read_iceberg_v2(spark, loc, as_of_ms=t0).count() == half.count()
+
+    # WAP stage/publish
+    wh.create_or_replace("w", half, partition_by=spec)
+    snap = wh.stage_append("w", other)
+    assert wh.read("w").count() == half.count()  # staged: invisible
+    wh.publish("w", snap["snapshot_id"])
+    assert wh.read("w").count() == o.count()
+    locw = export_iceberg_v2(wh, "w", str(tmp_path / "ice_w"))
+    assert mod.validate(locw, deep=True) == []
+    assert read_iceberg_v2(spark, locw).count() == o.count()
+
+    # branch + fast-forward, exported with refs
+    wh.create_or_replace("b", half, partition_by=spec)
+    wh.create_branch("b", "dev")
+    wh.append_to_branch("b", "dev", other)
+    wh.fast_forward("b", "dev")
+    assert wh.read("b").count() == o.count()
+    locb = export_iceberg_v2(wh, "b", str(tmp_path / "ice_b"))
+    assert mod.validate(locb, deep=True) == []
+    assert read_iceberg_v2(spark, locb).count() == o.count()
+
+    # MoR equality delete applied by the spec read
+    wh.create_or_replace("m", o, partition_by=spec)
+    k = o.select("o_custkey").first()[0]
+    wh.delete_where_mor("m", f"o_custkey = {k}")
+    locm = export_iceberg_v2(wh, "m", str(tmp_path / "ice_m"))
+    assert mod.validate(locm, deep=True) == []
+    assert read_iceberg_v2(spark, locm).count() == o.filter(
+        F.col("o_custkey") != k
+    ).count()
