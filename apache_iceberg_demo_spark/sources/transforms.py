@@ -246,6 +246,17 @@ def parse_spec(spec: Optional[str]) -> Optional[Transform]:
     return Transform(kind, arg, None, f"{arg}_{kind}s")
 
 
+def term_str(tr: Transform) -> str:
+    """Serialize one Transform back to the warehouse spec-string form
+    (plural time spellings, param-first bucket/truncate) — the inverse
+    of ``parse_spec`` up to spelling normalization."""
+    if tr.kind == "identity":
+        return tr.source
+    if tr.kind in ("bucket", "truncate"):
+        return f"{tr.kind}({tr.param}, {tr.source})"
+    return f"{tr.kind}s({tr.source})"
+
+
 def split_spec_terms(spec: Optional[str]) -> list[str]:
     """Split a multi-term partition spec string on TOP-LEVEL commas only —
     ``"days(ts), bucket(16, user_id)"`` → two terms; the comma inside

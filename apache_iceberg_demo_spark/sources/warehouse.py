@@ -1690,8 +1690,32 @@ class Warehouse:
 
     def rename_column(self, name: str, old: str, new: str) -> dict:
         """ALTER TABLE RENAME COLUMN — metadata-only; old files keep the old
-        physical name, resolved through the snapshot's field map on read."""
+        physical name, resolved through the snapshot's field map on read.
+
+        Renaming the SOURCE column of a hidden partition transform
+        auto-evolves the spec string onto the new name (Iceberg binds
+        specs by field id, so renames are transparent there; our spec
+        strings bind by name, so the string follows the rename). The old
+        derived column's files become an earlier-spec vintage, which
+        every path already treats conservatively (legacy rewrite on
+        row-level ops, no transformed-space prune, identity export).
+        Renaming a DERIVED partition column itself is refused — its name
+        is baked into the on-disk hive layout; evolve the spec instead."""
         from pyspark.sql.types import StructField, StructType
+
+        from apache_iceberg_demo_spark.sources import transforms as T
+
+        meta0 = self._load_meta(name)
+        cur_spec = meta0.get("partition_spec")
+        terms = []
+        if cur_spec and "(" in str(cur_spec):
+            terms = T.parse_spec_list(cur_spec)
+        if any(t.kind != "identity" and t.derived == old for t in terms):
+            raise ValueError(
+                f"cannot rename {old!r}: it is the derived column of the "
+                f"current partition spec {cur_spec!r} (the name is baked "
+                f"into the data layout) — evolve_partition_spec instead"
+            )
 
         def mutate(schema: StructType, fm: dict, fids: dict) -> StructType:
             if old not in schema.fieldNames():
@@ -1710,12 +1734,56 @@ class Warehouse:
                 ]
             )
 
-        return self._evolve(name, "rename-column", mutate)
+        snap = self._evolve(name, "rename-column", mutate)
+        if any(t.source == old for t in terms):
+            # follow the rename in the spec string: the transform's
+            # identity (source id) is unchanged, only our name-based
+            # binding moves — appends keep deriving, new derived name
+            meta = self._load_meta(name)
+            meta.setdefault("spec_history", []).append(
+                {
+                    "spec": cur_spec,
+                    "until_snapshot_id": meta["current_snapshot_id"],
+                }
+            )
+            new_terms = [
+                T.Transform(t.kind, new, t.param, "")
+                if t.source == old
+                else t
+                for t in terms
+            ]
+            new_spec = ", ".join(T.term_str(t) for t in new_terms)
+            derived = [t.derived for t in T.parse_spec_list(new_spec)]
+            meta["partition_spec"] = new_spec
+            meta["partition_by"] = (
+                derived[0] if len(derived) == 1 else derived
+            )
+            self._store_meta(name, meta)
+        return snap
 
     def drop_column(self, name: str, col: str) -> dict:
         """ALTER TABLE DROP COLUMN — metadata-only; the physical column stays
-        in old files but is projected away (and column-pruned at scan)."""
+        in old files but is projected away (and column-pruned at scan).
+        Dropping the SOURCE column of the current partition spec is
+        refused (Iceberg's rule: a spec may not reference a dropped
+        column — writers could no longer derive the partition value);
+        dropping a DERIVED partition column merely hides it from reads
+        (writers re-derive it from the source)."""
         from pyspark.sql.types import StructType
+
+        from apache_iceberg_demo_spark.sources import transforms as T
+
+        cur_spec = self._load_meta(name).get("partition_spec")
+        if cur_spec and "(" in str(cur_spec):
+            if any(
+                t.kind != "identity" and t.source == col
+                for t in T.parse_spec_list(cur_spec)
+            ):
+                raise ValueError(
+                    f"cannot drop {col!r}: it is the source column of the "
+                    f"current partition spec {cur_spec!r} — evolve the "
+                    f"spec off it first"
+                )
 
         def mutate(schema: StructType, fm: dict, fids: dict) -> StructType:
             if col not in schema.fieldNames():

@@ -3223,3 +3223,61 @@ def test_multi_field_spec_interop_corners(spark, tmp_path):
     assert read_iceberg_v2(spark, locm).count() == o.filter(
         F.col("o_custkey") != k
     ).count()
+
+
+def test_rename_drop_of_transform_source_column(spark, tmp_path):
+    """Round-13 probe finding, pinned: schema evolution vs hidden
+    partitioning. Renaming the SOURCE column of a transform used to
+    strand the spec string on the old name (appends crashed on the
+    unresolvable column); it now AUTO-EVOLVES the spec onto the new name
+    (Iceberg's rename-transparency — the transform's identity is
+    unchanged, only our name-based binding moves), recording the old
+    spec in the lineage; old-derived-name files become a legacy vintage
+    every path treats conservatively. Dropping a spec's source column is
+    REFUSED (Iceberg's rule); renaming a derived partition column is
+    REFUSED (its name is baked into the layout)."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    half = o.filter(F.col("o_orderkey") % 40 == 0)
+    other = o.filter(F.col("o_orderkey") % 40 == 20).select(*half.columns)
+
+    wh.create_or_replace("r", half, partition_by="days(o_orderdate)")
+    wh.rename_column("r", "o_orderdate", "odate")
+    m = wh._load_meta("r")
+    assert m["partition_spec"] == "days(odate)"
+    assert m["partition_by"] == "odate_days"
+    assert any(
+        h["spec"] == "days(o_orderdate)" for h in m["spec_history"]
+    )
+    assert wh.read("r").count() == half.count()
+    wh.append("r", other.withColumnRenamed("o_orderdate", "odate"))
+    assert wh.read("r").count() == half.count() + other.count()
+    # row-level delete across the mixed (old-name / new-name) vintages
+    k = half.select("o_custkey").first()[0]
+    wh.delete_where("r", f"o_custkey = {k}")
+    expect = (
+        half.count() + other.count()
+        - o.filter(F.col("o_custkey") == k).count()
+    )
+    assert wh.read("r").count() == expect
+    loc = export_iceberg_v2(wh, "r", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    got = read_iceberg_v2(spark, loc)
+    assert got.count() == expect
+    # predicate on the NEW source name still reads exactly
+    assert (
+        read_iceberg_v2(spark, loc, where="odate >= '1995-01-01'").count()
+        == got.filter("odate >= '1995-01-01'").count()
+    )
+
+    wh.create_or_replace("p", half, partition_by="days(o_orderdate)")
+    with pytest.raises(ValueError, match="derived column"):
+        wh.rename_column("p", "o_orderdate_days", "x")
+    with pytest.raises(ValueError, match="source column"):
+        wh.drop_column("p", "o_orderdate")
+    # dropping the DERIVED column stays allowed (reads just hide it)
+    wh.drop_column("p", "o_orderdate_days")
+    assert wh.read("p").count() == half.count()
