@@ -3281,3 +3281,76 @@ def test_rename_drop_of_transform_source_column(spark, tmp_path):
     # dropping the DERIVED column stays allowed (reads just hide it)
     wh.drop_column("p", "o_orderdate_days")
     assert wh.read("p").count() == half.count()
+
+
+def test_compaction_and_expiry_after_evolution_export(spark, tmp_path):
+    """Round-13 probe finding, pinned: (1) bin-pack compaction after an
+    evolution ONTO a transform migrates every file to the day layout;
+    (2) exporting after expire_snapshots writes a child whose
+    parent-snapshot-id is EXPIRED — Java leaves that pointer dangling
+    and readers must tolerate it, so the validator treats an absent
+    parent as an expired ancestor (spec-legal) while still flagging a
+    self-parent; (3) a multi-field table survives renaming one field's
+    source column (spec follows to bucket(4, cust))."""
+    import json as _json
+
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    half = o.filter(F.col("o_orderkey") % 40 == 0)
+    other = o.filter(F.col("o_orderkey") % 40 == 20).select(*half.columns)
+
+    wh.create_or_replace("c", half)
+    wh.evolve_partition_spec("c", "days(o_orderdate)")
+    wh.append("c", other)
+    n = wh.read("c").count()
+    wh.rewrite_data_files("c")
+    assert wh.read("c").count() == n
+    m = wh._load_meta("c")
+    cur = wh._snapshot(m, m["current_snapshot_id"])
+    assert all("o_orderdate_days" in f["partition"] for f in cur["manifest"])
+    wh.expire_snapshots("c", keep_last=1)
+    wh.remove_orphan_files("c")
+    loc = export_iceberg_v2(wh, "c", str(tmp_path / "ice"))
+    meta = _load_meta(loc)
+    # the surviving root's parent pointer dangles (expired ancestor)
+    roots = [
+        s for s in meta["snapshots"]
+        if s.get("parent-snapshot-id") is not None
+        and s["parent-snapshot-id"] not in {
+            x["snapshot-id"] for x in meta["snapshots"]
+        }
+    ]
+    assert roots, "expected a dangling (expired) parent pointer"
+    assert mod.validate(loc, deep=True) == []
+    assert read_iceberg_v2(spark, loc).count() == n
+    # a self-parent IS still flagged
+    broken = dict(meta)
+    broken["snapshots"] = [dict(s) for s in meta["snapshots"]]
+    broken["snapshots"][-1]["parent-snapshot-id"] = \
+        broken["snapshots"][-1]["snapshot-id"]
+    bdir = tmp_path / "broken" / "metadata"
+    bdir.mkdir(parents=True)
+    (bdir / "v1.metadata.json").write_text(_json.dumps(broken))
+    (bdir / "version-hint.text").write_text("1")
+    assert any(
+        "its own parent" in b
+        for b in mod.validate(str(tmp_path / "broken"))
+    )
+
+    # multi-field source rename follows in the spec
+    wh.create_or_replace(
+        "rm", half, partition_by="days(o_orderdate), bucket(4, o_custkey)"
+    )
+    wh.rename_column("rm", "o_custkey", "cust")
+    m2 = wh._load_meta("rm")
+    assert m2["partition_spec"] == "days(o_orderdate), bucket(4, cust)"
+    assert m2["partition_by"] == ["o_orderdate_days", "cust_bucket"]
+    wh.append("rm", other.withColumnRenamed("o_custkey", "cust"))
+    assert wh.read("rm").count() == half.count() + other.count()
+    loc2 = export_iceberg_v2(wh, "rm", str(tmp_path / "ice_rm"))
+    assert mod.validate(loc2, deep=True) == []
+    assert read_iceberg_v2(spark, loc2).count() == \
+        half.count() + other.count()

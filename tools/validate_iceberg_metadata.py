@@ -28,7 +28,8 @@ Checks (each failure is one violation line):
   lastAssignedPartitionId rule), ``last-partition-id`` >= max assigned;
 - sort orders: ``default-sort-order-id`` resolves, directions/null-orders
   from the spec's enumerations, order 0 is the unsorted order;
-- snapshots: unique ids, parent ids resolve, ``sequence-number`` present,
+- snapshots: unique ids, no self-parent (absent parents are expired
+  ancestors, spec-legal), ``sequence-number`` present,
   non-decreasing along parent chains and <= ``last-sequence-number``,
   ``manifest-list`` URI resolves to an existing file (file scheme),
   ``summary.operation`` from the spec's enumeration, string-valued summary;
@@ -334,8 +335,14 @@ def validate(location: str, deep: bool = False) -> list[str]:
             sid = s.get("snapshot-id")
             if par is None:
                 continue
-            if par not in snap_ids:
-                v.append(f"snapshot {sid}: parent {par} not in snapshots")
+            if par == sid:
+                v.append(f"snapshot {sid}: is its own parent")
+            elif par not in snap_ids:
+                # spec-legal: expireSnapshots removes ancestors but
+                # children KEEP their parent-snapshot-id (Java leaves the
+                # pointer dangling; readers must tolerate it) — an absent
+                # parent is an expired one, not a violation
+                pass
             elif (
                 sid in seq_by_id
                 and par in seq_by_id
