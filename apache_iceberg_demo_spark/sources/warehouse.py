@@ -273,13 +273,20 @@ class Warehouse:
                             stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
                         else:
                             stats[cname] = [mn, mx]
-                # hive-style partition values from the path
+                # hive-style partition values from the path; Spark writes
+                # null partition values to the __HIVE_DEFAULT_PARTITION__
+                # dir — normalize to a real None here so every consumer
+                # (export null serialization, contains_null summaries,
+                # pruning, partition routing) sees null, not a sentinel
+                # string that parses as a date/int never written
                 part_vals = {}
                 rel = os.path.relpath(path, data_dir)
                 for seg in rel.split(os.sep)[:-1]:
                     if "=" in seg:
                         k, v = seg.split("=", 1)
-                        part_vals[k] = v
+                        part_vals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
                 entries.append(
                     {
                         "path": os.path.relpath(path, self._table_dir(name)),
@@ -388,6 +395,26 @@ class Warehouse:
         return snapshot
 
     # ---------- write paths ----------
+
+    #: routing key for a NULL partition value in touched-partition sets.
+    #: NULL never equals anything in SQL, so `pv.isin(touched)` silently
+    #: dropped null-partition rows from every row-level rewrite — DELETE /
+    #: UPDATE simply didn't apply to them (round-13 probe). Coalescing to
+    #: a sentinel no real value can collide with (NUL byte) makes null a
+    #: routable partition value on both the frame and the manifest side.
+    _NULL_PART = "\x00__NULL_PARTITION__"
+
+    @classmethod
+    def _pv_expr(cls, part_col: str):
+        """Null-safe string routing key for a partition column."""
+        return F.coalesce(
+            F.col(part_col).cast("string"), F.lit(cls._NULL_PART)
+        )
+
+    @classmethod
+    def _part_key(cls, value) -> str:
+        """Manifest-side twin of :meth:`_pv_expr`."""
+        return cls._NULL_PART if value is None else str(value)
 
     @staticmethod
     def _pcols(partition_by) -> list[str]:
@@ -884,10 +911,10 @@ class Warehouse:
                 f
                 for f in prev["manifest"]
                 if part_col in f["partition"]
-                and str(f["partition"][part_col]) not in touched_vals
+                and self._part_key(f["partition"][part_col]) not in touched_vals
             ]
             if legacy:
-                pv = F.col(part_col).cast("string")
+                pv = self._pv_expr(part_col)
                 # re-derive BEFORE the partition filter: legacy files
                 # don't store a transform's derived column, and a
                 # null-filled pv would make ~isin drop every legacy row
@@ -932,7 +959,7 @@ class Warehouse:
             return self._commit(
                 name, "delete", files, meta2["schema"], None, parent, meta2
             )
-        pv = F.col(part_col).cast("string")
+        pv = self._pv_expr(part_col)
         touched = {
             r["p"] for r in target.filter(cond).select(pv.alias("p")).distinct().collect()
         }
@@ -1023,7 +1050,7 @@ class Warehouse:
             return self._commit(
                 name, "update", files, meta2["schema"], None, parent, meta2
             )
-        pv = F.col(part_col).cast("string")
+        pv = self._pv_expr(part_col)
         old_parts = marked.filter("_upd").select(pv.alias("p"))
         new_parts = updated_all.filter("_upd").select(pv.alias("p"))
         touched = {
@@ -1473,6 +1500,11 @@ class Warehouse:
         # partition-value pruning first (exact)
         if col in file_entry["partition"]:
             pv: object = file_entry["partition"][col]
+            if pv is None:
+                # a null partition value means EVERY row in the file has
+                # NULL for this column — no comparison predicate can
+                # match (SQL three-valued logic), so the file skips
+                return True
             if s_lit is None:
                 try:  # non-numeric stored value vs numeric literal (e.g. a
                     pv = float(pv)  # "1995-03" month dir): incomparable —
@@ -1844,7 +1876,7 @@ class Warehouse:
             # touched partitions: where source rows land, plus where matched
             # target rows currently live (an update can move a row across
             # partitions — its old partition must be rewritten too)
-            pv = F.col(part_col).cast("string")
+            pv = self._pv_expr(part_col)
             touched_vals = {
                 r.p
                 for r in src.select(pv.alias("p"))
@@ -1854,15 +1886,9 @@ class Warehouse:
                 .distinct()
                 .collect()
             }
-            prev = self._snapshot(meta, meta["current_snapshot_id"])
-            carry = [
-                f
-                for f in prev["manifest"]
-                if str(f["partition"].get(part_col)) not in touched_vals
-            ]
             target = target.filter(pv.isin(*touched_vals) if touched_vals else F.lit(False))
         else:
-            carry = []
+            touched_vals = set()
 
         untouched = target.join(keys, on=on, how="left_anti")
         if when_matched_update and when_not_matched_insert:
@@ -1878,16 +1904,12 @@ class Warehouse:
 
         if not part_col:
             return self.create_or_replace(name, result)
-        # partial-partition commit: write only the rewritten partitions, then
-        # union the untouched file entries into the new manifest unchanged
-        parent = meta["current_snapshot_id"]
-        tag = f"snap-{self._next_snap_id(meta, parent):05d}-{uuid.uuid4().hex[:8]}"
-        data_dir = self._write_data(name, result, tag, meta.get("partition_by"))
-        new_files = self._manifest_for_dir(name, data_dir)
-        return self._commit(
-            name, "merge", carry + new_files, meta["schema"],
-            meta.get("partition_by"), parent, meta,
-        )
+        # partial-partition commit through the SHARED rewrite path: carries
+        # untouched files byte-identical, rewrites earlier-spec (legacy)
+        # files conservatively — merge's old hand-rolled tail CARRIED
+        # legacy files while their touched rows were also rewritten,
+        # duplicating rows after a spec evolution
+        return self._partial_rewrite(name, touched_vals, result, "merge")
 
     def apply_scd2(
         self, name: str, changes: DataFrame, key: list[str], effective_ts_col: str

@@ -1293,3 +1293,125 @@ def test_uri_root_warehouse_full_surface(spark, tmp_path):
 def test_non_file_scheme_rejected_loudly(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="s3a"):
         Warehouse(spark, "s3a://warehouse/demo")
+
+
+def test_null_partition_values_route_and_export(spark, tmp_path):
+    """Round-13 probe findings, pinned: NULL partition values.
+
+    (1) DELETE/UPDATE used to silently SKIP rows whose partition value
+    is NULL — `pv.isin(touched)` is NULL for them under SQL three-valued
+    logic, so they never entered the rewrite (identity AND transform
+    tables alike). Routing now coalesces null to a NUL-byte sentinel on
+    both the frame and manifest side. (2) The v2 export crashed on the
+    __HIVE_DEFAULT_PARTITION__ dir string; the manifest now records a
+    real None, which serializes as an Avro null partition value with
+    contains_null summaries. (3) _can_skip treats a null partition value
+    as all-rows-null (no comparison matches — sound skip)."""
+    from apache_iceberg_demo_spark.io import load
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import (
+        export_iceberg_v2,
+        read_iceberg_v2,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    on = o.withColumn(
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None)).otherwise(
+            F.col("o_orderdate")
+        ),
+    )
+    n_null = on.filter(F.col("o_orderdate").isNull()).count()
+    assert n_null > 0
+
+    wh.create_or_replace("t", on, partition_by="days(o_orderdate)")
+    # delete + update on a NULL-partition row actually apply
+    probe = on.filter(F.col("o_orderdate").isNull()).select(
+        "o_orderkey"
+    ).first()[0]
+    wh.update_where("t", f"o_orderkey = {probe}", {"o_orderstatus": "'Z'"})
+    assert wh.read("t").filter(
+        F.col("o_orderkey") == probe
+    ).first()["o_orderstatus"] == "Z"
+    wh.delete_where("t", f"o_orderkey = {probe}")
+    assert wh.read("t").filter(F.col("o_orderkey") == probe).count() == 0
+    assert wh.read("t").count() == on.count() - 1
+
+    # manifest records None (not the hive sentinel); export round-trips
+    meta = wh._load_meta("t")
+    cur = wh._snapshot(meta, meta["current_snapshot_id"])
+    nulls = [
+        f for f in cur["manifest"]
+        if f["partition"].get("o_orderdate_days") is None
+    ]
+    assert nulls and not any(
+        "HIVE_DEFAULT" in str(f["partition"]) for f in cur["manifest"]
+    )
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    got = read_iceberg_v2(spark, loc)
+    assert got.count() == on.count() - 1
+    assert got.filter(F.col("o_orderdate").isNull()).count() == n_null - 1
+    w = "o_orderdate >= '1995-01-01'"
+    assert read_iceberg_v2(spark, loc, where=w).count() == \
+        got.filter(w).count()
+
+    # bucket with null keys exports too
+    on2 = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    wh.create_or_replace("b", on2, partition_by="bucket(4, o_custkey)")
+    locb = export_iceberg_v2(wh, "b", str(tmp_path / "iceb"))
+    assert read_iceberg_v2(spark, locb).count() == on2.count()
+
+    # _can_skip: null partition value skips comparisons, stats unaffected
+    entry = {"partition": {"d": None}, "stats": {}}
+    assert Warehouse._can_skip(entry, "d = '1995-01-01'")
+    assert Warehouse._can_skip(entry, "d >= '1995-01-01'")
+
+
+def test_merge_after_spec_evolution_no_duplication(spark, tmp_path):
+    """Round-13 probe finding, pinned: MERGE's old hand-rolled tail
+    CARRIED legacy (earlier-spec) files while their touched rows were
+    also rewritten — duplicating every merged row that lived in a
+    pre-evolution file. merge_into now commits through the shared
+    _partial_rewrite path (legacy files rewritten conservatively,
+    untouched rows re-entering via the keep_legacy scan)."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    half = o.filter(F.col("o_orderkey") % 40 == 0)
+    other = o.filter(F.col("o_orderkey") % 40 == 20).select(*half.columns)
+    probe = half.select("o_orderkey").first()[0]
+
+    # identity evolution, then merge a key living in a legacy file
+    ys = F.date_format("o_orderdate", "yyyy")
+    wh.create_or_replace("m", half.withColumn("oy", ys), partition_by="oy")
+    wh.evolve_partition_spec("m", "o_orderpriority")
+    wh.append("m", other.withColumn("oy", ys))
+    n0 = wh.read("m").count()
+    src = wh.read("m").filter(F.col("o_orderkey") == probe).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    wh.merge_into("m", src, on=["o_orderkey"])
+    after = wh.read("m")
+    hit = after.filter(F.col("o_orderkey") == probe)
+    assert hit.count() == 1  # the duplication bug doubled this
+    assert hit.first()["o_orderstatus"] == "Z"
+    assert after.count() == n0
+
+    # transform evolution variant
+    wh.create_or_replace("t", half, partition_by="days(o_orderdate)")
+    wh.evolve_partition_spec("t", "months(o_orderdate)")
+    wh.append("t", other)
+    n1 = wh.read("t").count()
+    src2 = wh.read("t").filter(F.col("o_orderkey") == probe).withColumn(
+        "o_orderstatus", F.lit("Q")
+    )
+    wh.merge_into("t", src2, on=["o_orderkey"])
+    a2 = wh.read("t")
+    assert a2.filter(F.col("o_orderkey") == probe).count() == 1
+    assert a2.count() == n1
