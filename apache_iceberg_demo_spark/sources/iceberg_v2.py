@@ -857,6 +857,32 @@ def _partition_summaries(entries: list[dict], pkey: tuple) -> Optional[list]:
     return out
 
 
+#: RFC 3986 path characters java.net.URI leaves unescaped: unreserved +
+#: sub-delims + ``:@/``. NON-ASCII is also left RAW (URI.toString quotes
+#: only in toASCIIString — measured: a ``café`` dir renders unencoded in
+#: ``_metadata.file_path`` while a space renders ``%20``).
+_URI_PATH_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "-._~!$&'()*+,;=:@/"
+)
+
+
+def _uri_path_quote(path: str) -> str:
+    """Percent-encode a filesystem path the way ``java.net.URI`` renders
+    it — the form Spark's ``_metadata.file_path`` exposes. A partition
+    VALUE containing a space (or any URI-illegal ASCII char) puts that
+    char in the hive dir name on disk, but the scan metadata shows
+    ``%20`` — joining manifest paths against ``_metadata.file_path``
+    without this normalization silently DROPS every row of such files
+    (round-13 probe: the '4-NOT SPECIFIED' partition vanished)."""
+    return "".join(
+        ch
+        if ord(ch) > 127 or ch in _URI_PATH_SAFE
+        else "".join(f"%{b:02X}" for b in ch.encode("utf-8"))
+        for ch in path
+    )
+
+
 def _to_uri(path: str) -> str:
     return path if "://" in path else "file://" + os.path.abspath(path)
 
@@ -1983,7 +2009,7 @@ def read_iceberg_v2(
         mapping = spark.createDataFrame(
             [
                 (
-                    _from_uri(u),
+                    _uri_path_quote(_from_uri(u)),
                     file_seqs[u],
                     *[vals.get(n) for n, _ in part_fields],
                 )
@@ -2099,7 +2125,9 @@ def read_iceberg_v2(
         for d in pos_deletes:
             tbl = pq.read_table(d["path"])
             pairs = [
-                (re.sub("^file:/+", "/", p), int(x))
+                # same java.net.URI quoting as the identity-join keys —
+                # __file carries the escaped form
+                (_uri_path_quote(re.sub("^file:/+", "/", p)), int(x))
                 for p, x in zip(
                     tbl.column("file_path").to_pylist(),
                     tbl.column("pos").to_pylist(),

@@ -42,6 +42,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hive_unescape(s: str) -> str:
+    """Invert Spark's hive-path escaping (ExternalCatalogUtils
+    escapePathName): ``%XX`` hex pairs in a partition dir name decode to
+    the real character. Without this, a partition VALUE containing one of
+    hive's escaped chars (``% = : #`` …) is recorded in the manifest as
+    its escaped dir string — exported wrong and joined wrong. Spark only
+    escapes ASCII, so single-char chr() decoding is exact; a ``%`` not
+    followed by two hex digits passes through (matching Spark's
+    unescapePathName leniency)."""
+    if "%" not in s:
+        return s
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "%" and i + 3 <= len(s):
+            hx = s[i + 1:i + 3]
+            if len(hx) == 2 and all(c in "0123456789abcdefABCDEF" for c in hx):
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -284,8 +309,10 @@ class Warehouse:
                 for seg in rel.split(os.sep)[:-1]:
                     if "=" in seg:
                         k, v = seg.split("=", 1)
-                        part_vals[k] = (
-                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        part_vals[_hive_unescape(k)] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else _hive_unescape(v)
                         )
                 entries.append(
                     {

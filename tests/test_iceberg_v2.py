@@ -3354,3 +3354,67 @@ def test_compaction_and_expiry_after_evolution_export(spark, tmp_path):
     assert mod.validate(loc2, deep=True) == []
     assert read_iceberg_v2(spark, loc2).count() == \
         half.count() + other.count()
+
+
+def test_special_char_and_null_identity_partitions(spark, tmp_path):
+    """Round-13 probe findings, pinned: partition values containing
+    URI/hive-special characters.
+
+    (1) Spark URL-escapes special chars in `_metadata.file_path` (space
+    -> %20, %% -> %25) but leaves non-ASCII raw; manifest paths carry the
+    literal on-disk form — the identity-partition join dropped every row
+    of a '4-NOT SPECIFIED' (space) partition until the manifest keys
+    were quoted the java.net.URI way (_uri_path_quote). (2) Hive-escaped
+    dir VALUES (`p%%q` -> `p%%25q`, `x=y` -> `x%%3Dy`) were recorded in
+    manifests in escaped form — exported wrong and joined wrong; they
+    now hive-unescape. (3) NULL identity values export and join back as
+    real nulls, and IS NULL reads stay exact."""
+    from apache_iceberg_demo_spark.io import load
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    # exotic identity values: space, percent, plus, non-ascii, equals, null
+    ex = spark.createDataFrame(
+        [(1, "a b"), (2, "p%q"), (3, "r+s"), (4, "café"),
+         (5, "x=y"), (6, None), (7, "a b")],
+        "k int, tag string",
+    )
+    wh.create_or_replace("x", ex, partition_by="tag")
+    meta = wh._load_meta("x")
+    cur = wh._snapshot(meta, meta["current_snapshot_id"])
+    vals = {f["partition"].get("tag") for f in cur["manifest"]}
+    assert vals == {"a b", "p%q", "r+s", "café", "x=y", None}  # unescaped
+    loc = export_iceberg_v2(wh, "x", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    got = read_iceberg_v2(spark, loc)
+    assert sorted(map(tuple, got.select("k", "tag").collect()), key=str) \
+        == sorted(map(tuple, ex.collect()), key=str)
+    # row-level ops route to escaped-dir partitions
+    wh.delete_where("x", "tag = 'a b'")
+    assert wh.read("x").count() == 5
+    wh.update_where("x", "tag = 'café'", {"k": "99"})
+    assert wh.read("x").filter("k = 99").count() == 1
+
+    # the real-data case that exposed it: o_orderpriority has a space
+    o = load(spark, SF, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    on = o.withColumn(
+        "op",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    n_null = on.filter(F.col("op").isNull()).count()
+    wh.create_or_replace("i", on, partition_by="op")
+    loci = export_iceberg_v2(wh, "i", str(tmp_path / "ice_i"))
+    assert mod.validate(loci, deep=True) == []
+    g = read_iceberg_v2(spark, loci)
+    assert g.count() == on.count()  # '4-NOT SPECIFIED' rows survived
+    assert sorted(
+        map(tuple, g.groupBy("op").count().collect()), key=str
+    ) == sorted(map(tuple, on.groupBy("op").count().collect()), key=str)
+    assert read_iceberg_v2(spark, loci, where="op IS NULL").count() == n_null
+    assert (
+        read_iceberg_v2(spark, loci, where="op = '4-NOT SPECIFIED'").count()
+        == on.filter("op = '4-NOT SPECIFIED'").count()
+    )
