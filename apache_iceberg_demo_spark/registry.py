@@ -229,6 +229,12 @@ _DRIVER_VERIFIED: set[str] = {
     # 50 _RECHECK re-proofs; only b10_udtf_explode_bigrams slipped past the
     # budget and leads the r13 rotation), folded in per VERDICT r12 item 1:
     "c6_iceberg_v2_hidden_partitioning",
+    # --- r13 driver greens (CORRECTNESS_r13.json — all 50 rows clean: the
+    # new multi-field-spec query hash-green first run plus 49 _RECHECK
+    # re-proofs incl. the rows-only codec comparison; only c6_time_travel
+    # slipped past the budget and leads the r14 rotation), folded in per
+    # VERDICT r13 item 1:
+    "c6_iceberg_v2_multi_field_spec",
 }
 
 # Names that must lead the registry regardless of verification history
@@ -245,37 +251,42 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-13 staleness rotation (VERDICT r12 item 1): the r12 run re-proved
+# Round-14 staleness rotation (VERDICT r13 item 1): the r13 run re-proved
 # 49 of the previous block, leaving one tail name unreached
-# (b10_udtf_explode_bigrams — it leads this rotation), topped up with the
-# next-stalest 49 greens: the entire remaining r06-era fold (b8 extended
-# galleries, the b10 UDF-tier tail, the b9 streaming family, c5/s1 corpus
-# names, rows-only codec comparison) then the 9 oldest r07 names. Computed
-# from the cumulative CORRECTNESS_r01-r12 record (latest clean round per
-# query; rows-only rows count as clean when they ran without error). They
-# rank directly after any genuinely unverified newcomers; future rounds
-# rotate the next-stalest block in.
+# (c6_time_travel — it leads this rotation), topped up with the
+# next-stalest 49 greens: the entire remaining r07-era fold (the c6
+# warehouse family — compaction/evolution/expiry/orphans/zorder/CDC/merge/
+# WAP/branches/system-queries, the b9 update/complete/stateful streaming
+# tail, the b4 statistical cohort, a8/s1 leftovers) then the 9 oldest r08
+# names. Computed from the cumulative CORRECTNESS_r01-r13 record (latest
+# clean round per query; rows-only rows count as clean when they ran
+# without error; r08-era ties broken alphabetically). They rank directly
+# after any genuinely unverified newcomers; future rounds rotate the
+# next-stalest block in.
 _RECHECK: list[str] = [
-    "b10_udtf_explode_bigrams", "b8_cast_coercion", "a15_smoke_literal",
-    "b8_string_distance", "b8_array_ops_extended", "b8_posexplode_tokens",
-    "b8_bitwise_funcs", "b8_trig_funcs", "b8_struct_funcs",
-    "b8_try_functions", "b10_grouped_agg_median",
-    "b10_apply_in_pandas_zscore", "b10_map_in_pandas_tokens",
-    "b10_python_udf_rowwise", "b10_python_udtf_chunks",
-    "b10_map_in_arrow_stats", "b10_arrow_scalar_udf",
-    "b10_pandas_udf_scalar_iter", "c6_incremental_snapshot_read",
-    "b9_tumbling_window", "b9_sliding_window", "b9_session_window",
-    "b9_stream_stream_interval_join", "b9_stream_static_enrichment",
-    "c5_span_dedup_exact", "s1_cap_per_source", "c5_source_divergence",
-    "b3_join_runtime_bloom_prune", "b4_parquet_agg_pushdown",
-    "b2_lateral_topn_per_customer", "c1_dedup_url_canonical",
-    "s1_balanced_class_downsample", "c5_chunk_surgery_dedup",
-    "b5_distinct_count_window", "b8_url_funcs", "b4_ohlc_bars",
-    "b4_time_weighted_avg", "b4_skew_diagnosis", "c5_passage_chunking",
-    "b1_codec_comparison", "b10_udtf_polymorphic", "b4_observe_metrics",
-    "c1_dedup_incremental_index", "c4_patch_extraction",
-    "pipeline_multimodal_prep", "c3_binary_hamming_topk", "c5_language_id",
-    "b1_binaryfile_ingest", "c6_metadata_snapshots", "c6_time_travel",
+    "c6_time_travel", "a8_relocated_warehouse_scan",
+    "b10_cogroup_apply_reconcile", "b3_triangle_count_copurchase",
+    "b4_column_entropy", "b4_countmin_heavy_hitters",
+    "b4_incremental_agg_maintenance", "b4_markov_event_transitions",
+    "b4_target_encoding_loo", "b4_winsorized_robust_stats",
+    "b5_session_window_batch", "b9_complete_mode_topk",
+    "b9_file_sink_exactly_once", "b9_foreachbatch_merge_sink",
+    "b9_stateful_sessionize", "b9_stream_dedup_watermark",
+    "b9_stream_left_outer_interval_join", "b9_update_mode_counts",
+    "c5_bm25_search", "c6_analyze_table_cbo", "c6_branch_fast_forward",
+    "c6_compaction_rewrite", "c6_expire_snapshots_retention",
+    "c6_file_skipping", "c6_merge_into_upsert", "c6_merge_on_read_delete",
+    "c6_named_refs", "c6_partition_evolution", "c6_partitions_metadata",
+    "c6_remove_orphan_files", "c6_rollback_cherry_pick",
+    "c6_row_level_delete_update", "c6_schema_evolution",
+    "c6_snapshot_diff_cdc", "c6_sort_order_clustering", "c6_system_queries",
+    "c6_write_audit_publish", "c6_zorder_clustering", "s1_epoch_shuffle",
+    "s1_stratified_exact_split", "s1_weighted_sample_topk",
+    "b1_dynamic_partition_overwrite", "b2_group_by_all",
+    "b2_relational_division", "b2_sql_identifier_clause",
+    "b2_sql_pivot_clause", "b3_bellman_ford_bounded",
+    "b3_bfs_reachability", "b3_haversine_nearest_hub",
+    "b3_join_strategy_hints",
 ]
 
 

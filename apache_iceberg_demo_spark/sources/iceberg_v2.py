@@ -29,7 +29,7 @@ Why no end-to-end foreign-engine read: DuckDB 1.0 is present but its
 ``iceberg`` extension cannot be installed offline (verified:
 ``INSTALL iceberg`` fails with an extension-download IOException), and no
 iceberg-spark-runtime jar ships with this container, and no pyiceberg
-wheel is downloadable (verified r11: DNS failure). Conformance is instead
+wheel is downloadable (re-verified r14: DNS failure). Conformance is instead
 proven one layer down on BOTH metadata layers: the Avro bytes are read
 back by the JVM's REFERENCE Avro implementation (``avro-1.12.1.jar`` via
 py4j), and the JSON layer is checked by a standalone spec validator
@@ -755,7 +755,14 @@ def _write_positional_delete_file(wh, name: str, mdir: str, dp: dict):
             .collect()
         )
         pairs.extend(
-            ("file://" + re.sub("^file:/+", "/", r["fp"]), int(r["pos"]))
+            # decode java.net.URI escapes so the stored file_path is the
+            # spec-exact raw form matching the manifest's data_file.file_path
+            # (the reader re-quotes ONCE when joining against __file)
+            (
+                "file://"
+                + _uri_path_unquote(re.sub("^file:/+", "/", r["fp"])),
+                int(r["pos"]),
+            )
             for r in hits
         )
     pairs.sort()
@@ -881,6 +888,21 @@ def _uri_path_quote(path: str) -> str:
         else "".join(f"%{b:02X}" for b in ch.encode("utf-8"))
         for ch in path
     )
+
+
+def _uri_path_unquote(path: str) -> str:
+    """Inverse of :func:`_uri_path_quote`: collapse ``%XX`` escapes back to
+    the raw filesystem path. ``_metadata.file_path`` is java.net.URI-quoted
+    (space → ``%20``, and an on-disk ``%`` always arrives as ``%25``), so a
+    single decode yields the true on-disk path — including hive-escaped dir
+    names, whose literal ``%`` round-trips through ``%25``. Position-delete
+    files must store THIS form: the spec requires their ``file_path`` to be
+    an exact string match of the manifest's raw ``data_file.file_path``
+    (r13 stored the quoted form verbatim and the reader quoted again —
+    %2520 — silently skipping deletes on special-char partition paths)."""
+    from urllib.parse import unquote
+
+    return unquote(path, errors="strict")
 
 
 def _to_uri(path: str) -> str:

@@ -646,8 +646,8 @@ class Warehouse:
         the recorded spec lineage; unparseable legacy entries are skipped
         (conservative in the other direction — they never BLOCK, the
         runtime pruners never prune what they can't parse). Migration
-        path: replace into a NEW table name, or expire/rewrite history
-        first."""
+        path: replace into a NEW table name — spec_history survives
+        snapshot expiry, so no in-place migration unblocks the old name."""
         from apache_iceberg_demo_spark.sources import transforms as T
 
         try:
@@ -676,8 +676,9 @@ class Warehouse:
                     f"{t.derived!r} from {old} to {t.spec_name}: files "
                     f"written under the old transform would be pruned in "
                     f"the new transform's space and silently lose rows. "
-                    f"Write to a new table, or expire_snapshots + "
-                    f"rewrite_data_files to migrate the layout first."
+                    f"Write to a NEW table name (the guard reads "
+                    f"spec_history, which snapshot expiry never clears, so "
+                    f"no in-place migration can unblock this name)."
                 )
 
     def create_or_replace(
@@ -1751,27 +1752,33 @@ class Warehouse:
         """ALTER TABLE RENAME COLUMN — metadata-only; old files keep the old
         physical name, resolved through the snapshot's field map on read.
 
-        Renaming the SOURCE column of a hidden partition transform
-        auto-evolves the spec string onto the new name (Iceberg binds
-        specs by field id, so renames are transparent there; our spec
-        strings bind by name, so the string follows the rename). The old
-        derived column's files become an earlier-spec vintage, which
+        Renaming the SOURCE column of a hidden (non-identity) partition
+        transform auto-evolves the spec string onto the new name (Iceberg
+        binds specs by field id, so renames are transparent there; our
+        spec strings bind by name, so the string follows the rename). The
+        old derived column's files become an earlier-spec vintage, which
         every path already treats conservatively (legacy rewrite on
         row-level ops, no transformed-space prune, identity export).
-        Renaming a DERIVED partition column itself is refused — its name
-        is baked into the on-disk hive layout; evolve the spec instead."""
+        Renaming a DERIVED partition column — including an IDENTITY
+        partition column, whose name is its own derived name — is refused:
+        the name is baked into the on-disk hive layout (``col=value``
+        dirs, and identity values live only in the dir name, not the
+        parquet). ADVICE r13: the old ``"(" in spec`` gate silently
+        stranded plain identity specs on the old name (every later append
+        crashed); evolve the spec or write to a new table instead."""
         from pyspark.sql.types import StructField, StructType
 
         from apache_iceberg_demo_spark.sources import transforms as T
 
         meta0 = self._load_meta(name)
         cur_spec = meta0.get("partition_spec")
-        terms = []
-        if cur_spec and "(" in str(cur_spec):
+        try:
             terms = T.parse_spec_list(cur_spec)
-        if any(t.kind != "identity" and t.derived == old for t in terms):
+        except ValueError:
+            terms = []  # unparseable legacy spec — never blocks
+        if any(t.derived == old for t in terms):
             raise ValueError(
-                f"cannot rename {old!r}: it is the derived column of the "
+                f"cannot rename {old!r}: it is a partition column of the "
                 f"current partition spec {cur_spec!r} (the name is baked "
                 f"into the data layout) — evolve_partition_spec instead"
             )
@@ -1823,26 +1830,29 @@ class Warehouse:
     def drop_column(self, name: str, col: str) -> dict:
         """ALTER TABLE DROP COLUMN — metadata-only; the physical column stays
         in old files but is projected away (and column-pruned at scan).
-        Dropping the SOURCE column of the current partition spec is
-        refused (Iceberg's rule: a spec may not reference a dropped
-        column — writers could no longer derive the partition value);
-        dropping a DERIVED partition column merely hides it from reads
-        (writers re-derive it from the source)."""
+        Dropping the SOURCE column of ANY current-spec term — identity
+        terms and plain (paren-less) identity specs included — is refused
+        (Iceberg's rule: a spec may not reference a dropped column;
+        writers could no longer derive the partition value, so every
+        later append would crash. ADVICE r13: the old guard only covered
+        non-identity transform sources); dropping a non-identity DERIVED
+        partition column merely hides it from reads (writers re-derive
+        it from the source)."""
         from pyspark.sql.types import StructType
 
         from apache_iceberg_demo_spark.sources import transforms as T
 
         cur_spec = self._load_meta(name).get("partition_spec")
-        if cur_spec and "(" in str(cur_spec):
-            if any(
-                t.kind != "identity" and t.source == col
-                for t in T.parse_spec_list(cur_spec)
-            ):
-                raise ValueError(
-                    f"cannot drop {col!r}: it is the source column of the "
-                    f"current partition spec {cur_spec!r} — evolve the "
-                    f"spec off it first"
-                )
+        try:
+            terms = T.parse_spec_list(cur_spec)
+        except ValueError:
+            terms = []  # unparseable legacy spec — never blocks
+        if any(t.source == col for t in terms):
+            raise ValueError(
+                f"cannot drop {col!r}: it is a source column of the "
+                f"current partition spec {cur_spec!r} — evolve the "
+                f"spec off it first"
+            )
 
         def mutate(schema: StructType, fm: dict, fids: dict) -> StructType:
             if col not in schema.fieldNames():

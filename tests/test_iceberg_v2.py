@@ -3274,13 +3274,51 @@ def test_rename_drop_of_transform_source_column(spark, tmp_path):
     )
 
     wh.create_or_replace("p", half, partition_by="days(o_orderdate)")
-    with pytest.raises(ValueError, match="derived column"):
+    with pytest.raises(ValueError, match="partition column"):
         wh.rename_column("p", "o_orderdate_days", "x")
     with pytest.raises(ValueError, match="source column"):
         wh.drop_column("p", "o_orderdate")
     # dropping the DERIVED column stays allowed (reads just hide it)
     wh.drop_column("p", "o_orderdate_days")
     assert wh.read("p").count() == half.count()
+
+
+def test_identity_partition_column_rename_drop_guards(spark, tmp_path):
+    """ADVICE r13 (low ×2), pinned: the rename/drop spec guards were
+    gated on ``"(" in spec`` and skipped identity terms — so renaming the
+    partition column of a PLAIN identity-partitioned table stranded the
+    spec on the old name, and dropping an identity partition column (plain
+    or as a term of a mixed spec) left the spec referencing a dropped
+    column; either way every later append crashed. Both are now refused
+    up front (Iceberg refuses the drop for ALL spec-referenced columns;
+    the identity rename is refused because the name IS the hive layout)."""
+    from apache_iceberg_demo_spark.io import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = load(spark, SF, "nation")
+
+    # plain paren-less identity spec
+    wh.create_or_replace("pi", n, partition_by="n_regionkey")
+    with pytest.raises(ValueError, match="partition column"):
+        wh.rename_column("pi", "n_regionkey", "rk")
+    with pytest.raises(ValueError, match="source column"):
+        wh.drop_column("pi", "n_regionkey")
+    # non-partition columns still rename/drop fine afterwards
+    wh.rename_column("pi", "n_name", "nname")
+    wh.drop_column("pi", "nname")
+    wh.append("pi", n.drop("n_name"))
+    assert wh.read("pi").count() == 2 * n.count()
+
+    # identity term of a MIXED spec (the '(' gate used to skip this too)
+    wh.create_or_replace(
+        "mx", n, partition_by="n_regionkey, bucket(4, n_nationkey)"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        wh.rename_column("mx", "n_regionkey", "rk")
+    with pytest.raises(ValueError, match="source column"):
+        wh.drop_column("mx", "n_regionkey")
+    wh.append("mx", n)
+    assert wh.read("mx").count() == 2 * n.count()
 
 
 def test_compaction_and_expiry_after_evolution_export(spark, tmp_path):
@@ -3417,4 +3455,69 @@ def test_special_char_and_null_identity_partitions(spark, tmp_path):
     assert (
         read_iceberg_v2(spark, loci, where="op = '4-NOT SPECIFIED'").count()
         == on.filter("op = '4-NOT SPECIFIED'").count()
+    )
+
+
+def test_positional_delete_on_special_char_partition_paths(spark, tmp_path):
+    """ADVICE r13 (high): position-delete paths were stored verbatim from
+    ``_metadata.file_path`` (java.net.URI-quoted, space -> %20) and the
+    reader quoted them AGAIN (%2520) — the anti-join against ``__file``
+    (single-quoted) missed, so MoR position deletes silently failed to
+    remove rows from any data file under a URI-special partition dir, and
+    the stored path also broke the spec's exact-string match against the
+    manifest's raw ``data_file.file_path``. Pins the fix: the writer now
+    URI-decodes before storing."""
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ex = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "p%q"), (4, "café"), (5, None),
+         (6, "4-NOT SPECIFIED"), (7, "4-NOT SPECIFIED"), (8, "x=y")],
+        "k int, tag string",
+    )
+    wh.create_or_replace("x", ex, partition_by="tag")
+    # non-equality predicate -> POSITION delete; matches rows living in
+    # space/percent/non-ascii/equals/null partition dirs
+    wh.delete_where_mor("x", "k < 7")
+    loc = export_iceberg_v2(wh, "x", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(cur["manifest-list"]))
+    data_paths = set()
+    pos_file = None
+    for m in mfs:
+        _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
+        for e in entries:
+            d = e["data_file"]
+            if m["content"] == 1:
+                assert d["content"] == 1  # positional, not bogus equality
+                pos_file = _from_uri(d["file_path"])
+            else:
+                data_paths.add(d["file_path"])
+    assert pos_file is not None
+
+    import pyarrow.parquet as pq
+
+    stored = pq.read_table(pos_file).column("file_path").to_pylist()
+    assert len(stored) == 6
+    # spec-exact: every stored path is a literal member of the manifest's
+    # raw data_file.file_path set. On disk (probed): space stays LITERAL,
+    # '%' hive-escapes to %25, '=' to %3D — so raw paths legitimately
+    # contain %25/%3D, and the double-encoding symptoms are %20 (quoted
+    # space) and %2525 (re-quoted hive escape).
+    assert set(stored) <= data_paths
+    assert any(" " in p for p in stored)  # the space partition, raw
+    assert not any("%20" in p or "%2525" in p for p in stored)
+
+    # and the independent reader actually APPLIES the deletes (the
+    # regression was a silent no-op on special-char paths)
+    got = read_iceberg_v2(spark, loc)
+    assert sorted(r.k for r in got.collect()) == [7, 8]
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, wh.read("x").collect()), key=str
     )

@@ -12,7 +12,7 @@ spec text alone — it imports nothing from the exporter, so an exporter bug
 cannot self-certify.
 
 The preferred second consumer would be pyiceberg's metadata model, but no
-wheel is obtainable in this container (re-verified 2026-08-16, round 13:
+wheel is obtainable in this container (re-verified 2026-08-16, round 14:
 ``pip download pyiceberg`` finds no distribution and DuckDB's
 ``INSTALL iceberg`` cannot reach extensions.duckdb.org — fully offline;
 documented at apache_iceberg_demo_spark/sources/iceberg_v2.py:28-31).
