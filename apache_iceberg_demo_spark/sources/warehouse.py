@@ -1512,6 +1512,20 @@ class Warehouse:
         if len(parts) > 1:
             return any(Warehouse._can_skip(file_entry, p) for p in parts)
         where = parts[0]
+        # IS [NOT] NULL against a partition VALUE is exact either way: an
+        # identity (or derived-transform) partition value of None means
+        # every row is NULL for that column, non-None means no row is —
+        # so IS NULL skips non-null partitions and IS NOT NULL skips the
+        # null partition (r14; min/max stats carry no null evidence, so
+        # non-partition columns never skip here).
+        m0 = re.fullmatch(
+            r"\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*", where, re.IGNORECASE
+        )
+        if m0:
+            if m0.group(1) in file_entry["partition"]:
+                pv0 = file_entry["partition"][m0.group(1)]
+                return (pv0 is None) if m0.group(2) else (pv0 is not None)
+            return False
         m = re.fullmatch(
             r"\s*(\w+)\s*(<=|>=|<|>|=|==)\s*('([^']*)'|[-0-9.]+)\s*", where
         )

@@ -175,9 +175,11 @@ def test_bucket_of_null_source_end_to_end(spark, tmp_path):
 def test_can_skip_is_null_inverse(spark, tmp_path):
     """The r13 all-rows-null comparison skip (`f1b`): a null partition
     value means every row is NULL, so comparison predicates skip the
-    file. INVERSE guarantee pinned here: IS NULL / IS NOT NULL predicates
-    are not recognized by the comparison fast path and must NEVER skip
-    the null-partition file — and reads stay exact either way."""
+    file. INVERSE guarantee pinned here: IS NULL must NEVER skip the
+    null-partition file. r14 also made the converse EXACT for partition
+    values: IS NULL skips non-null partitions and IS NOT NULL skips the
+    null partition (a partition value is a constant per file, so null
+    evidence is total, unlike min/max stats) — reads stay exact."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     ex = spark.createDataFrame(ROWS, SCHEMA)
     wh.create_or_replace("d", ex, partition_by="tag")
@@ -192,6 +194,17 @@ def test_can_skip_is_null_inverse(spark, tmp_path):
         assert not Warehouse._can_skip(f, "tag IS NULL")
         assert Warehouse._can_skip(f, "tag = 'plain'")  # all-rows-null skip
         assert Warehouse._can_skip(f, "tag > 'a'")
+        assert Warehouse._can_skip(f, "tag IS NOT NULL")  # exact converse
+    for f in nonnf:
+        assert Warehouse._can_skip(f, "tag IS NULL")
+        assert not Warehouse._can_skip(f, "tag IS NOT NULL")
+    # a non-partition column never null-skips (min/max carry no evidence)
+    for f in nullf + nonnf:
+        assert not Warehouse._can_skip(f, "v IS NULL")
+        assert not Warehouse._can_skip(f, "v IS NOT NULL")
+    # conjunction: one exact null conjunct suffices
+    for f in nonnf:
+        assert Warehouse._can_skip(f, "tag IS NULL AND k = 4")
     assert sorted(
         r.k for r in wh.read("d", where="tag IS NULL").collect()
     ) == [4, 5]
