@@ -2090,6 +2090,38 @@ def read_iceberg_v2(
     extras = (["__seq"] if need_seq else []) + (
         ["__file", "__pos"] if pos_deletes else []
     )
+    # equality deletes may reference a field id that was DROPPED from the
+    # current schema afterwards (Iceberg allows the drop; the delete still
+    # applies by field id against the stored values — r14 probe found the
+    # KeyError). Resolve such fids through the HISTORICAL schema versions'
+    # spellings and carry the physical column through the projection under
+    # a synthetic name; rows where no file carries the column are NULL and
+    # equality never matches NULL, exactly the spec semantics.
+    dropped_eq: dict[int, str] = {}
+    if eq_deletes:
+        cur_ids = {f["id"] for f in schema["fields"]}
+        for d in eq_deletes.values():
+            for fid in d["ids"]:
+                if fid in cur_ids or fid in dropped_eq:
+                    continue
+                cands, typ = [], "string"
+                for s in meta["schemas"]:
+                    for f in s["fields"]:
+                        if f["id"] == fid and f["name"] not in cands:
+                            cands.append(f["name"])
+                            typ = f["type"]
+                alias = f"__eqdrop_{fid}"
+                live = [n for n in cands if n in out.columns]
+                st = spark_type(typ)
+                proj.append(
+                    (
+                        F.coalesce(*[F.col(n).cast(st) for n in live])
+                        if live
+                        else F.lit(None).cast(st)
+                    ).alias(alias)
+                )
+                dropped_eq[fid] = alias
+                extras.append(alias)
     out = out.select(*proj, *extras)
     # equality deletes (spec "Scan Planning"): a delete file with sequence
     # number d removes matching rows from data files with sequence number
@@ -2114,7 +2146,9 @@ def read_iceberg_v2(
             return tbl.column(pos)
 
         for d in eq_deletes.values():
-            cols = [name_by_id[i] for i in d["ids"]]
+            cols = [
+                name_by_id.get(i, dropped_eq.get(i)) for i in d["ids"]
+            ]
             tbl = pq.read_table(d["path"])
             if len(cols) == 1:
                 match = F.col(cols[0]).isin(

@@ -3283,6 +3283,63 @@ def test_rename_drop_of_transform_source_column(spark, tmp_path):
     assert wh.read("p").count() == half.count()
 
 
+def test_equality_delete_on_dropped_column(spark, tmp_path):
+    """r14 probe cycle 3 finding, fixed + pinned: an equality MoR delete
+    keyed on a column that is later DROPPED exported fine (spec-legal —
+    Iceberg allows dropping columns with live equality deletes; the
+    delete keeps applying by field id against stored values) but the
+    spec READER crashed with KeyError resolving equality_ids through the
+    current schema only. It now resolves dropped fids through the
+    historical schema versions and carries the physical column through
+    the projection; files that never carried the column contribute NULL,
+    which equality never matches."""
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0), (4, "z", 4.0)],
+        "k int, tag string, v double",
+    )
+    wh.create_or_replace("o", base)
+    wh.delete_where_mor("o", "tag = 'x'")
+    wh.drop_column("o", "tag")
+    assert sorted(r.k for r in wh.read("o").collect()) == [2, 4]
+    loc = export_iceberg_v2(wh, "o", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    g = read_iceberg_v2(spark, loc)
+    assert sorted(r.k for r in g.collect()) == [2, 4]
+    assert [c.lower() for c in g.columns] == ["k", "v"]
+    # a post-delete append (no tag column anymore) must survive the
+    # delete (sequence rule) — its rows have NULL for the dropped fid
+    wh.append("o", spark.createDataFrame([(5, 5.0)], "k int, v double"))
+    loc2 = export_iceberg_v2(wh, "o", str(tmp_path / "ice2"))
+    assert mod.validate(loc2, deep=True) == []
+    assert sorted(
+        r.k for r in read_iceberg_v2(spark, loc2).collect()
+    ) == [2, 4, 5]
+
+    # multi-column tuple delete with ONE fid later dropped
+    wh.create_or_replace("o2", base)
+    wh.delete_where_mor("o2", "tag = 'x' AND k IN (1, 3)")
+    wh.drop_column("o2", "tag")
+    loc3 = export_iceberg_v2(wh, "o2", str(tmp_path / "ice3"))
+    assert mod.validate(loc3, deep=True) == []
+    assert sorted(
+        r.k for r in read_iceberg_v2(spark, loc3).collect()
+    ) == [2, 4]
+
+    # rename THEN delete THEN drop: the delete file's parquet carries the
+    # renamed spelling; historical-schema resolution still finds it
+    wh.create_or_replace("o3", base)
+    wh.rename_column("o3", "tag", "label")
+    wh.delete_where_mor("o3", "label = 'x'")
+    wh.drop_column("o3", "label")
+    loc4 = export_iceberg_v2(wh, "o3", str(tmp_path / "ice4"))
+    assert mod.validate(loc4, deep=True) == []
+    assert sorted(
+        r.k for r in read_iceberg_v2(spark, loc4).collect()
+    ) == [2, 4]
+
+
 def test_identity_partition_column_rename_drop_guards(spark, tmp_path):
     """ADVICE r13 (low ×2), pinned: the rename/drop spec guards were
     gated on ``"(" in spec`` and skipped identity terms — so renaming the
