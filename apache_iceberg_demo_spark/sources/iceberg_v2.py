@@ -1862,7 +1862,17 @@ def read_iceberg_v2(
                     )
             continue
         spec_fields = json.loads(mmeta["partition-spec"])
-        by_src = {f["id"]: f for f in schema["fields"]}
+        # resolve identity source types through ALL schema versions,
+        # newest winning: a historical spec may bind a field id that has
+        # LEFT the current schema (replace-with-a-new-transform drops the
+        # old derived column from the declared schema; drop_column after
+        # a spec evolution does too — r14 probe: KeyError). Such fields
+        # still join their values in, but the typed projection (declared
+        # columns only) drops them — metadata-only, exactly right.
+        by_src = {
+            f["id"]: f for s in meta["schemas"] for f in s["fields"]
+        }
+        by_src.update({f["id"]: f for f in schema["fields"]})
         # only IDENTITY fields become data columns (their value joins into
         # the scan); transformed fields (day/bucket/truncate/…) are hidden
         # — metadata-only, used for pruning, never projected
@@ -1870,6 +1880,7 @@ def read_iceberg_v2(
             (pf["name"], by_src[pf["source-id"]]["type"])
             for pf in spec_fields
             if pf.get("transform", "identity") == "identity"
+            and pf["source-id"] in by_src
         ]
         for n, t in local_fields:
             if part_types.setdefault(n, t) != t:

@@ -286,7 +286,18 @@ class Warehouse:
                         if st is None or not st.has_min_max:
                             continue
                         cname = col.path_in_schema
-                        mn, mx = st.min, st.max
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            # pyarrow cannot cast statistics for every
+                            # logical type (e.g. decimal stored as
+                            # annotated INT64 raises
+                            # ArrowNotImplementedError) — stats are
+                            # OPTIONAL, so record none for this column
+                            # rather than crashing the whole write
+                            # (r14 probe: any decimal column killed
+                            # create_or_replace)
+                            continue
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()
@@ -1815,6 +1826,15 @@ class Warehouse:
             )
 
         snap = self._evolve(name, "rename-column", mutate)
+        meta_so = self._load_meta(name)
+        if old in (meta_so.get("sort_order") or []):
+            # the declared sort order follows the rename (Iceberg binds
+            # sort orders by field id; our list binds by name — r14: a
+            # stale name silently DROPPED the field from the v2 export)
+            meta_so["sort_order"] = [
+                new if c == old else c for c in meta_so["sort_order"]
+            ]
+            self._store_meta(name, meta_so)
         if any(t.source == old for t in terms):
             # follow the rename in the spec string: the transform's
             # identity (source id) is unchanged, only our name-based
@@ -1875,7 +1895,17 @@ class Warehouse:
             fids.pop(col, None)
             return StructType([f for f in schema.fields if f.name != col])
 
-        return self._evolve(name, "drop-column", mutate)
+        snap = self._evolve(name, "drop-column", mutate)
+        meta_so = self._load_meta(name)
+        if col in (meta_so.get("sort_order") or []):
+            # a dropped column leaves the declared sort order (Java
+            # replaces the order; keeping the stale name would silently
+            # omit it from exports anyway — record the truth instead)
+            meta_so["sort_order"] = [
+                c for c in meta_so["sort_order"] if c != col
+            ] or None
+            self._store_meta(name, meta_so)
+        return snap
 
     def merge_into(
         self,

@@ -3340,6 +3340,47 @@ def test_equality_delete_on_dropped_column(spark, tmp_path):
     ) == [2, 4]
 
 
+def test_historical_spec_field_left_current_schema(spark, tmp_path):
+    """r14 probe cycle 4 finding, fixed + pinned: a HISTORICAL spec's
+    identity field can bind a field id that has left the current schema —
+    (a) replace-with-a-different-transform drops the old derived column
+    from the declared schema while the old spec still lists it, and
+    (b) evolve-then-drop_column leaves LIVE files under the old layout.
+    The reader resolved identity source types through the current schema
+    only and crashed with KeyError; it now resolves through all schema
+    versions (newest wins) — the values still join in, and the typed
+    projection (declared columns only) drops them, metadata-only."""
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dt = spark.sql(
+        "SELECT id AS k, timestamp'1969-12-25 06:00:00' + "
+        "make_interval(0,0,0,CAST(id*3 AS INT),0,0,0) AS ts FROM range(0,8)"
+    )
+    # (a) replace with a different transform spec
+    wh.create_or_replace("sx", dt, partition_by="months(ts)")
+    wh.create_or_replace("sx", dt, partition_by="hours(ts)")
+    loc = export_iceberg_v2(wh, "sx", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    assert read_iceberg_v2(spark, loc).count() == 8
+
+    # (b) evolve months->hours, append, then DROP the months-derived
+    # column: pre-evolution files stay live under the months layout
+    wh.create_or_replace("ev", dt, partition_by="months(ts)")
+    wh.evolve_partition_spec("ev", "hours(ts)")
+    wh.append("ev", dt.selectExpr("k + 100 AS k", "ts"))
+    wh.drop_column("ev", "ts_months")
+    assert wh.read("ev").count() == 16
+    loc2 = export_iceberg_v2(wh, "ev", str(tmp_path / "ice2"))
+    assert mod.validate(loc2, deep=True) == []
+    g = read_iceberg_v2(spark, loc2)
+    assert g.count() == 16
+    assert [c.lower() for c in g.columns] == ["k", "ts"]
+    n = 2 * dt.filter("ts >= '1970-01-01'").count()
+    assert read_iceberg_v2(
+        spark, loc2, where="ts >= '1970-01-01'"
+    ).count() == n
+
+
 def test_identity_partition_column_rename_drop_guards(spark, tmp_path):
     """ADVICE r13 (low ×2), pinned: the rename/drop spec guards were
     gated on ``"(" in spec`` and skipped identity terms — so renaming the
