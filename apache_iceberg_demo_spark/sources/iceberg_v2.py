@@ -198,6 +198,12 @@ def bound_bytes(ice_type: str, value) -> Optional[bytes]:
             min_signed_bytes,
         )
 
+        if isinstance(value, dict):
+            # warehouse decimal stats carry the typed {"dec": str} marker
+            # (exact value recovered from raw unscaled footer stats)
+            value = value.get("dec")
+            if value is None:
+                return None
         try:
             unscaled = decimal.Decimal(str(value)).scaleb(
                 _decimal_scale(ice_type)
@@ -2109,6 +2115,7 @@ def read_iceberg_v2(
     # a synthetic name; rows where no file carries the column are NULL and
     # equality never matches NULL, exactly the spec semantics.
     dropped_eq: dict[int, str] = {}
+    eqdrop_aliases: list[str] = []
     if eq_deletes:
         cur_ids = {f["id"] for f in schema["fields"]}
         for d in eq_deletes.values():
@@ -2122,18 +2129,34 @@ def read_iceberg_v2(
                             cands.append(f["name"])
                             typ = f["type"]
                 alias = f"__eqdrop_{fid}"
-                live = [n for n in cands if n in out.columns]
                 st = spark_type(typ)
+                exprs = []
+                for n in cands:
+                    if n in out.columns:
+                        exprs.append(F.col(n).cast(st))
+                    if n in data_shadow:
+                        # the physical data column was shadow-renamed
+                        # because the name is also a (historical)
+                        # partition field — post-evolution files store
+                        # the value as DATA while the manifest constant
+                        # is NULL; fall back exactly like the typed
+                        # projection does (r14 review finding)
+                        exprs.append(F.col(data_shadow[n]).cast(st))
                 proj.append(
                     (
-                        F.coalesce(*[F.col(n).cast(st) for n in live])
-                        if live
+                        F.coalesce(*exprs)
+                        if exprs
                         else F.lit(None).cast(st)
                     ).alias(alias)
                 )
                 dropped_eq[fid] = alias
-                extras.append(alias)
+                eqdrop_aliases.append(alias)
     out = out.select(*proj, *extras)
+    # the __eqdrop columns are PRODUCED by proj — listing them in the
+    # select's extras too would duplicate the column via Spark's
+    # lateral-column-alias fallback (r14 review, verified empirically);
+    # they join extras only for the final drop
+    extras.extend(eqdrop_aliases)
     # equality deletes (spec "Scan Planning"): a delete file with sequence
     # number d removes matching rows from data files with sequence number
     # STRICTLY LESS than d. Key tuples are manifest-scale small (they came

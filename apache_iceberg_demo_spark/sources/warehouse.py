@@ -31,6 +31,7 @@ dir lives on the object store; locally it's a directory.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import shutil
@@ -265,6 +266,14 @@ class Warehouse:
 
     # ---------- manifest construction ----------
 
+    @staticmethod
+    def _decimal_stats_entry(mn, mx):
+        """Serialize a Decimal min/max pair for the JSON manifest: a typed
+        ``{"dec": "<str>"}`` marker, so consumers can compare NUMERICALLY
+        (a bare string would make Python's min/max and ``_can_skip``'s
+        lexicographic path silently wrong — '10.0' < '9.0')."""
+        return [{"dec": str(mn)}, {"dec": str(mx)}]
+
     def _manifest_for_dir(self, name: str, data_dir: str) -> list[dict]:
         """Walk a snapshot's data dir; record per-file stats from footers."""
         import pyarrow.parquet as pq
@@ -290,25 +299,35 @@ class Warehouse:
                             mn, mx = st.min, st.max
                         except Exception:
                             # pyarrow cannot cast statistics for every
-                            # logical type (e.g. decimal stored as
-                            # annotated INT64 raises
-                            # ArrowNotImplementedError) — stats are
-                            # OPTIONAL, so record none for this column
-                            # rather than crashing the whole write
-                            # (r14 probe: any decimal column killed
-                            # create_or_replace)
-                            continue
+                            # logical type — decimal stored as annotated
+                            # INT32/INT64/FIXED raises
+                            # ArrowNotImplementedError (r14 probe: any
+                            # decimal column killed create_or_replace).
+                            # Recover decimals EXACTLY from the raw
+                            # unscaled stats + the schema scale; anything
+                            # else loses its (optional) stats only.
+                            mnmx = _decimal_raw_stats(md, ci, st)
+                            if mnmx is None:
+                                continue
+                            mn, mx = mnmx
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()
                             except UnicodeDecodeError:
                                 continue
-                        if not isinstance(mn, (int, float, str, bool)):
+                        if not isinstance(
+                            mn, (int, float, str, bool, decimal.Decimal)
+                        ):
                             mn, mx = str(mn), str(mx)
                         if cname in stats:
                             stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
                         else:
                             stats[cname] = [mn, mx]
+                # Decimals aggregated exactly above; serialize for JSON
+                # with the typed marker (see _decimal_stats_entry)
+                for cname, (mn, mx) in list(stats.items()):
+                    if isinstance(mn, decimal.Decimal):
+                        stats[cname] = self._decimal_stats_entry(mn, mx)
                 # hive-style partition values from the path; Spark writes
                 # null partition values to the __HIVE_DEFAULT_PARTITION__
                 # dir — normalize to a real None here so every consumer
@@ -1568,6 +1587,17 @@ class Warehouse:
         if not st:
             return False
         mn, mx = st
+        # decimal stats carry a typed marker (or arrive as live Decimals
+        # from decoded v2 bounds): compare EXACTLY in decimal space — a
+        # float round-trip could narrow the range by an ulp and wrongly
+        # skip, a string compare is lexicographic ('10.0' < '9.0')
+        dmn, dmx = _decimal_stat_value(mn), _decimal_stat_value(mx)
+        if dmn is not None and dmx is not None:
+            try:
+                dlit = decimal.Decimal(s_lit if s_lit is not None else raw)
+            except decimal.InvalidOperation:
+                return False
+            return not _cmp_holds(None, op, dlit, dmn, dmx)
         if s_lit is None and isinstance(mn, (int, float)):
             return not _cmp_holds(None, op, lit, float(mn), float(mx))
         if s_lit is not None and isinstance(mn, str):
@@ -1734,8 +1764,14 @@ class Warehouse:
     # schema-evolution via field ids; emulated here with a logical→physical
     # column map recorded per snapshot).
 
-    def _evolve(self, name: str, operation: str, mutate) -> dict:
-        """Commit a metadata-only schema change: same manifest, new schema."""
+    def _evolve(self, name: str, operation: str, mutate, meta_extra=None) -> dict:
+        """Commit a metadata-only schema change: same manifest, new schema.
+
+        ``meta_extra(meta)``, when given, applies companion metadata edits
+        (spec string follow-on-rename, sort-order maintenance) INSIDE the
+        same commit — a crash can never strand the schema renamed but the
+        spec/sort-order pointing at the old name (r14 review: the old
+        three-separate-stores shape left exactly that window)."""
         from pyspark.sql.types import StructType  # noqa: F401  (mutators use it)
 
         meta = self._load_meta(name)
@@ -1755,6 +1791,8 @@ class Warehouse:
         # retires it (a re-added name gets a FRESH id in _commit, so old
         # values stay dead). _commit only ever assigns ids to unseen names.
         meta["fids"] = fids
+        if meta_extra is not None:
+            meta_extra(meta)
         return self._commit(
             name, operation, prev["manifest"], new_schema.json(),
             meta.get("partition_by"), parent, meta,
@@ -1825,41 +1863,44 @@ class Warehouse:
                 ]
             )
 
-        snap = self._evolve(name, "rename-column", mutate)
-        meta_so = self._load_meta(name)
-        if old in (meta_so.get("sort_order") or []):
-            # the declared sort order follows the rename (Iceberg binds
-            # sort orders by field id; our list binds by name — r14: a
-            # stale name silently DROPPED the field from the v2 export)
-            meta_so["sort_order"] = [
-                new if c == old else c for c in meta_so["sort_order"]
-            ]
-            self._store_meta(name, meta_so)
-        if any(t.source == old for t in terms):
-            # follow the rename in the spec string: the transform's
-            # identity (source id) is unchanged, only our name-based
-            # binding moves — appends keep deriving, new derived name
-            meta = self._load_meta(name)
-            meta.setdefault("spec_history", []).append(
-                {
-                    "spec": cur_spec,
-                    "until_snapshot_id": meta["current_snapshot_id"],
-                }
-            )
-            new_terms = [
-                T.Transform(t.kind, new, t.param, "")
-                if t.source == old
-                else t
-                for t in terms
-            ]
-            new_spec = ", ".join(T.term_str(t) for t in new_terms)
-            derived = [t.derived for t in T.parse_spec_list(new_spec)]
-            meta["partition_spec"] = new_spec
-            meta["partition_by"] = (
-                derived[0] if len(derived) == 1 else derived
-            )
-            self._store_meta(name, meta)
-        return snap
+        def meta_extra(meta: dict) -> None:
+            # applied INSIDE the rename commit — atomic with the schema
+            # change (r14 review: a crash between separate stores stranded
+            # the spec/sort-order on the old name)
+            if old in (meta.get("sort_order") or []):
+                # the declared sort order follows the rename (Iceberg
+                # binds sort orders by field id; our list binds by name —
+                # r14: a stale name silently DROPPED the field from the
+                # v2 export)
+                meta["sort_order"] = [
+                    new if c == old else c for c in meta["sort_order"]
+                ]
+            if any(t.source == old for t in terms):
+                # follow the rename in the spec string: the transform's
+                # identity (source id) is unchanged, only our name-based
+                # binding moves — appends keep deriving, new derived name.
+                # current_snapshot_id is still the PARENT here (pre-
+                # commit), matching create_or_replace's spec_history form.
+                meta.setdefault("spec_history", []).append(
+                    {
+                        "spec": cur_spec,
+                        "until_snapshot_id": meta["current_snapshot_id"],
+                    }
+                )
+                new_terms = [
+                    T.Transform(t.kind, new, t.param, "")
+                    if t.source == old
+                    else t
+                    for t in terms
+                ]
+                new_spec = ", ".join(T.term_str(t) for t in new_terms)
+                derived = [t.derived for t in T.parse_spec_list(new_spec)]
+                meta["partition_spec"] = new_spec
+                meta["partition_by"] = (
+                    derived[0] if len(derived) == 1 else derived
+                )
+
+        return self._evolve(name, "rename-column", mutate, meta_extra)
 
     def drop_column(self, name: str, col: str) -> dict:
         """ALTER TABLE DROP COLUMN — metadata-only; the physical column stays
@@ -1895,17 +1936,17 @@ class Warehouse:
             fids.pop(col, None)
             return StructType([f for f in schema.fields if f.name != col])
 
-        snap = self._evolve(name, "drop-column", mutate)
-        meta_so = self._load_meta(name)
-        if col in (meta_so.get("sort_order") or []):
-            # a dropped column leaves the declared sort order (Java
-            # replaces the order; keeping the stale name would silently
-            # omit it from exports anyway — record the truth instead)
-            meta_so["sort_order"] = [
-                c for c in meta_so["sort_order"] if c != col
-            ] or None
-            self._store_meta(name, meta_so)
-        return snap
+        def meta_extra(meta: dict) -> None:
+            if col in (meta.get("sort_order") or []):
+                # a dropped column leaves the declared sort order (Java
+                # replaces the order; keeping the stale name would
+                # silently omit it from exports anyway — record the
+                # truth instead), atomically with the drop commit
+                meta["sort_order"] = [
+                    c for c in meta["sort_order"] if c != col
+                ] or None
+
+        return self._evolve(name, "drop-column", mutate, meta_extra)
 
     def merge_into(
         self,
@@ -2055,6 +2096,49 @@ class Warehouse:
         return self.create_or_replace(
             name, df, partition_by=meta.get("partition_spec") or part_by
         )
+
+
+def _decimal_raw_stats(md, ci: int, st):
+    """Exact decimal min/max from a parquet column chunk whose statistics
+    pyarrow refuses to cast: the raw unscaled value (int for INT32/INT64
+    storage, big-endian two's-complement bytes for FIXED_LEN_BYTE_ARRAY)
+    scaled by the schema's decimal scale. Returns ``(Decimal, Decimal)``
+    or None for non-decimal logical types (their optional stats are
+    simply skipped)."""
+    try:
+        lt = json.loads(md.schema.column(ci).logical_type.to_json())
+    except Exception:
+        return None
+    if lt.get("Type") != "Decimal":
+        return None
+    scale = int(lt.get("scale", 0))
+
+    def _unscaled(b):
+        if isinstance(b, bytes):
+            return int.from_bytes(b, "big", signed=True)
+        return int(b)
+
+    try:
+        return (
+            decimal.Decimal(_unscaled(st.min_raw)).scaleb(-scale),
+            decimal.Decimal(_unscaled(st.max_raw)).scaleb(-scale),
+        )
+    except Exception:
+        return None
+
+
+def _decimal_stat_value(v):
+    """Decode a stats cell into a Decimal if it carries one: the JSON
+    manifest marker ``{"dec": "..."}`` or a live Decimal (the reader's
+    decoded v2 bounds). None otherwise."""
+    if isinstance(v, decimal.Decimal):
+        return v
+    if isinstance(v, dict) and "dec" in v:
+        try:
+            return decimal.Decimal(v["dec"])
+        except decimal.InvalidOperation:
+            return None
+    return None
 
 
 def _cmp_holds(_v, op: str, lit, mn, mx) -> bool:
