@@ -516,12 +516,30 @@ def simple_conjuncts(where: Optional[str]) -> list[tuple]:
             if s_lit is not None:
                 lit: object = s_lit
             else:
-                try:  # [-0-9.]+ admits junk like `1.2.3` or a bare `-`:
-                    lit = float(raw)  # drop the conjunct, never crash the
-                except ValueError:  # pruner (conservative contract above)
+                # [-0-9.]+ admits junk like `1.2.3` or a bare `-`: drop
+                # the conjunct, never crash the pruner (conservative
+                # contract above). Integral text parses as EXACT int —
+                # float()-ing an int64 literal ≥ 2^53 collapses neighbors
+                # and downstream monotonic-compare pruning could wrongly
+                # skip (r14, same class as Warehouse._can_skip).
+                lit = exact_number(raw)
+                if lit is None:
                     continue
             out.append((col, op, lit))
     return out
+
+
+def exact_number(s):
+    """Parse a numeric literal EXACTLY: integral text → int, else float;
+    None if unparseable. Comparisons must stay in native types — Python
+    compares int vs float mathematically exactly at any magnitude."""
+    t = str(s).strip()
+    try:
+        if t.lstrip("-").isdigit():
+            return int(t)
+        return float(t)
+    except ValueError:
+        return None
 
 #: transforms through which `c op lit ⇒ T(c) op' T(lit)` holds with
 #: op' the weakened operator below (monotonic non-decreasing transforms)

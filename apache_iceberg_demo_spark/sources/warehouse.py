@@ -1565,9 +1565,11 @@ class Warehouse:
         if s_lit is not None:
             lit: object = s_lit
         else:
-            try:  # [-0-9.]+ admits junk like `1.2.3` or a bare `-`: never
-                lit = float(raw)  # skip on it, never crash the read
-            except ValueError:  # (same ADVICE r12 class as simple_conjuncts)
+            # [-0-9.]+ admits junk like `1.2.3` or a bare `-`: never skip
+            # on it, never crash the read (ADVICE r12 class). Integral
+            # literals parse as EXACT ints — see _exact_number (r14).
+            lit = _exact_number(raw)
+            if lit is None:
                 return False
         # partition-value pruning first (exact)
         if col in file_entry["partition"]:
@@ -1578,9 +1580,12 @@ class Warehouse:
                 # match (SQL three-valued logic), so the file skips
                 return True
             if s_lit is None:
-                try:  # non-numeric stored value vs numeric literal (e.g. a
-                    pv = float(pv)  # "1995-03" month dir): incomparable —
-                except ValueError:  # keep the file
+                # non-numeric stored value vs numeric literal (e.g. a
+                # "1995-03" month dir): incomparable — keep the file.
+                # Numeric dirs parse exactly (int64 dirs ≥ 2^53 float-
+                # collapsed pre-r14 and could wrongly skip).
+                pv = _exact_number(pv)
+                if pv is None:
                     return False
             return not _cmp_holds(pv, op, lit, pv, pv)
         st = file_entry["stats"].get(col)
@@ -1599,7 +1604,9 @@ class Warehouse:
                 return False
             return not _cmp_holds(None, op, dlit, dmn, dmx)
         if s_lit is None and isinstance(mn, (int, float)):
-            return not _cmp_holds(None, op, lit, float(mn), float(mx))
+            # native int/float comparison is exact — float()-ing int64
+            # stats collapsed neighbors above 2^53 (wrong skip, r14)
+            return not _cmp_holds(None, op, lit, mn, mx)
         if s_lit is not None and isinstance(mn, str):
             return not _cmp_holds(None, op, lit, mn, mx)
         return False
@@ -2096,6 +2103,17 @@ class Warehouse:
         return self.create_or_replace(
             name, df, partition_by=meta.get("partition_spec") or part_by
         )
+
+
+def _exact_number(s):
+    """Exact numeric parse (int when integral, float otherwise) — shared
+    with the transform pruner. float()-ing an int64 ≥ 2^53 collapses
+    neighbors and a strict < / > against a collapsed pair WRONGLY SKIPS a
+    file holding matching rows (r14 probe: k < 2^53+1 skipped the file
+    whose min was 2^53)."""
+    from apache_iceberg_demo_spark.sources.transforms import exact_number
+
+    return exact_number(s)
 
 
 def _decimal_raw_stats(md, ci: int, st):

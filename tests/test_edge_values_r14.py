@@ -170,6 +170,43 @@ def test_decimal_column_write_and_identity_partitions(spark, tmp_path):
     ) == sorted(str(r.m) for r in dd.collect())
 
 
+def test_int64_above_2_53_no_float_collapse_skip(spark, tmp_path):
+    """r14 probe cycle 8 finding, fixed + pinned: `_can_skip` (and
+    `simple_conjuncts`) parsed numeric literals with float(), and stats /
+    partition values were float()-ed for comparison — above 2^53 the
+    collapse made strict < / > comparisons WRONGLY SKIP files holding
+    matching rows (k < 2^53+1 skipped the file whose min was 2^53 —
+    silent row loss on bigint keys). All numeric parsing is now exact
+    (int when integral; Python's int-vs-float comparison is mathematically
+    exact at any magnitude)."""
+    base = 9007199254740992  # 2^53
+    # unit-level: the exact probe cases
+    f = {"partition": {}, "stats": {"k": [base, base]}}
+    assert not Warehouse._can_skip(f, f"k < {base + 1}")
+    assert Warehouse._can_skip(f, f"k < {base}")
+    assert not Warehouse._can_skip(f, f"k = {base}")
+    f2 = {"partition": {"k": str(base)}, "stats": {}}
+    assert not Warehouse._can_skip(f2, f"k < {base + 1}")
+    assert Warehouse._can_skip(f2, f"k > {base}")
+    # int64 extremes stay exact
+    f3 = {"partition": {}, "stats": {"k": [-(2**63), 2**63 - 1]}}
+    assert not Warehouse._can_skip(f3, f"k = {2**63 - 1}")
+
+    # end to end: a file-per-group table with 2^53-adjacent bigints; the
+    # strict-< read must return the boundary row
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dd = spark.createDataFrame(
+        [(1, base, "lo"), (2, base + 2, "hi")], "i int, k long, g string"
+    )
+    wh.create_or_replace("big", dd, partition_by="g")
+    assert [
+        r.i for r in wh.read("big", where=f"k < {base + 1}").collect()
+    ] == [1]
+    assert sorted(
+        r.i for r in wh.read("big", where=f"k >= {base + 1}").collect()
+    ) == [2]
+
+
 def test_sort_order_follows_rename_and_drop(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     so = spark.createDataFrame(
