@@ -48,6 +48,42 @@ def test_file_skip_is_sound(mn, width, value, lit, op):
         assert not Warehouse._can_skip(entry, f"c {op} {lit}")
 
 
+_INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(
+    mn=_INT64,
+    width=st.integers(min_value=0, max_value=2**20),
+    offset=st.integers(min_value=0, max_value=2**20),
+    delta=st.integers(min_value=-4, max_value=4),
+    op=st.sampled_from(["<", "<=", ">", ">=", "=", "=="]),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_skip_is_sound_at_int64_magnitudes(mn, width, offset, delta, op):
+    """The r14 2^53 regression class, generalized: for FULL-range int64
+    stats/partition values and literals landing a few units around the
+    file's range, a file containing a matching value must never skip.
+    (The float property above is capped at 1e12 — below 2^53 — and could
+    not catch the float-collapse wrong skip.)"""
+    mx = mn + width if mn + width <= 2**63 - 1 else 2**63 - 1
+    value = min(mn + offset, mx)
+    lit = value + delta
+    holds = {
+        "<": value < lit, "<=": value <= lit, ">": value > lit,
+        ">=": value >= lit, "=": value == lit, "==": value == lit,
+    }[op]
+    if not holds:
+        return
+    pred = f"c {op} {lit}"
+    assert not Warehouse._can_skip(
+        {"partition": {}, "stats": {"c": [mn, mx]}}, pred
+    )
+    # identity partition-value form: the file holds EXACTLY `value`
+    assert not Warehouse._can_skip(
+        {"partition": {"c": str(value)}, "stats": {}}, pred
+    )
+
+
 @given(
     mn=finite,
     width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
