@@ -85,6 +85,68 @@ def test_file_skip_is_sound_at_int64_magnitudes(mn, width, offset, delta, op):
 
 
 @given(
+    kind=st.sampled_from(
+        ["identity", "truncate", "bucket", "day", "month", "year"]
+    ),
+    seed=_INT64,
+    delta=st.integers(min_value=-3, max_value=3),
+    op=st.sampled_from(["<", "<=", ">", ">=", "="]),
+    width=st.integers(min_value=1, max_value=64),
+    pad_lo=st.integers(min_value=0, max_value=5),
+    pad_hi=st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=400, deadline=None)
+def test_prune_disjoint_is_sound_across_transforms(
+    kind, seed, delta, op, width, pad_lo, pad_hi
+):
+    """Transform-prune soundness, full int64 magnitudes included: pick a
+    SOURCE value satisfying ``c op lit``; its transformed value sits in
+    the file's [lo, hi] (by construction) — prune_disjoint must never
+    call that file disjoint. Covers identity/truncate/bucket on longs
+    (2^53-adjacent included) and day/month/year on dates."""
+    import datetime as _dt
+
+    from apache_iceberg_demo_spark.sources import transforms as T
+
+    if kind in ("day", "month", "year"):
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=seed % 60000 - 10000)
+        lit_d = d + _dt.timedelta(days=delta)
+        src_cmp, lit_cmp = d, lit_d
+        src_lit, lit = d.isoformat(), lit_d.isoformat()
+        tr = T.parse_spec(f"{kind}s(c)")
+        ice = "date"
+    else:
+        if kind == "identity":
+            tr = T.Transform("identity", "c", None, "c")
+        elif kind == "truncate":
+            tr = T.Transform("truncate", "c", width, "c_trunc")
+        else:
+            tr = T.Transform("bucket", "c", width, "c_bucket")
+            op = "="  # bucket prunes equality only
+            delta = 0
+        src_cmp = lit_cmp = None
+        src_lit = seed
+        lit = seed + delta
+        if not (-(2**63) <= lit <= 2**63 - 1):
+            return
+        src_cmp, lit_cmp = src_lit, lit
+        ice = "long"
+    holds = {
+        "<": src_cmp < lit_cmp, "<=": src_cmp <= lit_cmp,
+        ">": src_cmp > lit_cmp, ">=": src_cmp >= lit_cmp,
+        "=": src_cmp == lit_cmp,
+    }[op]
+    if not holds:
+        return
+    tv = T.apply_py(tr, src_lit, ice)
+    if tv is None or not isinstance(tv, int):
+        return  # no transformed range to build — nothing to assert
+    assert not T.prune_disjoint(
+        tr, op, lit, tv - pad_lo, tv + pad_hi, ice
+    ), (kind, src_lit, op, lit, tv)
+
+
+@given(
     mn=finite,
     width=st.floats(min_value=0, max_value=1e6, allow_nan=False),
     lit=finite,
