@@ -160,20 +160,17 @@ def bucket_value(value, n: int) -> Optional[int]:
 
 
 def bucket_udf(n: int):
-    """Arrow-batched pandas UDF computing ``bucket[n]`` of a column.
-    Defined here with concrete (non-string) type hints: modules under
-    ``from __future__ import annotations`` stringify hints, which
-    pandas_udf's signature inference rejects."""
-    import pandas  # noqa: F401  (hint resolution needs the module live)
-    from pyspark.sql.functions import pandas_udf
+    """Arrow-OPTIMIZED udf computing ``bucket[n]`` of a column (not a
+    pandas UDF): Arrow hands the worker exact Python values — int, str,
+    datetime, Decimal, or None. The previous pandas_udf was SILENTLY
+    WRONG for int64 sources ≥ 2^53 whenever a NULL shared the batch:
+    Arrow→pandas turns nullable int64 into float64, the value collapses
+    one ulp before ``bucket_value`` ever runs, and the row routes to the
+    WRONG bucket (r14 probe: ``k = 2^53+1`` read returned nothing).
+    Write-path only; transfer stays Arrow-batched."""
+    from pyspark.sql.functions import udf
 
-    def _bucket(s):
-        return s.map(lambda v: bucket_value(v, n))
-
-    _bucket.__annotations__ = {
-        "s": pandas.Series, "return": pandas.Series
-    }
-    return pandas_udf(_bucket, "int")
+    return udf(lambda v: bucket_value(v, n), "int", useArrow=True)
 
 
 # ----------------------------------------------------------- spec parse

@@ -207,6 +207,48 @@ def test_int64_above_2_53_no_float_collapse_skip(spark, tmp_path):
     ) == [2]
 
 
+def test_bucket_udf_exact_with_nulls_in_batch(spark, tmp_path):
+    """r14 probe cycle 8 finding #2, fixed + pinned: the bucket transform
+    used a pandas UDF, and Arrow→pandas turns a nullable int64 batch into
+    float64 — an int source ≥ 2^53 sharing a batch with a NULL collapsed
+    one ulp BEFORE hashing, routed to the wrong bucket, and equality
+    reads silently returned nothing. The write path now uses an
+    Arrow-OPTIMIZED udf (exact Python values). coalesce(1) forces the
+    null into the same batch as the big value."""
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    IMIN, IMAX, V = -(2**63), 2**63 - 1, 9007199254740993
+    dd = spark.createDataFrame(
+        [(1, IMIN), (2, IMAX), (3, 0), (4, V), (5, None)], "i int, k long"
+    ).coalesce(1)
+    wh.create_or_replace("x", dd, partition_by="bucket(8, k)")
+    assert [r.i for r in wh.read("x", where=f"k = {IMIN}").collect()] == [1]
+    assert [r.i for r in wh.read("x", where=f"k = {IMAX}").collect()] == [2]
+    assert [r.i for r in wh.read("x", where=f"k = {V}").collect()] == [4]
+    assert wh.read("x", where=f"k = {V - 1}").count() == 0
+    loc = export_iceberg_v2(wh, "x", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+    assert [
+        r.i for r in read_iceberg_v2(spark, loc, where=f"k = {V}").collect()
+    ] == [4]
+    assert [
+        r.i
+        for r in read_iceberg_v2(spark, loc, where="k IS NULL").collect()
+    ] == [5]
+    # timestamp source sharing a batch with NULL (datetime delivery path)
+    ts = spark.sql(
+        "SELECT 1 AS i, timestamp'2024-03-05 10:11:12.123456' AS t "
+        "UNION ALL SELECT 2, NULL"
+    ).coalesce(1)
+    wh.create_or_replace("ts", ts, partition_by="bucket(4, t)")
+    assert [
+        r.i
+        for r in wh.read(
+            "ts", where="t = '2024-03-05 10:11:12.123456'"
+        ).collect()
+    ] == [1]
+
+
 def test_sort_order_follows_rename_and_drop(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     so = spark.createDataFrame(
