@@ -89,6 +89,53 @@ def test_rename_spec_follow_is_one_commit(spark, tmp_path):
     assert wh.read("r").count() == 12
 
 
+def test_validator_flags_lying_data_file_bounds(spark, tmp_path):
+    """r14 validator deepening: a data file's decoded lower/upper bounds
+    must CONTAIN the footer's recomputed min/max (int/long/float/double/
+    string/decimal; decimal recovered from raw unscaled stats). A bound
+    that excludes a stored value makes conformant readers silently skip
+    matching rows — the validator now catches a tampered (lying) bound."""
+    from apache_iceberg_demo_spark.sources.avro_ocf import write_ocf
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import bound_bytes
+
+    mod = _load_validator()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dd = spark.sql(
+        "SELECT id AS k, CAST(id * 1.25 AS DECIMAL(10,2)) AS m, "
+        "CONCAT('s', id) AS s FROM range(0, 8)"
+    )
+    wh.create_or_replace("t", dd)
+    loc = export_iceberg_v2(wh, "t", str(tmp_path / "ice"))
+    assert mod.validate(loc, deep=True) == []
+
+    meta = _load_meta(loc)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mfs = read_ocf(_from_uri(snap["manifest-list"]))
+    dm = next(m for m in mfs if m.get("content", 0) == 0)
+    mp = _from_uri(dm["manifest_path"])
+    schema, hdr, entries = read_ocf(mp)
+    fid_k = next(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+        if f["name"] == "k"
+    )
+    # lie: shrink k's upper bound below the stored max
+    for e in entries:
+        ub = e["data_file"].get("upper_bounds") or []
+        for kv in ub:
+            if kv["key"] == fid_k:
+                kv["value"] = bound_bytes("long", 1)
+    extra = {k: v for k, v in hdr.items() if not k.startswith("avro.")}
+    write_ocf(mp, schema, entries, metadata=extra)
+    bad = mod.validate(loc, deep=True)
+    assert any(
+        "do not contain footer min/max" in b and "fid " + str(fid_k) in b
+        for b in bad
+    ), bad
+
+
 def test_decimal_stats_exact_skip_and_bounds(spark, tmp_path):
     mod = _load_validator()
     wh = Warehouse(spark, str(tmp_path / "wh"))

@@ -52,7 +52,12 @@ Checks (each failure is one violation line):
   metric maps (``column_sizes``/``value_counts``/``null_value_counts``)
   are cross-checked against the footer (nulls <= values per field,
   column sizes bounded by the file length, flat-file value counts equal
-  ``num_rows``, null-count multiset equals the footer statistics).
+  ``num_rows``, null-count multiset equals the footer statistics); and
+  every data file's decoded ``lower_bounds``/``upper_bounds`` must
+  CONTAIN the footer's recomputed min/max for int/long/float/double/
+  string/decimal columns (decimal footer stats recovered from the raw
+  unscaled values + schema scale) — a bound that excludes a stored
+  value would make conformant readers silently skip matching rows.
 
 Usage:  python tools/validate_iceberg_metadata.py LOCATION [--deep]
 Exit 0 = conformant, 1 = violations (printed one per line).
@@ -474,6 +479,139 @@ def _deep_walk(meta: dict) -> list[str]:
                         f"{eq_ids} (spec: position deletes have none)"
                     )
                 v.extend(_check_parquet_file(fp, d, f_content))
+                if f_content == 0:
+                    v.extend(_check_data_file_bounds(fp, d, meta))
+    return v
+
+
+def _check_data_file_bounds(fp: str, d: dict, meta: dict) -> list[str]:
+    """Deep check: a data file's decoded lower/upper bounds must CONTAIN
+    the parquet footer's recomputed min/max (spec: bounds are inclusive;
+    string bounds may legally be truncated prefixes, so containment —
+    not equality — is the sound direction). Covered where recomputable:
+    int, long, float, double, string, and decimal (decimal footer
+    min/max recovered from the raw unscaled stats + schema scale, the
+    parquet-format rule — pyarrow cannot cast them). A bound that LIES
+    (excludes a stored value) makes conformant readers skip matching
+    rows, the worst silent failure an exporter can ship."""
+    import decimal as _dec
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    lower = {kv["key"]: kv["value"] for kv in d.get("lower_bounds") or []}
+    upper = {kv["key"]: kv["value"] for kv in d.get("upper_bounds") or []}
+    fids = set(lower) & set(upper)
+    if not fids:
+        return []
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from apache_iceberg_demo_spark.sources.iceberg_v2 import try_bound_value
+
+    types_by_id: dict[int, str] = {}
+    names_by_id: dict[int, list] = {}
+    for sch in meta.get("schemas", []):
+        for f in sch.get("fields", []):
+            types_by_id.setdefault(f["id"], f["type"])
+            names_by_id.setdefault(f["id"], [])
+            if f["name"] not in names_by_id[f["id"]]:
+                names_by_id[f["id"]].append(f["name"])
+    try:
+        nm = _json.loads(
+            meta.get("properties", {}).get("schema.name-mapping.default", "[]")
+        )
+        for m in nm:
+            for n in m.get("names", []):
+                names_by_id.setdefault(m["field-id"], [])
+                if n not in names_by_id[m["field-id"]]:
+                    names_by_id[m["field-id"]].append(n)
+    except (ValueError, KeyError, TypeError):
+        pass
+    try:
+        md = pq.read_metadata(fp)
+    except Exception:
+        return []  # unreadable already reported upstream
+    footer: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            nmcol = c.path_in_schema
+            if "." in nmcol:
+                continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # decimal-annotated stats: raw unscaled + schema scale
+                try:
+                    lt = _json.loads(
+                        md.schema.column(ci).logical_type.to_json()
+                    )
+                except Exception:
+                    continue
+                if lt.get("Type") != "Decimal":
+                    continue
+                sc = int(lt.get("scale", 0))
+
+                def _unscaled(b):
+                    if isinstance(b, bytes):
+                        return int.from_bytes(b, "big", signed=True)
+                    return int(b)
+
+                try:
+                    mn = _dec.Decimal(_unscaled(st.min_raw)).scaleb(-sc)
+                    mx = _dec.Decimal(_unscaled(st.max_raw)).scaleb(-sc)
+                except Exception:
+                    continue
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if nmcol in footer:
+                footer[nmcol] = [min(footer[nmcol][0], mn),
+                                 max(footer[nmcol][1], mx)]
+            else:
+                footer[nmcol] = [mn, mx]
+    v: list[str] = []
+    for fid in sorted(fids):
+        t = types_by_id.get(fid)
+        if t is None or not isinstance(t, str):
+            continue
+        if not (t in ("int", "long", "float", "double", "string")
+                or t.startswith("decimal(")):
+            continue  # date/timestamp/bool bounds not recomputable here
+        col = next(
+            (n for n in names_by_id.get(fid, []) if n in footer), None
+        )
+        if col is None:
+            continue
+        lb = try_bound_value(t, lower[fid])
+        ub = try_bound_value(t, upper[fid])
+        if lb is None or ub is None:
+            continue  # foreign serialization: not comparable
+        mn, mx = footer[col]
+        try:
+            same_kind = (
+                isinstance(lb, str) == isinstance(mn, str)
+                and isinstance(lb, _dec.Decimal) == isinstance(mn, _dec.Decimal)
+            )
+            if not same_kind:
+                continue
+            if isinstance(mn, float) and mn != mn:
+                continue  # NaN footer stats: not orderable
+            if mn < lb or mx > ub:
+                v.append(
+                    f"{fp}: column {col} (fid {fid}) bounds "
+                    f"[{lb!r}, {ub!r}] do not contain footer min/max "
+                    f"[{mn!r}, {mx!r}]"
+                )
+        except TypeError:
+            continue
     return v
 
 
