@@ -1841,7 +1841,17 @@ def read_iceberg_v2(
                     return None
                 lo = _decode_transformed_bound(result_type, s.get("lower_bound"))
                 hi = _decode_transformed_bound(result_type, s.get("upper_bound"))
-                return None if lo is None or hi is None else (lo, hi)
+                if lo is None or hi is None:
+                    return None
+                if result_type == "string" and s.get("contains_null"):
+                    # the hive layout writes an EMPTY-STRING partition
+                    # value to the same default dir as null, so a null
+                    # summary may hide ''-valued rows (truncate-on-string:
+                    # truncate('') == '') — the sound string range
+                    # includes '' (r14 fuzzer: `tag = ''` pruned the
+                    # manifest holding the ''-file)
+                    lo = ""
+                return (lo, hi)
 
             if _transform_skip(spec_fields, snap_fields_by_id, conjuncts, _mf_range):
                 continue

@@ -463,15 +463,22 @@ class Warehouse:
 
     @classmethod
     def _pv_expr(cls, part_col: str):
-        """Null-safe string routing key for a partition column."""
+        """Null-safe string routing key for a partition column. EMPTY
+        STRING unifies with null: Spark's dynamic-partition writer sends
+        both to ``__HIVE_DEFAULT_PARTITION__`` (verified — the hive
+        layout cannot distinguish them), so the manifest records null for
+        a ''-valued partition and a routing key of '' would never match
+        its file. r14 fuzzer: DELETE of ``tag = ''`` rows on a
+        truncate-string table silently skipped, UPDATE duplicated them."""
         return F.coalesce(
-            F.col(part_col).cast("string"), F.lit(cls._NULL_PART)
+            F.nullif(F.col(part_col).cast("string"), F.lit("")),
+            F.lit(cls._NULL_PART),
         )
 
     @classmethod
     def _part_key(cls, value) -> str:
         """Manifest-side twin of :meth:`_pv_expr`."""
-        return cls._NULL_PART if value is None else str(value)
+        return cls._NULL_PART if value is None or value == "" else str(value)
 
     @staticmethod
     def _pcols(partition_by) -> list[str]:
