@@ -235,6 +235,11 @@ _DRIVER_VERIFIED: set[str] = {
     # slipped past the budget and leads the r14 rotation), folded in per
     # VERDICT r13 item 1:
     "c6_iceberg_v2_multi_field_spec",
+    # --- r14 driver greens (CORRECTNESS_r14.json — all 50 rows fully
+    # hash-green, zero slippage: the complete promised _RECHECK block led
+    # by c6_time_travel). No new names to fold — the whole block was
+    # already in this set; oldest green advances to r08 (VERDICT r14
+    # item 1). The r15 _RECHECK below rotates the next-stalest 50.
 }
 
 # Names that must lead the registry regardless of verification history
@@ -251,42 +256,43 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-14 staleness rotation (VERDICT r13 item 1): the r13 run re-proved
-# 49 of the previous block, leaving one tail name unreached
-# (c6_time_travel — it leads this rotation), topped up with the
-# next-stalest 49 greens: the entire remaining r07-era fold (the c6
-# warehouse family — compaction/evolution/expiry/orphans/zorder/CDC/merge/
-# WAP/branches/system-queries, the b9 update/complete/stateful streaming
-# tail, the b4 statistical cohort, a8/s1 leftovers) then the 9 oldest r08
-# names. Computed from the cumulative CORRECTNESS_r01-r13 record (latest
-# clean round per query; rows-only rows count as clean when they ran
-# without error; r08-era ties broken alphabetically). They rank directly
-# after any genuinely unverified newcomers; future rounds rotate the
-# next-stalest block in.
+# Round-15 staleness rotation (VERDICT r14 item 1): the r14 run re-proved
+# its entire 50-name block (zero slippage — CORRECTNESS_r14 50/50 clean),
+# so this rotation is the next-stalest 50 greens: the whole 40-name
+# r08-era fold (graph ops b3_pagerank/scd2, the b4 statistical tail —
+# ab-test/jackknife/kaplan-meier/ks/mann-whitney/ols/weighted-median/…,
+# the b5 analytic windows, b6 pagination/cache, the b8 galleries —
+# aes/collation/csv/mask/sql-udf/xpath, c2 fuzzy join, c3 knn/centroid,
+# c4 wav/bmp codec kernels + header sniff, c5 chat/pii, dq expectations,
+# s1 sampling splits) topped up with the 10 oldest r09 names (the a09-a12
+# headline aggregates, sql-scripting, the b4 approx/benford/chisq/cohort
+# cohort). Computed from the cumulative CORRECTNESS_r01-r14 record
+# (latest clean round per query; rows-only rows count as clean when they
+# ran without error — err == 'no_oracle' with spark_rows >= 0; ties
+# broken alphabetically). They rank directly after any genuinely
+# unverified newcomers; future rounds rotate the next-stalest block in
+# (rest of r09-era: b4 count-distinct/runs/seasonality, b5 islands/xmr,
+# then the r10 fold).
 _RECHECK: list[str] = [
-    "c6_time_travel", "a8_relocated_warehouse_scan",
-    "b10_cogroup_apply_reconcile", "b3_triangle_count_copurchase",
-    "b4_column_entropy", "b4_countmin_heavy_hitters",
-    "b4_incremental_agg_maintenance", "b4_markov_event_transitions",
-    "b4_target_encoding_loo", "b4_winsorized_robust_stats",
-    "b5_session_window_batch", "b9_complete_mode_topk",
-    "b9_file_sink_exactly_once", "b9_foreachbatch_merge_sink",
-    "b9_stateful_sessionize", "b9_stream_dedup_watermark",
-    "b9_stream_left_outer_interval_join", "b9_update_mode_counts",
-    "c5_bm25_search", "c6_analyze_table_cbo", "c6_branch_fast_forward",
-    "c6_compaction_rewrite", "c6_expire_snapshots_retention",
-    "c6_file_skipping", "c6_merge_into_upsert", "c6_merge_on_read_delete",
-    "c6_named_refs", "c6_partition_evolution", "c6_partitions_metadata",
-    "c6_remove_orphan_files", "c6_rollback_cherry_pick",
-    "c6_row_level_delete_update", "c6_schema_evolution",
-    "c6_snapshot_diff_cdc", "c6_sort_order_clustering", "c6_system_queries",
-    "c6_write_audit_publish", "c6_zorder_clustering", "s1_epoch_shuffle",
-    "s1_stratified_exact_split", "s1_weighted_sample_topk",
-    "b1_dynamic_partition_overwrite", "b2_group_by_all",
-    "b2_relational_division", "b2_sql_identifier_clause",
-    "b2_sql_pivot_clause", "b3_bellman_ford_bounded",
-    "b3_bfs_reachability", "b3_haversine_nearest_hub",
-    "b3_join_strategy_hints",
+    "b3_pagerank_copurchase", "b3_scd2_temporal_join", "b4_ab_test_ztest",
+    "b4_autocorrelation_lag", "b4_bitmap_distinct_rollup",
+    "b4_conversion_latency", "b4_gini_concentration",
+    "b4_hll_intersection_estimate", "b4_jackknife_ci", "b4_kaplan_meier",
+    "b4_ks_two_sample", "b4_mann_whitney_u", "b4_ols_normal_equations",
+    "b4_weighted_median", "b4_zscore_anomalies", "b5_event_pattern_match",
+    "b5_ewma_smoothing", "b5_interval_union_length",
+    "b5_point_in_time_features", "b5_rolling_median",
+    "b6_cached_scan_reuse", "b6_keyset_pagination", "b8_aes_roundtrip",
+    "b8_collation_compare", "b8_csv_conversion_funcs", "b8_mask_funcs",
+    "b8_sql_udf", "b8_xpath_funcs", "c2_fuzzy_join_blocked",
+    "c3_knn_classifier", "c3_nearest_centroid_confusion",
+    "c4_binary_header_sniff", "c4_bmp_decode", "c4_wav_pcm_decode",
+    "c5_chat_template_render", "c5_pii_redaction",
+    "pipeline_dq_expectations", "s1_negative_sampling",
+    "s1_time_based_split", "s1_walk_forward_folds", "a09_count_all",
+    "a10_q1_filter_count", "a11_q2_filter_avg", "a12_q3_group_agg_sort",
+    "b2_sql_scripting_compound", "b4_agg_stats", "b4_approx_top_k_events",
+    "b4_benford_test", "b4_chisq_independence", "b4_cohort_ltv",
 ]
 
 
