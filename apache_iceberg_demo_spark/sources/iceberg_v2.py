@@ -29,7 +29,9 @@ Why no end-to-end foreign-engine read: DuckDB 1.0 is present but its
 ``iceberg`` extension cannot be installed offline (verified:
 ``INSTALL iceberg`` fails with an extension-download IOException), and no
 iceberg-spark-runtime jar ships with this container, and no pyiceberg
-wheel is downloadable (re-verified r14: DNS failure). Conformance is instead
+wheel is downloadable (re-verified r15: pip retries exhaust on
+DNS resolution failure; the DuckDB extension download fails ERROR
+Connection). Conformance is instead
 proven one layer down on BOTH metadata layers: the Avro bytes are read
 back by the JVM's REFERENCE Avro implementation (``avro-1.12.1.jar`` via
 py4j), and the JSON layer is checked by a standalone spec validator
