@@ -136,27 +136,54 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # money sums accumulate in exact DECIMAL: float64 addition is
-    # non-associative, and at ~1e9 magnitudes partial-agg merge order would
-    # otherwise flap the 6th decimal across engines/runs (SURVEY.md §5.3)
-    # prices/discounts/taxes are exact 2dp, so the products are exact 4/6dp:
-    # DECIMAL(18,6) recovers them exactly AND keeps the long-backed decimal
-    # fast path (measured 0.24s faster than DECIMAL(28,10) at sf0.1)
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = disc_price.cast("decimal(18,6)")
-    charge_dec = (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
-    return (
+    # Money sums must be EXACT: float64 addition is non-associative, and at
+    # ~1e9 magnitudes partial-agg merge order would otherwise flap the 6th
+    # decimal across engines/runs (SURVEY.md §5.3). Prices/discounts/taxes
+    # are exact 2dp, so the products are exact 4/6dp. r01-r14 recovered them
+    # with per-row double→DECIMAL casts (BigDecimal churn: 1.0 s cpu at
+    # sf0.1, ~0.45 s of it the casts+decimal adds). r15 replaces that with
+    # TWO-LEVEL integer aggregation — the per-row work is round()+long adds
+    # in whole-stage codegen, and only the tiny merge level touches DECIMAL:
+    #   level 1 (per scan task, keyed by spark_partition_id): exact long
+    #     cents/micros sums. Overflow-safe by the split bound: a 1 GB scan
+    #     task holds ~1e7 lineitem rows x <=1.13e11 micros ~= 1.1e18 << 2^63,
+    #     and ANSI mode makes any pathological violation loud, never silent.
+    #   level 2 (6 groups x #tasks rows): DECIMAL(38,0) sums of the partial
+    #     longs -- unbounded-scale exact, same 100 TB soundness as before.
+    # round(x*1e6) recovers the exact 6dp product for the same reason the
+    # old decimal cast did: the double is within ~1e-5 of the true integer.
+    # Measured (sf0.1, interleaved best-of-5): wall 1.09->0.86 s, cpu
+    # 774->389 ms; results bit-identical at sf0.001/0.01/0.1. The composed
+    # avgs (sum/count over the same partials) reassociate double addition,
+    # but the error (~1e-11 after the divide) sits 5 orders below the
+    # round-6 contract, same class as native avg's own partial merge.
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_mic = F.round(disc_price * 1_000_000, 0).cast("long")
+    charge_mic = F.round(disc_price * (1 + F.col("l_tax")) * 1_000_000, 0).cast("long")
+    inner = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            round6(F.sum("l_quantity"), "sum_qty"),
-            round6(F.sum(price_dec).cast("double"), "sum_base_price"),
-            round6(F.sum(disc_dec).cast("double"), "sum_disc_price"),
-            round6(F.sum(charge_dec).cast("double"), "sum_charge"),
-            round6(F.avg("l_quantity"), "avg_qty"),
-            round6(F.avg("l_extendedprice"), "avg_price"),
-            round6(F.avg("l_discount"), "avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum("l_quantity").alias("qty_s"),
+            F.sum(cents).alias("base_s"),
+            F.sum(disc_mic).alias("disc_s"),
+            F.sum(charge_mic).alias("charge_s"),
+            F.sum("l_extendedprice").alias("price_s"),
+            F.sum("l_discount").alias("draw_s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return (
+        inner.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round6(F.sum("qty_s"), "sum_qty"),
+            round6((F.sum(F.col("base_s").cast("decimal(38,0)")) / 100).cast("double"), "sum_base_price"),
+            round6((F.sum(F.col("disc_s").cast("decimal(38,0)")) / 1_000_000).cast("double"), "sum_disc_price"),
+            round6((F.sum(F.col("charge_s").cast("decimal(38,0)")) / 1_000_000).cast("double"), "sum_charge"),
+            round6(F.sum("qty_s") / F.sum("cnt"), "avg_qty"),
+            round6(F.sum("price_s") / F.sum("cnt"), "avg_price"),
+            round6(F.sum("draw_s") / F.sum("cnt"), "avg_disc"),
+            F.sum("cnt").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

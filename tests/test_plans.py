@@ -41,10 +41,12 @@ def test_star_join_broadcasts_dimensions(spark):
 
 
 def test_flagship_single_agg_shuffle(spark):
-    """Partial→final hash aggregate: exactly one shuffle for the aggregate
-    plus one for the tiny ordered result."""
+    """Two-level exact-integer aggregate (r15): one shuffle per aggregation
+    level — the first carries ~6 pre-aggregated rows per scan task, the
+    second ~6 groups — plus one for the tiny ordered result. All shuffles
+    are metadata-sized; the scan-level work is codegen'd long arithmetic."""
     df = registry.QUERIES["flagship_pricing_summary"](spark, SF)
-    assert count_exchanges(df) <= 2
+    assert count_exchanges(df) <= 3
 
 
 def test_topk_avoids_global_sort(spark):
