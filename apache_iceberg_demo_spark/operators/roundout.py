@@ -302,9 +302,21 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
+    # Iteration layout (r15, shared with b3_pagerank_copurchase /
+    # b3_bellman_ford_bounded): the edge frame persists PRE-PARTITIONED on
+    # the probe key at max(input-sized, core count) partitions, so hop
+    # joins never re-exchange or re-sort edge bytes — only the shrinking
+    # frontier moves, and its SHUFFLE_HASH hint builds the per-partition
+    # hash from the frontier instead of sort-merging the cached edges.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    nparts = max(
+        int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
+    )
     edges = (
         e0.selectExpr("a AS s", "b AS d")
         .unionAll(e0.selectExpr("b AS s", "a AS d"))
+        .repartition(nparts, "s")
         .persist()
     )
     _track("b3_bfs_reachability", edges)
@@ -318,8 +330,9 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     _track("b3_bfs_reachability", visited)
     frontier = visited.select("node")
     for h in range(1, _BFS_MAX_HOPS + 1):
+        fr = frontier.hint("shuffle_hash")
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["s"])
+            fr.join(edges, fr["node"] == edges["s"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -330,14 +343,12 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).persist()
         _track("b3_bfs_reachability", visited)
         frontier = nxt.select("node")
-    # materialize the whole hop cascade ONCE under an input-sized shuffle
-    # scope (same as b3_pagerank_copurchase: a plain 200-partition session
-    # otherwise pays ~200 tasks per hop join on a toy frontier, and the
-    # driver's first action triggers the full unmaterialized cascade)
-    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
-
+    # materialize the whole hop cascade ONCE under the iteration scope
+    # (a plain 200-partition session otherwise pays ~200 tasks per hop
+    # join on a toy frontier, and the driver's first action triggers the
+    # full unmaterialized cascade)
     with scoped_conf(
-        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(li)}
+        spark, {"spark.sql.shuffle.partitions": str(nparts)}
     ):
         visited.count()
     return visited
@@ -3028,12 +3039,27 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
+    # Iteration layout (r15, shared with b3_pagerank_copurchase /
+    # b3_bfs_reachability): edges persist PRE-PARTITIONED on the relax key
+    # so rounds never re-exchange or re-sort edge bytes; the small dist
+    # frame carries the SHUFFLE_HASH hint. r15 also fixed the REAL bug
+    # here: nothing ever materialized the relax chain — the per-round
+    # persists are lazy, so the driver's first action executed all three
+    # rounds under the plain 200-partition session (43 s spark-side at
+    # sf0.1, measured). The final frame now persists + counts inside the
+    # same scope every sibling graph operator uses: 43 → ~4 s.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    nparts = max(
+        int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
+    )
     wexpr = (F.lit(1) + (F.col("a") + F.col("b")) % 4).cast("long")
     edges = (
         e0.select(F.col("a").alias("s"), F.col("b").alias("d"), wexpr.alias("w"))
         .unionAll(
             e0.select(F.col("b").alias("s"), F.col("a").alias("d"), wexpr.alias("w"))
         )
+        .repartition(nparts, "s")
         .persist()
     )
     _track("b3_bellman_ford_bounded", edges)
@@ -3045,19 +3071,30 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _track("b3_bellman_ford_bounded", dist)
-    for _ in range(3):
-        relaxed = (
-            dist.join(edges, dist["node"] == edges["s"])
-            .select(F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-            .persist()
-        )
-        _track("b3_bellman_ford_bounded", dist)
-    return dist.select("node", F.col("cost").cast("bigint").alias("min_cost"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(nparts)}
+    ):
+        for _ in range(3):
+            d_ = dist.hint("shuffle_hash")
+            relaxed = (
+                d_.join(edges, d_["node"] == edges["s"])
+                .select(
+                    F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+                )
+            )
+            dist = (
+                dist.unionAll(relaxed)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .persist()
+            )
+            _track("b3_bellman_ford_bounded", dist)
+        result = dist.select(
+            "node", F.col("cost").cast("bigint").alias("min_cost")
+        ).persist()
+        result.count()
+    _track("b3_bellman_ford_bounded", result)
+    return result
 
 
 @register(
