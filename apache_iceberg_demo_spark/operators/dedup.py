@@ -410,13 +410,20 @@ def c2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic blow-up is bounded per block. Oracle-expressible (DuckDB
     list functions), unlike the hash-based variants.
     """
+    from apache_iceberg_demo_spark.tuning import cpu_spread
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
-        F.array_union("a.toks", "b.toks")
-    )
+    # cpu_spread on the PROBE side (r15): the doc table auto-broadcasts, so
+    # the blocked self-join is a BroadcastHashJoin probed by the raw 1-2
+    # scan splits — the whole quadratic pair verify serialized on 1-2 cores
+    # (13-16 s at sf0.1; 1.6-2.0 s spread across the box). No-op on a real
+    # cluster where the scan arrives wide. |A∪B| = |A|+|B|-|A∩B| (exact on
+    # the distinct arrays) saves the second per-pair array build.
+    a, b = cpu_spread(d).alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    jac = inter / (F.size("a.toks") + F.size("b.toks") - inter)
     return (
         a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .withColumn("jaccard", F.round(jac, 6))
@@ -623,10 +630,13 @@ def c2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within a block); at 100 TB the block key comes from LSH bands or a
     length bucket instead of `source`, and this exact verify runs on the
     candidate pairs only."""
+    from apache_iceberg_demo_spark.tuning import cpu_spread
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    a, b = d.alias("a"), d.alias("b")
+    # probe side spread across the box — see c2_ngram_jaccard_pairs (r15)
+    a, b = cpu_spread(d).alias("a"), d.alias("b")
     cont = F.size(F.array_intersect("a.toks", "b.toks")) / F.least(
         F.size("a.toks"), F.size("b.toks")
     )
