@@ -870,7 +870,18 @@ def b4_winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,6) on both sides before the division — a winsorized sum is
     ~1e9 at sf0.1, above the 1e8 float-reassociation threshold.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    from apache_iceberg_demo_spark.tuning import cpu_spread
+
+    # spread the 1-2 scan splits before the exact-percentile partials: the
+    # per-task value→count maps build on all cores instead of 1-2 (r15
+    # measured 7.1 → 3.4 s at sf0.1; no-op on a cluster-wide scan). Unlike
+    # b4_approx_count_distinct — where the same spread LOST (round-robin
+    # scatters duplicate keys, gutting partial-distinct dedup before the
+    # exchange) — percentile partials keep full effectiveness under any
+    # row placement.
+    li = cpu_spread(
+        load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     q = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
         F.expr("percentile(l_extendedprice, 0.50)").alias("med"),
