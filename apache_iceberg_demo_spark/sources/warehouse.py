@@ -2317,7 +2317,8 @@ def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_demo_spark.io import load
 
     wh, t = _demo_warehouse(spark, sf_dir)
-    v1 = wh.read(t, snapshot_id=1).count()
+    v1_frame = wh.read(t, snapshot_id=1)  # one manifest walk serves count+hash
+    v1 = v1_frame.count()
     cur = wh.read(t).count()
     # time travel must reproduce EXACTLY the pre-append state: recompute the
     # expected snapshot-1 content relationally from the source table and
@@ -2327,7 +2328,7 @@ def c6_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_day", F.date_format("l_shipdate", "yyyy-MM")
     ).filter(F.col("l_linenumber") <= 4)
     _check(
-        _content_hash(wh.read(t, snapshot_id=1)) == _content_hash(expected_v1),
+        _content_hash(v1_frame) == _content_hash(expected_v1),
         "snapshot-1 read != recomputed pre-append content",
     )
     _check(cur > v1, "current snapshot should include the appended rows")

@@ -361,16 +361,29 @@ def b9_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+    # scope shuffle partitions around the WHOLE run (r15): the stream's
+    # shuffle count is also its STATE-STORE partition count, so a plain
+    # 200-partition driver session paid 200 state-store opens+commits per
+    # micro-batch for a handful of user keys (this was the slowest b9 query,
+    # 11.3 s at sf0.01; ~5 s after). The scope must stay open through
+    # awaitTermination() — the query thread clones the session conf
+    # asynchronously after start().
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev_sized = load(spark, sf_dir, "events")
     name = f"sess_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        src.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", scratch_dir("sess_ckpt_", unique=True))
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev_sized)}
+    ):
+        q = (
+            src.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("sess_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
     streamed = spark.table(name)
 
     # --- self-check: streaming == batch on the closed-session set ----------
@@ -522,13 +535,25 @@ def b9_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         wh.merge_into(t, merged, on=["event_type"])
 
-    q = (
-        src.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", scratch_dir("fb_ckpt_", unique=True))
-        .start()
-    )
-    q.awaitTermination()
+    # scope shuffle partitions around the replay (r15): every micro-batch's
+    # partial aggregate, MERGE join and sink write otherwise runs at the
+    # plain driver session's 200 partitions for an event-type-cardinality
+    # table. Scope held through awaitTermination() — the stream thread
+    # clones the conf after start(), and foreachBatch's own jobs run on the
+    # stream thread inside the scope.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    ev_sized = load(spark, sf_dir, "events")
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(ev_sized)}
+    ):
+        q = (
+            src.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("fb_ckpt_", unique=True))
+            .start()
+        )
+        q.awaitTermination()
 
     n_snaps = wh.snapshots(t).count()
     if n_snaps < 3:
