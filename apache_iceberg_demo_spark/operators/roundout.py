@@ -2170,6 +2170,21 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOPC)
         .join(chunks.select("chunk_id", "chunk_text", "n_tokens"), "chunk_id")
     )
+    # persist the 60-row shortlist (r15): the near-dup screen consumes cand
+    # on BOTH sides of its self-join and the anti-join reads it a third
+    # time — Catalyst shares no subplans, so the whole chunk→score→rank
+    # pipeline re-executed ~3x inside the one final action (measured: the
+    # scoring stage alone is ~5.7 s at sf0.01 on a plain session; the
+    # operator dropped ~16→~7 s warm). Materialized below inside the same
+    # scoped conf as everything else.
+    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
+
+    cand = cand.persist()
+    _track("pipeline_rag_retrieval", cand)
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
+    ):
+        cand.count()
 
     # near-dup screen within the shortlist: drop a candidate if a HIGHER-
     # ranked one overlaps > 0.5 token-Jaccard
@@ -2222,8 +2237,6 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize inside an input-sized shuffle scope: a plain 200-partition
     # session otherwise runs each of the pipeline's ~6 shuffles as ~200
     # near-empty tasks over a 30k-chunk frame
-    from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
-
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
     ):
