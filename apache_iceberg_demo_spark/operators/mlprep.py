@@ -39,6 +39,25 @@ from apache_iceberg_demo_spark.registry import register
 # same pattern as operators/text.py / operators/corpus.py.
 _live_caches: list[DataFrame] = []
 
+#: per-operator RESULT caches (r15): keyed so each operator releases ONLY its
+#: own previous result at re-invocation — a fresh invocation must recompute
+#: from parquet (no result caching across runs), but within one invocation
+#: the driver's count-then-collect reads the materialized frame once.
+_op_caches: dict[str, DataFrame] = {}
+
+
+def _keep_result(owner: str, df: DataFrame) -> DataFrame:
+    prev = _op_caches.pop(owner, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session restarted — blocks died with it
+    df = df.persist()
+    df.count()
+    _op_caches[owner] = df
+    return df
+
 
 def _release_caches() -> None:
     while _live_caches:
@@ -498,7 +517,7 @@ def b4_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
     historical = state(o.where(F.col("o_orderdate") < cutoff))
     delta = state(o.where(F.col("o_orderdate") >= cutoff))
-    return (
+    merged = (
         historical.unionByName(delta)
         .groupBy("o_orderpriority")
         .agg(
@@ -506,6 +525,10 @@ def b4_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("spend").cast("double"), 6).alias("total_spend"),
         )
     )
+    # r15: persist+materialize the 5-row result — the driver's
+    # count-then-collect otherwise executes the two-scan DECIMAL
+    # aggregate twice (reexec audit: 1.5 s + 1.7 s at sf0.01)
+    return _keep_result("b4_incremental_agg_maintenance", merged)
 
 
 #: embedding dimensionality of the synthetic corpus (TESTDATA.md)
@@ -672,7 +695,11 @@ def c3_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ 1000000.0 AS cov",
         )
     )
-    return out
+    # r15: persist+materialize the k x k result — count-then-collect
+    # otherwise runs the Gram-partial pipeline twice (reexec audit:
+    # 1.9 s + 1.5 s at sf0.01). Values untouched (cache of the final
+    # frame; the engine-proof integer-space math above is unchanged).
+    return _keep_result("c3_covariance_matrix", out)
 
 
 #: BM25 free parameters (the universal defaults from Robertson et al.)
@@ -771,7 +798,7 @@ def c5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts it from observed size; a full inverted index generalizes
     # this frame to vocabulary scale where a forced hint would OOM. The
     # 1-row stats aggregate keeps its hint — size-bounded by construction.
-    return (
+    ranked = (
         tf.join(df, "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -779,6 +806,10 @@ def c5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+    # r15: persist+materialize the 20-row ranking — count-then-collect
+    # otherwise executes the tokenize+tf+df pipeline twice (reexec
+    # audit: 3.1 s + 2.1 s at sf0.01)
+    return _keep_result("c5_bm25_search", ranked)
 
 
 @register(
@@ -890,7 +921,7 @@ def b4_winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped = F.round(
         F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))), 6
     ).cast("decimal(18,6)")
-    return (
+    stats = (
         li.join(F.broadcast(q), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
@@ -905,6 +936,10 @@ def b4_winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+    # r15: persist+materialize the 3-row result — count-then-collect
+    # otherwise runs the two-pass percentile pipeline twice (reexec
+    # audit: 1.3 s + 1.8 s at sf0.01)
+    return _keep_result("b4_winsorized_robust_stats", stats)
 
 
 #: PageRank hyperparameters (the canonical Brin & Page values) and a fixed
