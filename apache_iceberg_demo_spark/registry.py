@@ -239,7 +239,11 @@ _DRIVER_VERIFIED: set[str] = {
     # hash-green, zero slippage: the complete promised _RECHECK block led
     # by c6_time_travel). No new names to fold — the whole block was
     # already in this set; oldest green advances to r08 (VERDICT r14
-    # item 1). The r15 _RECHECK below rotates the next-stalest 50.
+    # item 1).
+    # --- r15 driver greens (CORRECTNESS_r15.json — all 50 rows fully
+    # green, zero slippage: the complete promised r08-era _RECHECK
+    # block). Again nothing new to fold — pure re-proofs; oldest green
+    # advances to r09. The r16 _RECHECK below rotates the next-stalest 50.
 }
 
 # Names that must lead the registry regardless of verification history
@@ -256,43 +260,46 @@ _HEAD: list[str] = []
 # (VERDICT r07 item 2).
 _PRIORITY: list[str] = []
 
-# Round-15 staleness rotation (VERDICT r14 item 1): the r14 run re-proved
-# its entire 50-name block (zero slippage — CORRECTNESS_r14 50/50 clean),
-# so this rotation is the next-stalest 50 greens: the whole 40-name
-# r08-era fold (graph ops b3_pagerank/scd2, the b4 statistical tail —
-# ab-test/jackknife/kaplan-meier/ks/mann-whitney/ols/weighted-median/…,
-# the b5 analytic windows, b6 pagination/cache, the b8 galleries —
-# aes/collation/csv/mask/sql-udf/xpath, c2 fuzzy join, c3 knn/centroid,
-# c4 wav/bmp codec kernels + header sniff, c5 chat/pii, dq expectations,
-# s1 sampling splits) topped up with the 10 oldest r09 names (the a09-a12
-# headline aggregates, sql-scripting, the b4 approx/benford/chisq/cohort
-# cohort). Computed from the cumulative CORRECTNESS_r01-r14 record
-# (latest clean round per query; rows-only rows count as clean when they
-# ran without error — err == 'no_oracle' with spark_rows >= 0; ties
-# broken alphabetically). They rank directly after any genuinely
-# unverified newcomers; future rounds rotate the next-stalest block in
-# (rest of r09-era: b4 count-distinct/runs/seasonality, b5 islands/xmr,
-# then the r10 fold).
+# Round-16 staleness rotation (VERDICT r15 item 7): the r15 run re-proved
+# its entire 50-name block (zero slippage — CORRECTNESS_r15 50/50 clean),
+# so this rotation is the next-stalest 50 greens: the whole remaining
+# 38-name r09-era fold (b4 count-distinct/runs/seasonality, b5
+# islands/xmr/dynamic-gap session windows, the b9 stateful-EWMA +
+# progress-metrics streams, the c2 LSH/minhash accuracy contracts, the
+# full c3 ANN/k-means/PQ/MMR/PCA/JL family incl. covariance, the c4
+# codec kernels — avi/jpeg/png/phash/CDC/channel-norm, the c5
+# bigram/blocklist/BPE/winnow text tail, the corpus/dedup/RAG pipelines,
+# s1 upsample, and flagship itself — which also re-proves the r15
+# two-level integer-sum rewrite under the driver) topped up with the 12
+# oldest r10 names (a7 spec scan, asof_join_events — the other r15
+# rewrite — and the b2 filter/subquery gallery head). Computed from the
+# cumulative CORRECTNESS_r01-r15 record (latest clean round per query;
+# rows-only rows count as clean when they ran without error — err ==
+# 'no_oracle' with spark_rows >= 0; ties broken alphabetically). They
+# rank directly after any genuinely unverified newcomers; future rounds
+# rotate the next-stalest block in (rest of the r10 fold: b2 subquery
+# tail, b3 join gallery, then r11).
 _RECHECK: list[str] = [
-    "b3_pagerank_copurchase", "b3_scd2_temporal_join", "b4_ab_test_ztest",
-    "b4_autocorrelation_lag", "b4_bitmap_distinct_rollup",
-    "b4_conversion_latency", "b4_gini_concentration",
-    "b4_hll_intersection_estimate", "b4_jackknife_ci", "b4_kaplan_meier",
-    "b4_ks_two_sample", "b4_mann_whitney_u", "b4_ols_normal_equations",
-    "b4_weighted_median", "b4_zscore_anomalies", "b5_event_pattern_match",
-    "b5_ewma_smoothing", "b5_interval_union_length",
-    "b5_point_in_time_features", "b5_rolling_median",
-    "b6_cached_scan_reuse", "b6_keyset_pagination", "b8_aes_roundtrip",
-    "b8_collation_compare", "b8_csv_conversion_funcs", "b8_mask_funcs",
-    "b8_sql_udf", "b8_xpath_funcs", "c2_fuzzy_join_blocked",
-    "c3_knn_classifier", "c3_nearest_centroid_confusion",
-    "c4_binary_header_sniff", "c4_bmp_decode", "c4_wav_pcm_decode",
-    "c5_chat_template_render", "c5_pii_redaction",
-    "pipeline_dq_expectations", "s1_negative_sampling",
-    "s1_time_based_split", "s1_walk_forward_folds", "a09_count_all",
-    "a10_q1_filter_count", "a11_q2_filter_avg", "a12_q3_group_agg_sort",
-    "b2_sql_scripting_compound", "b4_agg_stats", "b4_approx_top_k_events",
-    "b4_benford_test", "b4_chisq_independence", "b4_cohort_ltv",
+    "b4_count_distinct", "b4_runs_test", "b4_seasonality_strength",
+    "b5_islands_gaps", "b5_session_window_dynamic_gap",
+    "b5_xmr_control_chart", "b6_group_order_by_all",
+    "b7_symmetric_difference", "b9_stateful_ewma_anomaly",
+    "b9_stream_progress_metrics", "c2_lsh_band_tuning",
+    "c2_minhash_estimate_accuracy", "c3_ann_ivf_topk", "c3_ann_lsh_topk",
+    "c3_ann_pq_adc_topk", "c3_ann_recall_audit", "c3_covariance_matrix",
+    "c3_kmeans_embeddings", "c3_mmr_diverse_topk", "c3_pca_project",
+    "c3_product_quantization", "c3_random_projection_jl",
+    "c3_semantic_dedup", "c4_avi_frame_extract", "c4_channel_norm_stats",
+    "c4_content_defined_chunking", "c4_jpeg_baseline_decode",
+    "c4_phash_near_dup", "c4_png_decode", "c5_bigram_backoff_score",
+    "c5_blocklist_filter", "c5_bpe_pair_merges", "c5_fingerprint_winnow",
+    "flagship_pricing_summary", "pipeline_corpus_release",
+    "pipeline_dedup_cascade", "pipeline_rag_retrieval",
+    "s1_upsample_minority", "a7_iceberg_v2_spec_scan", "asof_join_events",
+    "b2_agg_membership_big_orders", "b2_disjunctive_pushdown",
+    "b2_exists_late_shipment", "b2_filter_between", "b2_filter_in",
+    "b2_filter_like", "b2_filter_null_bool", "b2_filter_regex_ilike",
+    "b2_latest_shipper_per_order", "b2_not_exists_quiet_customers",
 ]
 
 
