@@ -75,29 +75,38 @@ def b3_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     # Exact revenue accumulation — join-shuffle arrival order must not perturb
-    # a ~1e9-magnitude float sum. Two-level exact-integer form (see the
-    # flagship note for the full argument): per-partition long micros sums
-    # (the product is exact 4dp; a post-join partition holds far too few rows
-    # to overflow, and ANSI is loud), merged in DECIMAL(38,0) at the
-    # 5-regions-x-partitions level. Replaces the per-row double->DECIMAL cast:
-    # cpu 370->251 ms at sf0.1 (interleaved best-of-5), results bit-identical.
-    rev_mic = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
-    ).cast("long")
-    joined = (
+    # a ~1e9-magnitude float sum, so the sum runs in DECIMAL(18,6).
+    # r16 REVERT of the r15 two-level integer-sum rewrite: the extra merge
+    # Exchange costs one AQE stage round on a broadcast-build-bound query,
+    # and at driver conditions that wall cost exceeds the per-row decimal
+    # save (driver r15: wall 0.575->0.863 s, cpu flat; r16 quiet-host
+    # bench-level interleaved A/B: old wall 0.631/0.560 vs new 0.663/0.660
+    # at 32/8 cores — the ~90 ms cpu win never recovers the stage round).
+    # A single-agg sum over round(x*1e6)::long::decimal(38,0) was also
+    # measured and is NOT cheaper (cpu 340-406 ms ~= this form's 356-392:
+    # Spark's decimal sum buffer churns either way). Flagship keeps the
+    # two-level form — there it wins on BOTH wall and cpu (3 money sums,
+    # no join ahead of the agg; driver-corroborated). At true 100 TB the
+    # two-level form would win here too (per-row cpu scales with rows, the
+    # stage round is fixed) — that trade-off is recorded, but PERF is
+    # measured at bench scale and the regression was real.
+    return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    inner = joined.groupBy(
-        F.col("r_name").alias("region"), F.spark_partition_id().alias("_pid")
-    ).agg(F.sum(rev_mic).alias("rev_s"), F.count("*").alias("cnt"))
-    return inner.groupBy("region").agg(
-        F.round(
-            (F.sum(F.col("rev_s").cast("decimal(38,0)")) / 1_000_000).cast("double"), 6
-        ).alias("revenue"),
-        F.sum("cnt").alias("n_lineitems"),
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
     )
 
 

@@ -1,9 +1,12 @@
-"""Capture .explain("formatted") for bench headline queries → plans/r15/.
+"""Capture .explain("formatted") for bench headline queries → plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r15/<query>_<suffix>.txt for each headline query (or the
-explicit list). Planning only — no timed execution — so it is safe to run
-alongside other work; the bench numbers come from bench.py.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r16) for
+each headline query (or the explicit list). No TIMED execution happens here —
+but operators that materialize internally (graph-iteration counts,
+_keep_result persists, c6 warehouse fixture builds) DO run real jobs during
+plan construction, so passing arbitrary query names can perturb a concurrent
+benchmark; the bench numbers come from bench.py.
 """
 
 from __future__ import annotations
@@ -38,7 +41,9 @@ def main() -> None:
     spark = get_spark("capture_plans", shuffle_partitions=parts)
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
