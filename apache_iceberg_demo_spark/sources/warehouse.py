@@ -515,21 +515,33 @@ class Warehouse:
             # this with maxRecordsPerFile to split the occasional giant
             # partition.
             #
-            # r15: the partition COUNT is pinned to at least the core count —
+            # r15 pinned the partition COUNT to at least the core count —
             # a bare repartition(*pcols) inherits the session's shuffle
             # partitions, and under an 8-partition input-sized session the
             # 83-value fixture write ran on 8 writer tasks (measured: 83 month
             # dirs 1.5-4.6 s -> 0.9-1.4 s with the explicit width). One file
             # per value holds under ANY width (hash(value) % n still sends a
-            # value to exactly one task); at cluster scale the session width
-            # dominates the max() and behavior is unchanged.
-            sess = df.sparkSession
-            try:
-                width = int(sess.conf.get("spark.sql.shuffle.partitions"))
-            except Exception:
-                width = 0
-            n = max(sess.sparkContext.defaultParallelism, width)
-            df = df.repartition(n, *pcols)
+            # value to exactly one task).
+            # r16 drops the max() with the session's shuffle width: that
+            # width is sized for SHUFFLES (input-proportional — 200 on the
+            # driver's plain session, ~1.6M at 100 TB), the wrong currency
+            # for writer parallelism. The hash-on-value design serializes
+            # each partition value into exactly one task no matter how large
+            # n is, so any n beyond min(cores, #values) only launches empty
+            # writer tasks — measured on a plain 200-partition session:
+            # the 83-dir fixture write ran 200 tasks (117 empty) at
+            # 1.50 s vs 0.87-1.07 s at 32, x ~25 writes across the c6
+            # family. Partition columns are low-cardinality by design
+            # (guide's partitioning rule), so defaultParallelism — the
+            # cluster's total core count, scale-adaptive by itself — is the
+            # right width at any data size; per-task data volume is bounded
+            # by the per-value volume either way (a giant value needs
+            # maxRecordsPerFile splitting, not more shuffle partitions).
+            # AQE-coalesced keyed repartition was measured as the
+            # alternative and rejected: minPartitionSize merges the tiny
+            # fixture write down to ONE task (1.5-2.6 s, 83 sequential
+            # file opens).
+            df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, *pcols)
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
