@@ -135,6 +135,14 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only #groups(≈6) × #map-partitions pre-aggregated rows.
     """
     li = load(spark, sf_dir, "lineitem")
+    # the long cents/micros partial sums below rely on ANSI mode to make a
+    # (bound-impossible) overflow loud rather than silently wrapping (ADVICE
+    # r15): fail fast if a consumer session runs with ANSI off
+    if str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() != "true":
+        raise AssertionError(
+            "flagship_pricing_summary requires spark.sql.ansi.enabled=true: "
+            "its exact long partial sums must overflow loudly, never wrap"
+        )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # Money sums must be EXACT: float64 addition is non-associative, and at
     # ~1e9 magnitudes partial-agg merge order would otherwise flap the 6th

@@ -44,7 +44,15 @@ def asof_join(
     ``max_by(value, tiebreaker)`` semantics folded into the window instead
     of a separate pre-aggregation pass (r15: dropping the quotes groupBy
     removed its exchange+aggregate — asof_join_events wall 0.51→0.38 s,
-    cpu 156→125 ms at sf0.1, results identical at all three SFs)."""
+    cpu 156→125 ms at sf0.1, results identical at all three SFs).
+
+    The value columns travel as ONE struct gated on the right side (r16,
+    ADVICE): per-column ``last(c, ignorenulls=True)`` would let columns of
+    the carried match come from DIFFERENT right rows whenever a value column
+    is NULL in the latest row — the struct is non-null for every right row,
+    so the whole match is taken from the same row (exactly native ASOF/
+    ``max_by`` semantics, which carry the latest row even if its value is
+    NULL). It also halves the window expressions for multi-column carries."""
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rhs = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
     for c in set(lhs.columns) - set(rhs.columns):
@@ -60,10 +68,22 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = merged.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols]
+    # null for left rows (so ignorenulls skips them), non-null for EVERY
+    # right row (so the carry is atomic per matched row)
+    payload = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in value_cols])
     )
-    return carried.filter(F.col("_side") == 1).drop("_side", "_ts", *value_cols)
+    carried = merged.select(
+        "*", F.last(payload, ignorenulls=True).over(w).alias("_asof")
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            "*",
+            *[F.col("_asof")[c].alias(f"asof_{c}") for c in value_cols],
+        )
+        .drop("_asof", "_side", "_ts", *value_cols)
+    )
 
 
 @register(

@@ -47,16 +47,9 @@ _op_caches: dict[str, DataFrame] = {}
 
 
 def _keep_result(owner: str, df: DataFrame) -> DataFrame:
-    prev = _op_caches.pop(owner, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session restarted — blocks died with it
-    df = df.persist()
-    df.count()
-    _op_caches[owner] = df
-    return df
+    from apache_iceberg_demo_spark.caching import keep_result
+
+    return keep_result(_op_caches, owner, df)
 
 
 def _release_caches() -> None:

@@ -43,11 +43,9 @@ def _keep_result(owner: str, df: DataFrame) -> DataFrame:
     pipelines; REEXEC_r10.log flagged both as ~1.5-2 s double executions).
     The result frames are tiny (per-source / per-language rollups), so the
     cache cost is the materialization we were paying anyway."""
-    _release_caches(owner)
-    df = df.persist()
-    df.count()
-    _live_caches[owner] = df
-    return df
+    from apache_iceberg_demo_spark.caching import keep_result
+
+    return keep_result(_live_caches, owner, df)
 
 #: the synthetic corpus's function words (FIXTURES.md: query/engine vocabulary)
 STOPWORDS = ("a", "the")

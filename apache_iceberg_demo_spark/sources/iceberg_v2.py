@@ -2424,16 +2424,9 @@ _live_caches: dict[str, DataFrame] = {}
 
 
 def _keep_result(owner: str, df: DataFrame) -> DataFrame:
-    prev = _live_caches.pop(owner, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # frame from a stopped session — blocks died with it
-    df = df.persist()
-    df.count()
-    _live_caches[owner] = df
-    return df
+    from apache_iceberg_demo_spark.caching import keep_result
+
+    return keep_result(_live_caches, owner, df)
 
 
 @register(
