@@ -1030,14 +1030,23 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nparts = max(
         int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
     )
-    ew = edges.join(deg, "s").repartition(nparts, "s").persist()
-    _live_caches.append(ew)
-    nodes = deg.select(F.col("s").alias("node")).persist()
-    _live_caches.append(nodes)
-
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": str(nparts)}
     ):
+        # r16: persist() compiles the cached PHYSICAL plan at registration
+        # time, not at first materialization — registering these caches
+        # before the scope opened baked 200-partition exchanges into the
+        # cached plans, and (canChangeCachedPlanOutputPartitioning=false)
+        # every iteration join then exchanged at 200 to co-partition with
+        # them: ten 200-task stages per run at driver conditions. All
+        # persists now register INSIDE the scope (r16 interleaved A/B,
+        # plain local[8], sf0.1 spark-side min-of-3: 40.3 -> 25.6 s; the
+        # one-iteration chain plan drops from 20 hashpartitioning(..,200)
+        # references to zero — plans/r16/b3_pagerank_copurchase_*.txt).
+        ew = edges.join(deg, "s").repartition(nparts, "s").persist()
+        _live_caches.append(ew)
+        nodes = deg.select(F.col("s").alias("node")).persist()
+        _live_caches.append(nodes)
         # N as a driver scalar: one aggregated row, O(1) driver data. The
         # division stays JVM-side (lit/lit) so the doubles are bit-identical
         # to the former broadcast-column form.

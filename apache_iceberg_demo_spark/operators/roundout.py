@@ -313,43 +313,48 @@ def b3_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     nparts = max(
         int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
     )
-    edges = (
-        e0.selectExpr("a AS s", "b AS d")
-        .unionAll(e0.selectExpr("b AS s", "a AS d"))
-        .repartition(nparts, "s")
-        .persist()
-    )
-    _track("b3_bfs_reachability", edges)
-
-    seeds = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#11")
-        .select(F.col("p_partkey").alias("node"))
-    )
-    visited = seeds.withColumn("hops", F.lit(0).cast("bigint")).persist()
-    _track("b3_bfs_reachability", visited)
-    frontier = visited.select("node")
-    for h in range(1, _BFS_MAX_HOPS + 1):
-        fr = frontier.hint("shuffle_hash")
-        nxt = (
-            fr.join(edges, fr["node"] == edges["s"])
-            .select(F.col("d").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("bigint"))
-            .persist()
-        )
-        _track("b3_bfs_reachability", nxt)
-        visited = visited.unionAll(nxt).persist()
-        _track("b3_bfs_reachability", visited)
-        frontier = nxt.select("node")
-    # materialize the whole hop cascade ONCE under the iteration scope
-    # (a plain 200-partition session otherwise pays ~200 tasks per hop
-    # join on a toy frontier, and the driver's first action triggers the
-    # full unmaterialized cascade)
+    # r16: the WHOLE cascade (persist registrations included) runs inside
+    # the scope — persist() compiles the cached physical plan at
+    # registration time, so caches registered before the scope opened
+    # baked 200-partition exchanges into every hop join at driver
+    # conditions (see b3_pagerank_copurchase for the mechanism)
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": str(nparts)}
     ):
+        edges = (
+            e0.selectExpr("a AS s", "b AS d")
+            .unionAll(e0.selectExpr("b AS s", "a AS d"))
+            .repartition(nparts, "s")
+            .persist()
+        )
+        _track("b3_bfs_reachability", edges)
+
+        seeds = (
+            load(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#11")
+            .select(F.col("p_partkey").alias("node"))
+        )
+        visited = seeds.withColumn("hops", F.lit(0).cast("bigint")).persist()
+        _track("b3_bfs_reachability", visited)
+        frontier = visited.select("node")
+        for h in range(1, _BFS_MAX_HOPS + 1):
+            fr = frontier.hint("shuffle_hash")
+            nxt = (
+                fr.join(edges, fr["node"] == edges["s"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("bigint"))
+                .persist()
+            )
+            _track("b3_bfs_reachability", nxt)
+            visited = visited.unionAll(nxt).persist()
+            _track("b3_bfs_reachability", visited)
+            frontier = nxt.select("node")
+        # materialize the whole hop cascade ONCE under the iteration scope
+        # (a plain 200-partition session otherwise pays ~200 tasks per hop
+        # join on a toy frontier, and the driver's first action triggers
+        # the full unmaterialized cascade)
         visited.count()
     return visited
 
@@ -3067,26 +3072,30 @@ def b3_bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(input_sized_shuffle(li)), spark.sparkContext.defaultParallelism
     )
     wexpr = (F.lit(1) + (F.col("a") + F.col("b")) % 4).cast("long")
-    edges = (
-        e0.select(F.col("a").alias("s"), F.col("b").alias("d"), wexpr.alias("w"))
-        .unionAll(
-            e0.select(F.col("b").alias("s"), F.col("a").alias("d"), wexpr.alias("w"))
-        )
-        .repartition(nparts, "s")
-        .persist()
-    )
-    _track("b3_bellman_ford_bounded", edges)
-
-    dist = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#11")
-        .select(F.col("p_partkey").alias("node"), F.lit(0).cast("long").alias("cost"))
-        .persist()
-    )
-    _track("b3_bellman_ford_bounded", dist)
+    # r16: edge/dist persist registrations moved INSIDE the scope —
+    # persist() compiles the cached physical plan at registration time,
+    # so the pre-scope registrations baked 200-partition exchanges into
+    # the relax joins at driver conditions (see b3_pagerank_copurchase)
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": str(nparts)}
     ):
+        edges = (
+            e0.select(F.col("a").alias("s"), F.col("b").alias("d"), wexpr.alias("w"))
+            .unionAll(
+                e0.select(F.col("b").alias("s"), F.col("a").alias("d"), wexpr.alias("w"))
+            )
+            .repartition(nparts, "s")
+            .persist()
+        )
+        _track("b3_bellman_ford_bounded", edges)
+
+        dist = (
+            load(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#11")
+            .select(F.col("p_partkey").alias("node"), F.lit(0).cast("long").alias("cost"))
+            .persist()
+        )
+        _track("b3_bellman_ford_bounded", dist)
         for _ in range(3):
             d_ = dist.hint("shuffle_hash")
             relaxed = (
