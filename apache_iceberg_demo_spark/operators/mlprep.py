@@ -1004,11 +1004,6 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
-    edges = e0.selectExpr("a AS s", "b AS d").unionAll(
-        e0.selectExpr("b AS s", "a AS d")
-    )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("outd"))
-
     # EVERY materializing action — the nodes count, the cache builds it
     # triggers, and the final 10-iteration chain — runs inside ONE
     # shuffle scope: a plain 200-partition session otherwise schedules
@@ -1043,6 +1038,20 @@ def b3_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plain local[8], sf0.1 spark-side min-of-3: 40.3 -> 25.6 s; the
         # one-iteration chain plan drops from 20 hashpartitioning(..,200)
         # references to zero — plans/r16/b3_pagerank_copurchase_*.txt).
+        # e0 feeds TWO separate cache builds (ew, nodes-via-deg) that
+        # cannot share exchanges across jobs — persisting it in-scope
+        # saves one full pair-join build (r16 interleaved: 25.3/22.9/22.6
+        # -> 22.8/21.1/21.3 s, consistent all three pairs; overturns the
+        # r15 "e0 cache loses" datum, which registered the cache OUTSIDE
+        # the scope and paid 200-wide cached-plan exchanges for it).
+        e0 = e0.persist()
+        _live_caches.append(e0)
+        edges = e0.selectExpr("a AS s", "b AS d").unionAll(
+            e0.selectExpr("b AS s", "a AS d")
+        )
+        deg = edges.groupBy("s").agg(
+            F.count(F.lit(1)).cast("double").alias("outd")
+        )
         ew = edges.join(deg, "s").repartition(nparts, "s").persist()
         _live_caches.append(ew)
         nodes = deg.select(F.col("s").alias("node")).persist()
