@@ -96,7 +96,7 @@ def main() -> int:
         df = registry.QUERIES[name](spark, SF_DIR)
         df.count()
         df.collect()
-        time.sleep(0.5)  # listener events are delivered async
+        time.sleep(1.5)  # listener events are delivered async
         print(f"[ran] {name}: {time.time() - t0:.1f}s", flush=True)
 
     bad = 0
