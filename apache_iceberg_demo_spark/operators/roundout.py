@@ -2180,71 +2180,70 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time — Catalyst shares no subplans, so the whole chunk→score→rank
     # pipeline re-executed ~3x inside the one final action (measured: the
     # scoring stage alone is ~5.7 s at sf0.01 on a plain session; the
-    # operator dropped ~16→~7 s warm). Materialized below inside the same
-    # scoped conf as everything else.
+    # operator dropped ~16→~7 s warm).
+    # r16: BOTH persists now REGISTER inside one shuffle scope — persist()
+    # compiles the cached physical plan at registration time, so the r15
+    # shape (persist outside, count inside) baked the plain session's 200
+    # partitions into both cached plans and the scoped materializations
+    # executed them 200-wide anyway (the graph-operator lesson, see
+    # b3_pagerank_copurchase).
     from apache_iceberg_demo_spark.tuning import input_sized_shuffle, scoped_conf
 
-    cand = cand.persist()
-    _track("pipeline_rag_retrieval", cand)
     with scoped_conf(
         spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
     ):
+        cand = cand.persist()
+        _track("pipeline_rag_retrieval", cand)
         cand.count()
 
-    # near-dup screen within the shortlist: drop a candidate if a HIGHER-
-    # ranked one overlaps > 0.5 token-Jaccard
-    a = cand.alias("a")
-    b = cand.alias("b")
-    ta = F.array_distinct(F.split(F.col("a.chunk_text"), " "))
-    tb = F.array_distinct(F.split(F.col("b.chunk_text"), " "))
-    jac = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
-    shadowed = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("b.rk") < F.col("a.rk")),
+        # near-dup screen within the shortlist: drop a candidate if a
+        # HIGHER-ranked one overlaps > 0.5 token-Jaccard
+        a = cand.alias("a")
+        b = cand.alias("b")
+        ta = F.array_distinct(F.split(F.col("a.chunk_text"), " "))
+        tb = F.array_distinct(F.split(F.col("b.chunk_text"), " "))
+        jac = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
+        shadowed = (
+            a.join(
+                b,
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("b.rk") < F.col("a.rk")),
+            )
+            .where(jac > 0.5)
+            .select(F.col("a.query_id").alias("query_id"), F.col("a.chunk_id").alias("chunk_id"))
+            .distinct()
         )
-        .where(jac > 0.5)
-        .select(F.col("a.query_id").alias("query_id"), F.col("a.chunk_id").alias("chunk_id"))
-        .distinct()
-    )
-    kept = cand.join(shadowed, ["query_id", "chunk_id"], "left_anti")
-    w2 = W.partitionBy("query_id").orderBy("rk")
-    final = (
-        kept.withColumn("krk", F.row_number().over(w2))
-        .where(F.col("krk") <= KEEP)
-    )
-    # pack greedily in rank order within the token budget
-    w3 = (
-        W.partitionBy("query_id")
-        .orderBy("krk")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = final.withColumn("cum_tokens", F.sum("n_tokens").over(w3)).where(
-        F.col("cum_tokens") <= BUDGET
-    )
+        kept = cand.join(shadowed, ["query_id", "chunk_id"], "left_anti")
+        w2 = W.partitionBy("query_id").orderBy("rk")
+        final = (
+            kept.withColumn("krk", F.row_number().over(w2))
+            .where(F.col("krk") <= KEEP)
+        )
+        # pack greedily in rank order within the token budget
+        w3 = (
+            W.partitionBy("query_id")
+            .orderBy("krk")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        packed = final.withColumn("cum_tokens", F.sum("n_tokens").over(w3)).where(
+            F.col("cum_tokens") <= BUDGET
+        )
 
-    out = (
-        packed.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.max("cum_tokens").cast("bigint").alias("context_tokens"),
-            F.min("score").alias("min_score"),
+        out = (
+            packed.groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                F.max("cum_tokens").cast("bigint").alias("context_tokens"),
+                F.min("score").alias("min_score"),
+            )
+            .withColumn("budget_ok", F.lit(True))
+            # persist BEFORE the audit collect: the self-assert pass below
+            # is the only execution of the 5-stage pipeline; without it the
+            # driver's count-then-collect re-runs the whole lineage twice
+            # (measured ~15 s extra at sf0.01 — the pagerank/BFS lesson).
+            .persist()
         )
-        .withColumn("budget_ok", F.lit(True))
-        # persist BEFORE the audit collect: the self-assert pass below is
-        # the only execution of the 5-stage pipeline; without it the
-        # driver's count-then-collect re-runs the whole lineage twice
-        # (measured ~15 s extra at sf0.01 — the pagerank/BFS lesson).
-        .persist()
-    )
-    _track("pipeline_rag_retrieval", out)
-    # materialize inside an input-sized shuffle scope: a plain 200-partition
-    # session otherwise runs each of the pipeline's ~6 shuffles as ~200
-    # near-empty tasks over a 30k-chunk frame
-    with scoped_conf(
-        spark, {"spark.sql.shuffle.partitions": input_sized_shuffle(d)}
-    ):
+        _track("pipeline_rag_retrieval", out)
         rows = out.collect()
     if len(rows) != len(queries):
         raise AssertionError(f"expected {len(queries)} query contexts, got {len(rows)}")
